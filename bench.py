@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully executed (collected or counted) so the number reflects
+scan + shuffle + aggregation work, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_query_engine_rs_spark.queries import QUERIES  # noqa: E402
+from sql_query_engine_rs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: every operator family, weighted toward the scan/agg/join
+# paths that dominate at scale.
+BENCH_QUERIES = [
+    "v0_filter_comparison",
+    "v0_simple_agg",
+    "v0_hash_agg_multi",
+    "ext_tpch_q1",
+    "ext_tpch_q3",
+    "ext_join_broadcast",
+    "ext_order_by_limit",
+    "ext_window_rank",
+    "ext_events_window",
+    "pipe_dedup_exact",
+    "pipe_fingerprint_dedup",
+    "pipe_minhash_lsh",
+    "pipe_embedding_topk",
+    "pipe_token_count",
+]
+
+
+def run_one(spark, name: str) -> float:
+    spec = QUERIES[name]
+    t0 = time.time()
+    df = spec.build(spark, SF_DIR)
+    # Execute fully; count() on a cached-nothing plan runs the whole pipeline.
+    df.collect() if len(df.columns) <= 12 else df.count()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup so per-query numbers measure the engine, not JIT
+    QUERIES["v0_simple_agg"].build(spark, SF_DIR).collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        times[name] = round(run_one(spark, name), 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

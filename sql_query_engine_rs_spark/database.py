@@ -1,0 +1,81 @@
+"""Database facade: ``run(sql)`` + meta-commands, mirroring the reference CLI.
+
+Reference lifecycle (src/db.rs:50-92): parse -> bind -> plan -> rewrite ->
+execute -> collect. All five stages are Catalyst's job here — ``spark.sql``
+parses (Spark SQL dialect ⊇ the reference's PostgreSQL-dialect v0 surface),
+analyzes against the temp-view catalog, optimizes (pushdown/pruning/folding,
+none of which the reference has — src/optimizer/ has only InputRefRewriter +
+PhysicalRewriter), plans physically (SimpleAgg vs HashAgg choice at
+src/optimizer/physical_rewriter.rs:33-46 becomes Spark's
+HashAggregateExec/SortAggregateExec selection), and runs on Tungsten.
+
+Meta-commands (reference: src/cli.rs:111-135):
+- ``\\dt``                      -> show_tables relation
+- ``\\load csv <name> <path>``  -> create_csv_table
+"""
+
+from __future__ import annotations
+
+import shlex
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_query_engine_rs_spark.catalog import Catalog
+from sql_query_engine_rs_spark.errors import MetaCommandError
+from sql_query_engine_rs_spark.session import get_spark
+
+
+class Database:
+    """The reference's ``Database`` (src/db.rs:16-40) on Spark."""
+
+    def __init__(self, spark: SparkSession | None = None, echo_plan: bool = False):
+        self.spark = spark or get_spark()
+        self.catalog = Catalog(self.spark)
+        self.echo_plan = echo_plan
+
+    # -- reference constructors (src/db.rs:21-25)
+
+    @classmethod
+    def new_on_csv(cls, spark: SparkSession | None = None) -> "Database":
+        return cls(spark)
+
+    @classmethod
+    def new_on_memory(cls, spark: SparkSession | None = None) -> "Database":
+        return cls(spark)
+
+    # -- query entry point (src/db.rs:50-92)
+
+    def run(self, sql: str) -> DataFrame:
+        """Run one SQL statement or meta-command; return the result DataFrame.
+
+        The reference always prints its plan tree while running
+        (src/db.rs:72-83); we gate that behind ``echo_plan`` and emit
+        Catalyst's formatted physical plan instead.
+        """
+        stripped = sql.strip()
+        if stripped.startswith("\\"):
+            return self._run_meta(stripped)
+        df = self.spark.sql(sql)
+        if self.echo_plan:
+            df.explain("formatted")
+        return df
+
+    def run_collect(self, sql: str) -> list:
+        """``run`` + drain, like the reference's try_collect (src/executor/mod.rs:50-56)."""
+        return self.run(sql).collect()
+
+    # -- meta commands (src/cli.rs:111-135)
+
+    def _run_meta(self, cmd: str) -> DataFrame:
+        # shlex would swallow the leading backslash (escape char), so strip
+        # it first and parse only the argument list.
+        parts = shlex.split(cmd[1:])
+        if parts[0] == "dt":
+            return self.catalog.show_tables()
+        if parts[0] == "load":
+            if len(parts) != 4 or parts[1] != "csv":
+                raise MetaCommandError(f"usage: \\load csv <name> <path>, got: {cmd}")
+            _, _, name, path = parts
+            self.catalog.create_csv_table(name, path)
+            return self.catalog.show_tables()
+        raise MetaCommandError(f"unknown meta command: {cmd}")

@@ -1,0 +1,278 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard, MinHash-LSH,
+SimHash, and embedding-cosine near-dup.
+
+No counterpart in the reference (single-table v0 engine); these are the
+extension operators a 100 TB training-data pipeline needs.
+
+Scale design notes
+------------------
+- Exact / fingerprint dedup: one hash-partitioned shuffle on the key with
+  map-side combine — the cheapest possible distributed dedup. Fingerprint
+  (md5 of normalized text) dedups 100 TB while shuffling only (hash, id)
+  pairs, never the documents themselves.
+- MinHash-LSH: per-doc signatures are map-only; candidate generation is a
+  group-by on band keys (shuffle of small keys); only candidate PAIRS get the
+  exact-Jaccard verification. This is the standard near-linear near-dup path.
+  Hashing uses md5 (portable → DuckDB oracle can replicate); substitute
+  xxhash64 for ~2× faster signatures when cross-engine determinism is not
+  required.
+- SimHash: 64-bit signature via per-token hashes; near-dups = signatures at
+  small Hamming distance, found by banding the 64 bits (map + one group-by).
+- Embedding near-dup: cosine > threshold over an array<float> column;
+  all-pairs within LSH/band buckets, never a global cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.functions.expressions import portable_round
+
+from sql_query_engine_rs_spark.functions.text import fingerprint, normalized_text, tokens
+from sql_query_engine_rs_spark.functions.similarity import cosine
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Keep one arbitrary row per distinct key (hash-shuffle + combine)."""
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Deterministic variant: per duplicate-group keep ``min(id)`` and report
+    the copy count. Output: (<id_col>, n_copies)."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    ).select(id_col, "n_copies")
+
+
+def fingerprint_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-exact dedup on normalized-text md5: robust to whitespace/case
+    drift, shuffles only 32-byte hashes. Output: (fingerprint, <id_col>, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select("fingerprint", id_col, "n_copies")
+    )
+
+
+# ---------------------------------------------------------------- n-gram Jaccard
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (shingles) of ``text`` as array<string>."""
+    toks = tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    # shingle i = tokens[i..i+n); guard short docs (sequence needs start<=stop)
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    return F.when(F.size(toks) >= n, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| for two distinct-element arrays (JVM-side)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / F.greatest(union, F.lit(1))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold.
+
+    ``block_col`` restricts candidate pairs to equal blocking keys (e.g. a
+    language or length bucket) — REQUIRED at scale to avoid the quadratic
+    cross join; without it this is exact all-pairs (fine for validation runs).
+    Output: (id_a, id_b, jaccard_sim), id_a < id_b.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        token_ngrams(F.col(text_col), n).alias("_grams"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = F.col(f"a._id") < F.col("b._id")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+        joined = a.join(b, on=F.col("a._blk") == F.col("b._blk")).filter(F.col("a._id") < F.col("b._id"))
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    sim = jaccard(F.col("a._grams"), F.col("b._grams"))
+    return (
+        joined.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            portable_round(sim, 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- MinHash-LSH
+
+def _minhash_component(shingles: Column, seed: int) -> Column:
+    """One MinHash permutation: min over shingles of md5(seed || shingle).
+
+    md5-as-permutation keeps the signature engine-portable (the DuckDB oracle
+    reproduces it exactly); lexicographic min over hex strings is a valid
+    uniform min-hash.
+    """
+    return F.array_min(F.transform(shingles, lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))))
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, ngram: int = 3) -> Column:
+    """array<string> MinHash signature over distinct word n-gram shingles of
+    the normalized text (ngram=1 → plain token set)."""
+    shingles = token_ngrams(normalized_text(text), ngram)
+    return F.array(*[_minhash_component(shingles, i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    ngram: int = 3,
+    verify_threshold: float | None = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    1. signature: map-only, ``num_hashes`` md5 min-hashes over word ``ngram``
+       shingles per doc;
+    2. banding: ``bands`` keys of ``num_hashes/bands`` rows each; docs sharing
+       any band key become candidates (group-by shuffle on short strings);
+    3. verify: exact shingle-set Jaccard on candidate pairs only (optional).
+
+    Output: (id_a, id_b, jaccard_sim), id_a < id_b, deduplicated across bands.
+    """
+    rows_per_band = num_hashes // bands
+    shingles = token_ngrams(normalized_text(F.col(text_col)), ngram)
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        shingles.alias("_toks"),
+        minhash_signature(F.col(text_col), num_hashes, ngram).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_toks",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(b)), *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+                for b in range(bands)
+            ])
+        ).alias("_band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on="_band_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            portable_round(jaccard(F.col("a._toks"), F.col("b._toks")), 4).alias("jaccard_sim"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify_threshold is not None:
+        pairs = pairs.filter(F.col("jaccard_sim") >= verify_threshold)
+    return pairs
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens (xxhash64 token hashes).
+
+    Classic construction: each token votes ±1 per bit of its 64-bit hash; the
+    signature's bit i is 1 iff the summed vote is positive. Pure JVM
+    expressions (transform/aggregate over a 64-slot array) — map-only.
+    Not oracle-portable (xxhash64 is Spark-specific); validated in pytest
+    against a Python reference implementation instead.
+    """
+    toks = F.array_distinct(tokens(normalized_text(text)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # Unrolled over the 64 bit positions (shiftright needs a literal int);
+    # each vote is one fold over the token-hash array.
+    def bit_vote(i: int):
+        # closure factory: pyspark requires the merge lambda to take exactly
+        # two parameters, so `i` must be captured, not a default arg
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        sig = sig + F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(0)
+    return sig
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any of the 64/band_bits SimHash
+    bands (Hamming-distance blocking). Output: (id_a, id_b, hamming)."""
+    n_bands = 64 // band_bits
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(*[
+                F.concat_ws("|", F.lit(str(b)), (F.shiftright("_sh", b * band_bits).bitwiseAND(F.lit(mask))).cast("string"))
+                for b in range(n_bands)
+            ])
+        ).alias("_band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
+        a.join(b, on="_band_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------- embedding near-dup
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine >= threshold).
+
+    All-pairs here (validation scale); at 100 TB route through
+    ``similarity.random_hyperplane_buckets`` first so the join is per-bucket.
+    Output: (id_a, id_b, cos_sim).
+    """
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            portable_round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+No counterpart in the reference (scalar types only, src/types/mod.rs:22-35).
+Extension surface for multimodal training-data pipelines.
+
+Design: a modality payload is a ``binary`` column plus a typed metadata
+struct. Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages — the only sane way to run per-item Python (PIL/ffmpeg
+style) work on Spark: batches arrive as pandas Series of bytes, the UDF is
+called once per ~10k rows, and the stage is map-only (no shuffle).
+
+The actual codecs (PIL, soundfile, av) are NOT in this container, so the
+decode kernels are STUBBED behind ``_decode_*`` with a deterministic fake
+keyed on the payload bytes; the Spark-side plumbing — schemas, batch
+iteration, partitioning — is real and tested. Swap the kernel body for the
+real library in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# Typed metadata carried alongside every binary payload.
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),   # image | audio | video
+        StructField("format", StringType()),       # jpeg | wav | mp4 | ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("item_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode kernel — deterministic fake derived from the bytes.
+
+    Real deployment: ``PIL.Image.open(io.BytesIO(payload))``; raise
+    NotImplementedError semantics are emulated by the deterministic fake so
+    the plumbing is testable in this container (no image libs installed).
+    """
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False)
+    width, height = 64 + h % 1024, 64 + (h >> 10) % 1024
+    feature = [((h >> (i % 48)) & 0xFF) / 255.0 for i in range(8)]
+    return width, height, feature
+
+
+def attach_media_meta(df: DataFrame, payload_col: str, media_type: str, fmt: str) -> DataFrame:
+    """Wrap a binary column with the typed metadata struct (map-only)."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ),
+    )
+
+
+def image_features(df: DataFrame, id_col: str = "item_id", payload_col: str = "payload") -> DataFrame:
+    """Decode images and emit (dims, byte size, feature vector).
+
+    ``mapInPandas``: Arrow-batched, map-only; each batch decodes in one
+    Python call. Partitioning of the input carries through untouched.
+    """
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_image_stub(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype("int64"),
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, id_col: str = "item_id", payload_col: str = "payload", every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling — STUB kernel, real batch plumbing.
+
+    Emits one row per sampled frame: (item_id, frame_idx, frame_ts_ms,
+    frame_payload). Real deployment replaces the kernel with ``av``/ffmpeg
+    demuxing; the fan-out (1 video -> N frames) shape is what matters here.
+    """
+    out_schema = StructType(
+        [
+            StructField("item_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_ts_ms", LongType()),
+            StructField("frame_payload", BinaryType()),
+        ]
+    )
+
+    def sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                # STUB: fake duration = len(bytes) ms, frame = 16-byte slice.
+                n_frames = max(1, min(len(data) // max(every_ms, 1), 32))
+                for i in range(n_frames):
+                    rows.append(
+                        (int(item_id), i, i * every_ms, data[i * 16 : i * 16 + 16] or b"\0")
+                    )
+            yield pd.DataFrame(rows, columns=["item_id", "frame_idx", "frame_ts_ms", "frame_payload"])
+
+    return df.mapInPandas(sample_batches, out_schema)

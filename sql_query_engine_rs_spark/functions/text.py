@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No counterpart exists in the reference (its only string support is Utf8
+columns + min/max/equality — src/types/mod.rs:34, src/executor/aggregate/
+min_max.rs). These are extension operators, built entirely from JVM-side
+``pyspark.sql.functions`` (no Python UDFs in the hot path) so they stay
+inside whole-stage codegen and scale linearly with no shuffle:
+tokenization, token counting, language-ID, quality scoring, and document
+fingerprinting are all per-row map operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.functions.expressions import portable_round
+
+# Tiny per-language marker-word lists for the n-gram/stopword heuristic.
+# Deliberately small + deterministic (this is a heuristic language ID, not a
+# model); extend per deployment.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "a", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "es", "una", "que"),
+}
+
+STOPWORDS_EN = ("the", "of", "and", "a", "to", "in", "is", "it", "for", "on")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string>, empty tokens dropped.
+
+    Pure JVM expression (split + filter lambda); at 100 TB this is a map-only
+    stage with zero shuffle.
+    """
+    return F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the ``wc -w`` of the pipeline)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate subword-token count: runs of letters, runs of digits, and
+    single punctuation marks each count as one token (a BPE-ish proxy for LLM
+    budget accounting when no tokenizer is shipped).
+
+    Implemented as insert-boundary-spaces + whitespace split (instead of
+    lookaround regexes) so the construction is expressible in RE2-based
+    engines too — the DuckDB oracle reproduces it verbatim.
+    """
+    spaced = F.regexp_replace(text, r"([A-Za-z]+|[0-9]+)", r" $1 ")
+    return F.size(F.filter(F.split(spaced, r"\s+"), lambda t: t != F.lit("")))
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens of ``text`` are in the marker set."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts, 'und' when no
+    marker hits. Deterministic tie-break by language code order."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # Iterate in fixed order; strictly-greater keeps the earlier language on ties.
+    for code in sorted(LANG_MARKERS):
+        hits = marker_hits(text, LANG_MARKERS[code])
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards reasonable length,
+    word-like tokens, and stopword presence; penalizes punctuation soup.
+
+    score = 0.25*len_ok + 0.25*mean_token_len_ok + 0.3*stopword_ratio_capped
+          + 0.2*(1 - punct_ratio)
+    """
+    n_chars = F.length(text)
+    n_toks = token_count(text)
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    mean_tok = n_chars / F.greatest(n_toks, F.lit(1))
+    mean_tok_ok = F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
+    stop_ratio = marker_hits(text, STOPWORDS_EN) / F.greatest(n_toks, F.lit(1))
+    stop_capped = F.least(stop_ratio * 5, F.lit(1.0))  # ~20% stopwords saturates
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    return portable_round(
+        0.25 * len_ok + 0.25 * mean_tok_ok + 0.3 * stop_capped + 0.2 * (1.0 - punct_ratio), 4
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is used (not xxhash) so the fingerprint is portable across engines —
+    the DuckDB oracle computes the identical value. For a pure-Spark pipeline
+    ``F.xxhash64`` is ~2× faster; swap freely.
+    """
+    return F.md5(normalized_text(text))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per document: token counts, detected language, quality score,
+    fingerprint. A single map-only projection — no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subword_tokens"),
+        lang_id(t).alias("lang_detected"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,967 @@
+"""Query registry: every operator from SURVEY.md §2 (v0 parity + extensions)
+as a (Spark builder, DuckDB oracle SQL) pair.
+
+Each builder takes ``(spark, sf_dir)`` and returns a DataFrame; the matching
+oracle is ANSI SQL over the same parquet tables (pre-registered views). The
+driver hash-compares both sides order-insensitively with columns sorted by
+name, so every computed column is aliased identically on both sides.
+
+Cross-engine determinism rules used throughout:
+- float aggregates/products are rounded (2–6 decimals) on BOTH sides;
+- cosine math is done in float64 on both sides (DuckDB's builtin
+  list_cosine_similarity accumulates in float32 — ~1e-7 error — so the oracle
+  computes dot/norms manually in double);
+- hashing that must match across engines uses md5 (portable), not
+  xxhash64/murmur3 (Spark-specific);
+- ranking ties are broken by a unique key column;
+- DuckDB BIGINT results are cast to match Spark's int where Spark returns
+  IntegerType (e.g. ``len()``, ``row_number()``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.functions import dedup as D
+from sql_query_engine_rs_spark.functions import similarity as S
+from sql_query_engine_rs_spark.functions import text as T
+from sql_query_engine_rs_spark.functions.multimodal import image_features
+from sql_query_engine_rs_spark.operators import (
+    broadcast_join,
+    filter_,
+    hash_agg,
+    parquet_scan,
+    project,
+    simple_agg,
+    top_k,
+)
+from sql_query_engine_rs_spark.operators.window import per_group_top_k
+from sql_query_engine_rs_spark.streaming import windowed_counts
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return parquet_scan(spark, f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read nanos as long (runtime conf) and rebuild a microsecond
+    timestamp. Session tz is UTC so rendering matches DuckDB's naive reads.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = parquet_scan(spark, f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def pround(c, n: int = 2):
+    """Portable round: floor(x*10^n + 0.5)/10^n computed in float64.
+
+    Spark's ``round`` is decimal-string HALF_UP (BigDecimal) while DuckDB
+    rounds the binary double — they disagree whenever the double sits just
+    below a .5 decimal boundary (e.g. 8285.425). floor-based rounding uses
+    identical double ops on both engines, so results are bit-identical.
+    """
+    f = 10 ** n
+    return F.floor(c * f + F.lit(0.5)) / f
+
+
+def r2(c):  # rounded double aggregate, the cross-engine float convention
+    return pround(c, 2)
+
+
+def rsql(expr: str, n: int = 2) -> str:
+    """SQL twin of ``pround`` for the DuckDB oracles."""
+    return f"FLOOR(({expr}) * {10 ** n} + 0.5) / {10 ** n}"
+
+
+# =====================================================================
+# v0 parity surface (reference operators, SURVEY.md §2.1)
+# =====================================================================
+
+@register("v0_scan", "SELECT r_regionkey, r_name FROM region")
+def v0_scan(spark, sf_dir):
+    """TableScan (reference: src/executor/table_scan.rs:9-33)."""
+    return t(spark, sf_dir, "region")
+
+
+@register(
+    "v0_projection",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def v0_projection(spark, sf_dir):
+    """Project (reference: src/executor/project.rs:11-30). Column pruning
+    reaches the parquet ReadSchema — only 3 of 11 columns are read."""
+    return project(t(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "v0_filter_comparison",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_quantity > 30",
+)
+def v0_filter_comparison(spark, sf_dir):
+    """Filter with `>` (reference: src/executor/filter.rs:12-27,
+    array_compute.rs:57-61). Predicate is pushed to the parquet scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return project(filter_(li, F.col("l_quantity") > 30), "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "v0_filter_equality",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 5",
+)
+def v0_filter_equality(spark, sf_dir):
+    """Filter with `=` plus AND — AND binds but panics in the reference
+    (src/executor/array_compute.rs:62-64); native here."""
+    li = t(spark, sf_dir, "lineitem")
+    return project(
+        filter_(li, (F.col("l_returnflag") == "R") & (F.col("l_quantity") < 5)),
+        "l_orderkey", "l_linenumber", "l_quantity",
+    )
+
+
+@register(
+    "v0_project_arithmetic",
+    """SELECT l_orderkey, l_linenumber,
+              FLOOR((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+              l_linenumber + 1 AS next_line
+       FROM lineitem WHERE l_quantity > 45""",
+)
+def v0_project_arithmetic(spark, sf_dir):
+    """Binary arithmetic ops + - * (reference: src/executor/
+    array_compute.rs:47-56) with implicit int/double widening (the reference
+    inserts BoundTypeCast by hand, src/binder/expression/binary_op.rs:27-63)."""
+    li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_quantity") > 45)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_linenumber") + 1).alias("next_line"),
+    )
+
+
+@register(
+    "v0_simple_agg",
+    """SELECT count(l_orderkey) AS cnt, CAST(count(*) AS BIGINT) AS cnt_star,
+              FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              MIN(l_returnflag) AS min_flag, MAX(l_returnflag) AS max_flag
+       FROM lineitem""",
+)
+def v0_simple_agg(spark, sf_dir):
+    """SimpleAgg: global count/sum/min/max incl. string min/max (reference:
+    src/executor/aggregate/simple_agg.rs, count.rs, sum.rs, min_max.rs).
+    count(*) is an extension (reference: agg_func.rs:48-50 todo!())."""
+    return simple_agg(
+        t(spark, sf_dir, "lineitem"),
+        [
+            F.count("l_orderkey").alias("cnt"),
+            F.count(F.lit(1)).alias("cnt_star"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_returnflag").alias("min_flag"),
+            F.max("l_returnflag").alias("max_flag"),
+        ],
+    )
+
+
+@register(
+    "v0_hash_agg",
+    """SELECT l_returnflag, count(l_orderkey) AS cnt,
+              FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+              MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def v0_hash_agg(spark, sf_dir):
+    """HashAgg, single key (reference: src/executor/aggregate/hash_agg.rs).
+    Spark adds map-side partial aggregation — at 100 TB the shuffle carries
+    one partial row per (task, group), not the raw data."""
+    return hash_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        [
+            F.count("l_orderkey").alias("cnt"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        ],
+    )
+
+
+@register(
+    "v0_hash_agg_multi",
+    """SELECT l_returnflag, l_linestatus, count(l_orderkey) AS cnt,
+              FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+              FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def v0_hash_agg_multi(spark, sf_dir):
+    """HashAgg, multi-column key (reference: hash_utils.rs:163-222 combines
+    per-column hashes; here the key tuple is hashed natively)."""
+    return hash_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count("l_orderkey").alias("cnt"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_price"),
+        ],
+    )
+
+
+@register(
+    "v0_agg_null_semantics",
+    """SELECT CAST(count(*) AS BIGINT) AS cnt_star,
+              count(NULLIF(l_returnflag, 'N')) AS cnt_not_n,
+              MAX(NULLIF(l_returnflag, 'R')) AS max_flag_not_r,
+              FLOOR((SUM(CASE WHEN l_returnflag = 'Z' THEN l_quantity END)) * 100 + 0.5) / 100 AS sum_never
+       FROM lineitem""",
+)
+def v0_agg_null_semantics(spark, sf_dir):
+    """NULL aggregation semantics (reference quirk §2.4.4: COUNT counts
+    non-null only; SUM/MIN/MAX over all-NULL input stay NULL)."""
+    li = t(spark, sf_dir, "lineitem")
+    return simple_agg(
+        li,
+        [
+            F.count(F.lit(1)).alias("cnt_star"),
+            F.count(F.nullif(F.col("l_returnflag"), F.lit("N"))).alias("cnt_not_n"),
+            F.max(F.nullif(F.col("l_returnflag"), F.lit("R"))).alias("max_flag_not_r"),
+            r2(F.sum(F.when(F.col("l_returnflag") == "Z", F.col("l_quantity")))).alias("sum_never"),
+        ],
+    )
+
+
+@register(
+    "v0_type_cast",
+    """SELECT l_orderkey,
+              CAST(l_linenumber AS BIGINT) + l_orderkey AS key_plus_line,
+              FLOOR((l_quantity / 2.0) * 100 + 0.5) / 100 AS half_qty,
+              CAST(l_quantity AS INT) AS qty_int
+       FROM lineitem WHERE l_orderkey < 100""",
+)
+def v0_type_cast(spark, sf_dir):
+    """Explicit + implicit casts on the reference's numeric ladder
+    int32→int64→float64 (reference: src/types/mod.rs:127-137,
+    src/binder/expression/binary_op.rs:27-63)."""
+    li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        (F.col("l_linenumber").cast("bigint") + F.col("l_orderkey")).alias("key_plus_line"),
+        r2(F.col("l_quantity") / 2.0).alias("half_qty"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+# =====================================================================
+# Extension surface: what v0 lacks, free in Spark (SURVEY.md §2.2)
+# =====================================================================
+
+@register(
+    "ext_avg_count_distinct",
+    """SELECT FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+              count(DISTINCT l_returnflag) AS n_flags,
+              FLOOR((STDDEV_SAMP(l_quantity)) * 10000 + 0.5) / 10000 AS sd_qty
+       FROM lineitem""",
+)
+def ext_avg_count_distinct(spark, sf_dir):
+    """AVG / COUNT(DISTINCT) / STDDEV — all unimplemented!() in the reference
+    binder (src/binder/expression/agg_func.rs:74)."""
+    return simple_agg(
+        t(spark, sf_dir, "lineitem"),
+        [
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.countDistinct("l_returnflag").alias("n_flags"),
+            pround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        ],
+    )
+
+
+@register(
+    "ext_order_by_limit",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+)
+def ext_order_by_limit(spark, sf_dir):
+    """ORDER BY + LIMIT (absent in reference, src/binder/statement/mod.rs:13-19).
+    Planned as TakeOrderedAndProject: per-partition top-10 heaps, no global sort."""
+    return top_k(
+        project(t(spark, sf_dir, "lineitem"), "l_orderkey", "l_linenumber", "l_extendedprice"),
+        10,
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"),
+    )
+
+
+@register("ext_distinct", "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders")
+def ext_distinct(spark, sf_dir):
+    """DISTINCT (absent in reference)."""
+    return project(t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus").distinct()
+
+
+@register(
+    "ext_join_broadcast",
+    """SELECT r_name, count(c_custkey) AS n_customers, FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS sum_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def ext_join_broadcast(spark, sf_dir):
+    """Snowflake join through two dimension tables (reference has NO joins —
+    binder ignores them, src/binder/table/mod.rs:15-20). Both dims are
+    broadcast: the customer side never shuffles."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = broadcast_join(
+        broadcast_join(c, n, F.col("c_nationkey") == F.col("n_nationkey")),
+        r,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return hash_agg(
+        joined,
+        ["r_name"],
+        [F.count("c_custkey").alias("n_customers"), r2(F.sum("c_acctbal")).alias("sum_bal")],
+    )
+
+
+@register(
+    "ext_join_fact",
+    """SELECT c_mktsegment, count(o_orderkey) AS n_orders, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def ext_join_fact(spark, sf_dir):
+    """Fact-to-dimension join + group-by. Customer broadcasts (≤ a few GB at
+    even large SF); orders streams map-side."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    return hash_agg(
+        joined,
+        ["c_mktsegment"],
+        [F.count("o_orderkey").alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue")],
+    )
+
+
+@register(
+    "ext_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+              FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+              FLOOR((SUM(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+              FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+              FLOOR((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+              FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+              FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+              FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def ext_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the flagship aggregation. One scan, one
+    partial+final hash aggregate; filter pushed to parquet."""
+    li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return hash_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@register(
+    "ext_tpch_q3",
+    """SELECT o_orderkey, FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+                     JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+       GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def ext_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-style shipping priority: selective dim filter → broadcast →
+    fact join → agg → top-k. o_orderdate is returned CAST to string on both
+    sides via the driver-stable timestamp rendering."""
+    c = filter_(t(spark, sf_dir, "customer"), F.col("c_mktsegment") == "BUILDING")
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderdate") < "1998-03-15")
+    li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_shipdate") > "1996-03-15")
+    joined = broadcast_join(li, broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey")),
+                            F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = hash_agg(
+        joined,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        [r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")],
+    )
+    return top_k(
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        10, F.col("revenue").desc(), F.col("o_orderkey"),
+    )
+
+
+@register(
+    "ext_having",
+    """SELECT l_suppkey, count(*) AS n_items, FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+       FROM lineitem GROUP BY l_suppkey
+       HAVING count(*) > 120 AND SUM(l_quantity) > 3000""",
+)
+def ext_having(spark, sf_dir):
+    """HAVING (absent in reference) — post-aggregation filter."""
+    agg = hash_agg(
+        t(spark, sf_dir, "lineitem"),
+        ["l_suppkey"],
+        [F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("_raw_sum")],
+    )
+    return (
+        agg.filter((F.col("n_items") > 120) & (F.col("_raw_sum") > 3000))
+        .select("l_suppkey", "n_items", r2(F.col("_raw_sum")).alias("sum_qty"))
+    )
+
+
+@register(
+    "ext_subquery_in",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         AND o_totalprice > 300000""",
+)
+def ext_subquery_in(spark, sf_dir):
+    """IN-subquery (absent in reference) — planned as a left-semi join."""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_totalprice") > 300000)
+    rich = filter_(t(spark, sf_dir, "customer"), F.col("c_acctbal") > 9000).select("c_custkey")
+    return o.join(F.broadcast(rich), F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "ext_scalar_subquery",
+    """SELECT count(*) AS n_above FROM orders
+       WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""",
+)
+def ext_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: rows above the global average. Spark plans the inner
+    aggregate once and reuses it as a literal-like broadcast."""
+    o = t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@register(
+    "ext_union",
+    """SELECT c_custkey AS entity_key, 'high_balance' AS tag FROM customer WHERE c_acctbal > 9500
+       UNION ALL
+       SELECT o_custkey AS entity_key, 'big_order' AS tag FROM orders WHERE o_totalprice > 450000""",
+)
+def ext_union(spark, sf_dir):
+    """UNION ALL (reference: todo!() on any set op, src/binder/statement/mod.rs:23-26)."""
+    a = filter_(t(spark, sf_dir, "customer"), F.col("c_acctbal") > 9500).select(
+        F.col("c_custkey").alias("entity_key"), F.lit("high_balance").alias("tag")
+    )
+    b = filter_(t(spark, sf_dir, "orders"), F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("entity_key"), F.lit("big_order").alias("tag")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "ext_intersect",
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'""",
+)
+def ext_intersect(spark, sf_dir):
+    """INTERSECT: customers with both urgent and low-priority orders."""
+    o = t(spark, sf_dir, "orders")
+    a = filter_(o, F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    b = filter_(o, F.col("o_orderpriority") == "5-LOW").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "ext_except",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders""",
+)
+def ext_except(spark, sf_dir):
+    """EXCEPT: customers who never ordered (anti-join shape)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+@register(
+    "ext_window_rank",
+    """SELECT * FROM (
+         SELECT c_mktsegment, o_orderkey, o_totalprice,
+                CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+         FROM orders JOIN customer ON o_custkey = c_custkey) x
+       WHERE rn <= 3""",
+)
+def ext_window_rank(spark, sf_dir):
+    """Window function row_number: per-segment top-3 orders (absent in
+    reference). Per-group top-k via window — one shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    return per_group_top_k(
+        joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+@register(
+    "ext_window_running",
+    """SELECT o_custkey, o_orderkey,
+              FLOOR((SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+                  AS running_spend
+       FROM orders WHERE o_custkey < 100""",
+)
+def ext_window_running(spark, sf_dir):
+    """Running aggregate window (cumulative spend per customer)."""
+    from pyspark.sql import Window
+
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select("o_custkey", "o_orderkey", r2(F.sum("o_totalprice").over(w)).alias("running_spend"))
+
+
+@register(
+    "ext_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt, FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def ext_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (absent in reference)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), r2(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "ext_case_when",
+    """SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                   WHEN o_totalprice < 300000 THEN 'medium'
+                   ELSE 'large' END AS bucket,
+              count(*) AS n, FLOOR((AVG(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+       FROM orders GROUP BY 1""",
+)
+def ext_case_when(spark, sf_dir):
+    """CASE WHEN expression (no scalar-function registry in reference,
+    SURVEY.md §2.2)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"), r2(F.avg("o_totalprice")).alias("avg_price")
+    )
+
+
+@register(
+    "ext_string_funcs",
+    """SELECT c_custkey, UPPER(c_name) AS name_upper, SUBSTR(c_name, 1, 8) AS name_prefix,
+              CAST(LENGTH(c_name) AS INT) AS name_len,
+              CONCAT(c_mktsegment, ':', c_name) AS tagged
+       FROM customer WHERE c_custkey <= 50""",
+)
+def ext_string_funcs(spark, sf_dir):
+    """String scalar functions (reference has none)."""
+    c = filter_(t(spark, sf_dir, "customer"), F.col("c_custkey") <= 50)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tagged"),
+    )
+
+
+@register(
+    "ext_date_funcs",
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+              CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+              count(*) AS n_orders, FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+       FROM orders GROUP BY 1, 2""",
+)
+def ext_date_funcs(spark, sf_dir):
+    """Date/time extraction + aggregation (no temporal types in reference,
+    src/types/mod.rs:57)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"), F.month("o_orderdate").alias("order_month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"), r2(F.sum("o_totalprice")).alias("revenue"))
+
+
+@register(
+    "ext_json_extract",
+    """SELECT event_type, count(*) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type""",
+)
+def ext_json_extract(spark, sf_dir):
+    """JSON field extraction from a string column (semi-structured data —
+    far beyond the reference's scalar-only types)."""
+    e = events_table(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("sum_k"),
+    )
+
+
+@register(
+    "ext_events_window",
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+              count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def ext_events_window(spark, sf_dir):
+    """Tumbling event-time window aggregation — the batch twin of the
+    streaming operator (same function handles readStream input; see
+    streaming.windowed_counts)."""
+    e = events_table(spark, sf_dir)
+    out = windowed_counts(e, "1 hour")
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# =====================================================================
+# Training-data pipeline operators (north-star extensions)
+# =====================================================================
+
+@register(
+    "pipe_dedup_exact",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              count(DISTINCT text) AS n_distinct_texts,
+              count(DISTINCT md5(text)) AS n_distinct_hashes
+       FROM documents""",
+)
+def pipe_dedup_exact(spark, sf_dir):
+    """Exact dedup accounting: rows vs distinct text vs distinct hash (the
+    100 TB version groups by md5 and keeps min(id) — see pipe_dedup_groups)."""
+    d = t(spark, sf_dir, "documents")
+    return simple_agg(
+        d,
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_hashes"),
+        ],
+    )
+
+
+@register(
+    "pipe_dedup_groups",
+    """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+       FROM documents GROUP BY text""",
+)
+def pipe_dedup_groups(spark, sf_dir):
+    """Exact-dup groups: canonical (min) id + copy count per distinct text.
+    Shuffle carries (hash(text), id) — never the documents."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"list_filter(regexp_split_to_array({_NORM_SQL}, '\\s+'), x -> x != '')"
+_GRAMS_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(range(1, len(toks)-1), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) ELSE [] END"
+)
+
+
+@register(
+    "pipe_fingerprint_dedup",
+    f"""SELECT fingerprint, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents) f
+        GROUP BY fingerprint""",
+)
+def pipe_fingerprint_dedup(spark, sf_dir):
+    """Fingerprint dedup: md5 of whitespace/case-normalized text. md5 keeps
+    the fingerprint portable across engines (oracle computes the same hex)."""
+    return D.fingerprint_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipe_ngram_jaccard",
+    f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               FLOOR((len(list_intersect(a.grams, b.grams)) /
+                     GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1)) * 10000 + 0.5) / 10000
+                   AS jaccard_sim
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) /
+              GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) >= 0.8""",
+)
+def pipe_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8). All-pairs
+    at validation scale; the LSH variant below is the 100 TB path."""
+    d = t(spark, sf_dir, "documents").select("doc_id", T.normalized_text(F.col("text")).alias("text"))
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8) -> str:
+    rows = num_hashes // bands
+    comps = ",\n               ".join(
+        f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS h{i}" for i in range(num_hashes)
+    )
+    band_keys = ",\n               ".join(
+        "concat_ws('|', '%d', %s) AS b%d" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    jac = (
+        "len(list_intersect(a.grams, b.grams)) / "
+        "GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1)"
+    )
+    return f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
+        sig AS (SELECT doc_id, grams,
+               {comps}
+        FROM g),
+        banded AS (SELECT doc_id, grams,
+               {band_keys}
+        FROM sig)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, FLOOR(({jac}) * 10000 + 0.5) / 10000 AS jaccard_sim
+        FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+        WHERE {jac} >= {threshold}"""
+
+
+@register("pipe_minhash_lsh", _minhash_oracle())
+def pipe_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs: 8 md5 min-hashes over 3-gram shingles,
+    2 bands × 4 rows, exact-Jaccard verify ≥ 0.8. Near-linear at scale
+    (band-key group-join instead of all-pairs); md5 keeps it oracle-portable."""
+    return D.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+    )
+
+
+@register("pipe_simhash", None)  # xxhash64-based: not expressible in DuckDB
+def pipe_simhash(spark, sf_dir):
+    """SimHash-banded near-dup candidates (Hamming blocking). Validated in
+    pytest against a Python reference implementation of the same construction."""
+    return D.simhash_candidates(t(spark, sf_dir, "documents"), band_bits=16)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Double-precision cosine between two FLOAT[] columns in DuckDB SQL —
+    matches Spark's float64 zip_with/aggregate to ~1e-16."""
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1), i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+    )
+
+
+@register(
+    "pipe_embedding_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id, FLOOR(({_cosine_sql('q.qv', 'e.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id)
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+          FROM scored) r
+        WHERE rank <= 5""",
+)
+def pipe_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 5).
+    Queries broadcast; corpus streams map-side; per-query heap via window."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "pipe_embedding_near_dup",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 >= 0.45""",
+)
+def pipe_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45 for this corpus)."""
+    return D.embedding_cosine_dups(t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register("pipe_ann_lsh", None)  # murmur3-based plane hashing: Spark-specific
+def pipe_ann_lsh(spark, sf_dir):
+    """Sign-LSH approximate top-k — the 2^planes-fold-cheaper scale path.
+    Recall vs brute force is asserted in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
+
+
+def _lang_case_sql() -> str:
+    """Generate the argmax-with-tie-by-first CASE chain from the SAME marker
+    lists the Spark implementation uses (text.LANG_MARKERS)."""
+    hits = {
+        code: (
+            "len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),"
+            f" x -> x IN ({', '.join(repr(m) for m in T.LANG_MARKERS[code])})))"
+        )
+        for code in sorted(T.LANG_MARKERS)
+    }
+    # Reproduce the fold: best = 'und', hits = 0; for code in sorted: strictly-greater wins.
+    expr_lang, expr_hits = "'und'", "0"
+    for code in sorted(T.LANG_MARKERS):
+        h = hits[code]
+        expr_lang = f"CASE WHEN {h} > {expr_hits} THEN '{code}' ELSE {expr_lang} END"
+        expr_hits = f"GREATEST({h}, {expr_hits})"
+    return expr_lang
+
+
+@register(
+    "pipe_lang_id",
+    f"""SELECT lang_detected, count(*) AS n_docs FROM (
+          SELECT {_lang_case_sql()} AS lang_detected FROM documents) x
+        GROUP BY lang_detected""",
+)
+def pipe_lang_id(spark, sf_dir):
+    """Heuristic language ID (marker-word argmax) + distribution. The oracle
+    SQL is generated from the same marker lists — one source of truth."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(T.lang_id(F.col("text")).alias("lang_detected")).groupBy("lang_detected").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_STOP_SQL = ", ".join(repr(s) for s in T.STOPWORDS_EN)
+
+
+@register(
+    "pipe_quality_score",
+    f"""SELECT doc_id, FLOOR((0.25 * (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END)
+        + 0.25 * (CASE WHEN length(text) / GREATEST(n_toks, 1) >= 3
+                        AND length(text) / GREATEST(n_toks, 1) <= 12 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * LEAST(stop_hits / GREATEST(n_toks, 1) * 5, 1.0)
+        + 0.2 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / GREATEST(length(text), 1))) * 10000 + 0.5) / 10000 AS quality
+        FROM (SELECT doc_id, text,
+                     len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks,
+                     len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                         x -> x IN ({_STOP_SQL}))) AS stop_hits
+              FROM documents) s""",
+)
+def pipe_quality_score(spark, sf_dir):
+    """Per-document quality heuristic (length/token-shape/stopword/punct mix)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "pipe_token_count",
+    f"""SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS INT) AS n_tokens,
+               CAST(len(list_filter(regexp_split_to_array(
+                    regexp_replace(text, '([A-Za-z]+|[0-9]+)', ' \\1 ', 'g'), '\\s+'), x -> x != '')) AS INT)
+                   AS n_subword_tokens
+        FROM documents""",
+)
+def pipe_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword proxy (boundary
+    insertion — portable to RE2 engines, no lookarounds)."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(txt).alias("n_tokens"),
+        T.bpe_ish_token_count(txt).alias("n_subword_tokens"),
+    )
+
+
+@register(
+    "pipe_text_stats",
+    f"""SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS INT) AS n_tokens,
+               md5({_NORM_SQL}) AS fingerprint
+        FROM documents""",
+)
+def pipe_text_stats(spark, sf_dir):
+    """Combined per-doc text profile (subset of text_stats with portable cols)."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        T.token_count(txt).alias("n_tokens"),
+        T.fingerprint(txt).alias("fingerprint"),
+    )
+
+
+@register("pipe_multimodal_features", None)  # mapInPandas: not SQL-expressible
+def pipe_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as stand-in binary payloads
+    → Arrow-batched mapInPandas decode (stub kernel) → typed features.
+    Shapes/partitioning are real; the codec is a deterministic fake (no image
+    libs in this container)."""
+    d = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("item_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return image_features(d).select("item_id", "width", "height", "n_bytes")
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}

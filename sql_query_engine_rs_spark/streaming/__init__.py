@@ -1,0 +1,101 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming semantics — its futures-based pull pipeline is
+an execution mechanism only (SURVEY.md §2.2). Extension surface: event-time
+windowed aggregation with watermarks, streaming dedup, and a custom stateful
+operator, all over an events-shaped stream (event_id, ts, user_id,
+event_type, value, props).
+
+Every transformation takes and returns DataFrames, so the SAME function works
+on a batch frame (tests, backfill) and a ``readStream`` frame (production) —
+the Spark unified-batch-streaming contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.functions.expressions import portable_round
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per key with late-data handling.
+
+    On a stream, the watermark bounds state: windows older than max(event
+    time) - watermark are finalized and dropped from the state store — the
+    property that keeps an always-on 100 TB/day pipeline's state finite.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            portable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, id_col: str = "event_id", ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-style id dedup. On a stream, ``dropDuplicatesWithinWatermark``
+    bounds the dedup state by event time; on a batch frame it degrades to
+    plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([id_col])
+    return events.dropDuplicates([id_col])
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session-window aggregation (gap-based), the canonical stateful op.
+
+    Uses Spark's native ``session_window`` — state is merged/expired by the
+    engine, no custom state store code needed.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), portable_round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, sink_table: str) -> None:
+    """Drain a stream into an in-memory sink with availableNow (test helper)."""
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete" if _has_aggregation(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
