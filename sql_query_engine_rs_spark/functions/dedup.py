@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from sql_query_engine_rs_spark.functions.expressions import portable_round
 
 from sql_query_engine_rs_spark.functions.text import fingerprint, normalized_text, tokens
+from sql_query_engine_rs_spark.functions.partitioning import ensure_parallelism as _ensure_parallelism
 from sql_query_engine_rs_spark.functions.similarity import cosine
 
 
@@ -95,7 +96,7 @@ def ngram_jaccard_pairs(
     cross join; without it this is exact all-pairs (fine for validation runs).
     Output: (id_a, id_b, jaccard_sim), id_a < id_b.
     """
-    shingled = df.select(
+    shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         token_ngrams(F.col(text_col), n).alias("_grams"),
@@ -156,34 +157,49 @@ def minhash_lsh_candidates(
     3. verify: exact shingle-set Jaccard on candidate pairs only (optional).
 
     Output: (id_a, id_b, jaccard_sim), id_a < id_b, deduplicated across bands.
+
+    Plan shape (matters at 100 TB): the expensive signature expression is
+    materialized ONCE into a persisted (id, band_key) frame — two short rows
+    per doc — instead of being recomputed on both sides of the self-join.
+    Candidate ids then join back to a map-only (id, grams) frame for the
+    exact-Jaccard verify, so full shingle arrays are only shuffled for the
+    (tiny) candidate set plus one hash-partitioning of the grams frame.
     """
     rows_per_band = num_hashes // bands
-    shingles = token_ngrams(normalized_text(F.col(text_col)), ngram)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        shingles.alias("_toks"),
-        minhash_signature(F.col(text_col), num_hashes, ngram).alias("_sig"),
+    base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    grams_df = base.select(
+        "_id", token_ngrams(normalized_text(F.col("_text")), ngram).alias("_grams")
+    )
+    sig = grams_df.select(
+        "_id",
+        F.array(*[_minhash_component(F.col("_grams"), i) for i in range(num_hashes)]).alias("_sig"),
     )
     banded = sig.select(
         "_id",
-        "_toks",
         F.explode(
             F.array(*[
                 F.concat_ws("|", F.lit(str(b)), *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)])
                 for b in range(bands)
             ])
         ).alias("_band_key"),
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    cand = (
         a.join(b, on="_band_key")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            portable_round(jaccard(F.col("a._toks"), F.col("b._toks")), 4).alias("jaccard_sim"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams_df.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = grams_df.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    pairs = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            portable_round(jaccard(F.col("_ga"), F.col("_gb")), 4).alias("jaccard_sim"),
+        )
     )
     if verify_threshold is not None:
         pairs = pairs.filter(F.col("jaccard_sim") >= verify_threshold)
@@ -224,11 +240,21 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
+    max_hamming: int | None = 3,
 ) -> DataFrame:
-    """Near-dup candidates = docs sharing any of the 64/band_bits SimHash
-    bands (Hamming-distance blocking). Output: (id_a, id_b, hamming)."""
+    """SimHash near-dup pairs: banding on 64/band_bits signature slices
+    generates candidates; ``max_hamming`` filters them to true near-dups.
+
+    With 4 bands of 16 bits, any pair within Hamming distance 3 differs in at
+    most 3 bands, so by pigeonhole it shares at least one band — banding has
+    EXACT recall for the default cut. The Hamming cut itself matters on
+    low-entropy corpora (small shared vocabulary): banding alone admits many
+    weak candidates because common tokens dominate every signature.
+    Output: (id_a, id_b, hamming)."""
     n_bands = 64 // band_bits
-    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    sig = _ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
+    ).persist()
     mask = (1 << band_bits) - 1
     banded = sig.select(
         "_id",
@@ -242,12 +268,15 @@ def simhash_candidates(
     )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
-    return (
+    pairs = (
         a.join(b, on="_band_key")
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), hamming.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 # ---------------------------------------------------------------- embedding near-dup
@@ -264,7 +293,7 @@ def embedding_cosine_dups(
     ``similarity.random_hyperplane_buckets`` first so the join is per-bucket.
     Output: (id_a, id_b, cos_sim).
     """
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    v = _ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     a, b = v.alias("a"), v.alias("b")
     return (
         a.crossJoin(b)

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sql_query_engine_rs_spark.functions.expressions import portable_round
+from sql_query_engine_rs_spark.functions.partitioning import ensure_parallelism as _ensure_parallelism
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -58,7 +59,7 @@ def brute_force_topk(
     excluded, rank by (cos_sim desc, id) for determinism.
     """
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    c = _ensure_parallelism(corpus).select(F.col(id_col), F.col(vec_col).alias("_cv"))
     scored = c.join(F.broadcast(q), on=F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
         id_col,
