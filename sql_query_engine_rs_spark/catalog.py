@@ -49,7 +49,13 @@ class Catalog:
 
     # -- DDL-ish surface (reference: Storage trait, src/storage/mod.rs:13-32)
 
-    def create_csv_table(self, name: str, path: str, schema: str | StructType | None = None) -> DataFrame:
+    def create_csv_table(
+        self,
+        name: str,
+        path: str,
+        schema: str | StructType | None = None,
+        empty_strings: bool = False,
+    ) -> DataFrame:
         """``\\load csv <name> <path>`` (reference: src/db.rs:27-40).
 
         Schema is inferred when not supplied, matching the reference's
@@ -57,13 +63,30 @@ class Catalog:
         delimiter ','). Pass an explicit schema to avoid inference drift
         (FIXTURES.md §5) — on a cluster this also avoids a full extra pass
         over the file for inference.
+
+        ``empty_strings=True`` maps empty string cells to ``""`` instead of
+        NULL (Spark's CSV reader nulls all empty unquoted fields; the
+        reference's Arrow reader yields ``""`` for strings and NULL only for
+        numerics — FIXTURES.md §5). Numeric empties stay NULL either way.
         """
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType
+
         reader = self.spark.read.option("header", True).option("delimiter", ",")
         if schema is None:
             reader = reader.option("inferSchema", True)
         else:
             reader = reader.schema(schema)
         df = reader.csv(path)
+        if empty_strings:
+            df = df.select(
+                *[
+                    F.coalesce(F.col(f.name), F.lit("")).alias(f.name)
+                    if isinstance(f.dataType, StringType)
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
         return self.register(name, df)
 
     def create_parquet_table(self, name: str, path: str) -> DataFrame:

@@ -28,6 +28,51 @@ def broadcast_join(big: DataFrame, small: DataFrame, on, how: str = "inner") -> 
     return big.join(F.broadcast(small), on=on, how=how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` (backward) / least >= (forward), per key.
+
+    Spark has no native as-of join; this composes one from an inequality
+    join + per-left-row argmax. Rows with no match are dropped (inner-asof).
+    At scale, bound the inequality join with a coarse time-bucket equality
+    term (join on key AND bucket) so the match search is band-local instead
+    of per-key-quadratic.
+
+    Output: all left columns + ``_asof_ts`` (the matched right timestamp).
+    Further right columns can be recovered by joining back on
+    (key, _asof_ts).
+    """
+    l, r = left.alias("l"), right.alias("r")
+    if direction == "backward":
+        cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        pick = F.max(F.col(f"r.{right_ts}"))
+    else:
+        cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        pick = F.min(F.col(f"r.{right_ts}"))
+    return (
+        l.join(r, cond)
+        .groupBy(*[F.col(f"l.{c}") for c in left.columns])
+        .agg(pick.alias("_asof_ts"))
+    )
+
+
+def range_join(facts: DataFrame, bands: DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """Band/range join: match each fact row to the band whose
+    [lo, hi) interval contains ``value_col``. The bands table is small by
+    construction — broadcast, so the fact side never shuffles."""
+    return facts.join(
+        F.broadcast(bands),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+    )
+
+
 def colocated_join(left: DataFrame, right: DataFrame, key: str | Column, num_partitions: int | None = None, how: str = "inner") -> DataFrame:
     """Repartition both sides identically so the join is shuffle-local.
 

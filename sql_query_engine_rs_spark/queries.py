@@ -965,3 +965,259 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_oracles() -> dict[str, str]:
     return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+# =====================================================================
+# Extension surface, batch 2: outer/semi/anti joins, cube/pivot,
+# percentiles, array aggs, as-of/range joins, sessionization, sampling
+# =====================================================================
+
+@register(
+    "ext_left_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+              FLOOR((COALESCE(SUM(o_totalprice), 0)) * 100 + 0.5) / 100 AS spend
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey""",
+)
+def ext_left_join(spark, sf_dir):
+    """LEFT OUTER join keeping order-less customers (count = 0)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            r2(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("spend"),
+        )
+    )
+
+
+@register(
+    "ext_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""",
+)
+def ext_anti_join(spark, sf_dir):
+    """LEFT ANTI join (NOT EXISTS shape): customers with no urgent orders.
+    (Every customer has SOME order in this data, so the filter keeps the
+    result set non-trivial.)"""
+    c = t(spark, sf_dir, "customer")
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "ext_semi_exists",
+    """SELECT c_custkey, c_acctbal FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""",
+)
+def ext_semi_exists(spark, sf_dir):
+    """LEFT SEMI join (correlated EXISTS): customers with an urgent order."""
+    c = t(spark, sf_dir, "customer")
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_semi").select("c_custkey", "c_acctbal")
+
+
+@register(
+    "ext_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def ext_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 combinations of the two keys)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"), r2(F.sum("o_totalprice")).alias("revenue"))
+    )
+
+
+@register(
+    "ext_pivot",
+    """SELECT c_mktsegment,
+              CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS status_f,
+              CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS status_o,
+              CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS status_p
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment""",
+)
+def ext_pivot(spark, sf_dir):
+    """PIVOT: order-status counts per market segment as columns. Spark's
+    pivot emits NULL for empty cells; coalesce to 0 to match COUNT(CASE)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    piv = (
+        broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "ext_percentiles",
+    """SELECT o_orderpriority,
+              FLOOR((quantile_cont(o_totalprice, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+              FLOOR((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90,
+              FLOOR((MIN(o_totalprice)) * 10000 + 0.5) / 10000 AS p_min
+       FROM orders GROUP BY o_orderpriority""",
+)
+def ext_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: linear interpolation)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        pround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        pround(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        pround(F.min("o_totalprice"), 4).alias("p_min"),
+    )
+
+
+@register(
+    "ext_array_agg",
+    """SELECT n_name,
+              array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
+              CAST(count(*) AS BIGINT) AS n
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_custkey < 200 GROUP BY n_name""",
+)
+def ext_array_agg(spark, sf_dir):
+    """Array aggregation: sorted per-group key list, serialized to a string
+    so the cross-engine hash compares scalars, not array encodings."""
+    c = filter_(t(spark, sf_dir, "customer"), F.col("c_custkey") < 200)
+    n = t(spark, sf_dir, "nation")
+    return (
+        broadcast_join(c, n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_custkey"))).alias("custkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "ext_asof_join",
+    """SELECT e.event_id, CAST(o.o_orderdate AS VARCHAR) AS asof_orderdate
+       FROM events e ASOF JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def ext_asof_join(spark, sf_dir):
+    """As-of join (no Spark builtin): latest order at or before each event's
+    timestamp for that user. Composed as inequality join + per-row argmax;
+    DuckDB validates via its native ASOF JOIN."""
+    from sql_query_engine_rs_spark.operators.join import asof_join
+
+    e = events_table(spark, sf_dir).select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+    out = asof_join(e, o, key="user_id", left_ts="ts", right_ts="o_orderdate")
+    return out.select("event_id", F.col("_asof_ts").cast("string").alias("asof_orderdate"))
+
+
+@register(
+    "ext_range_join",
+    """WITH bands(band, lo, hi) AS (VALUES
+         ('small', 0.0, 100000.0), ('medium', 100000.0, 300000.0), ('large', 300000.0, 1000000.0))
+       SELECT band, count(*) AS n, FLOOR((AVG(o_totalprice)) * 100 + 0.5) / 100 AS avg_price
+       FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY band""",
+)
+def ext_range_join(spark, sf_dir):
+    """Range/band join against a small in-memory bands table (broadcast —
+    the fact side never shuffles)."""
+    from sql_query_engine_rs_spark.operators.join import range_join
+
+    o = t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 300000.0), ("large", 300000.0, 1000000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join(o, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.avg("o_totalprice")).alias("avg_price"))
+    )
+
+
+@register(
+    "ext_sessionize",
+    """WITH seq AS (
+         SELECT user_id, event_id,
+                CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+                LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+         FROM events)
+       SELECT user_id,
+              CAST(SUM(CASE WHEN prev_es IS NULL OR es - prev_es > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
+       FROM seq GROUP BY user_id""",
+)
+def ext_sessionize(spark, sf_dir):
+    """Sessionization with a 30-minute inactivity gap (lag + cumulative
+    session-start flags) — the batch twin of streaming session windows."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).select("user_id", "event_id", F.col("ts").cast("long").alias("es"), "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("prev_es", F.lag("es").over(w))
+    new_sess = F.when(F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > 1800), 1).otherwise(0)
+    return (
+        seq.withColumn("is_new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").cast("bigint").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "pipe_hash_sample",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+)
+def pipe_hash_sample(spark, sf_dir):
+    """Deterministic ~12.5% sampling by md5(id) prefix — reproducible across
+    engines and runs (unlike rand()-based sampling), the right primitive for
+    carving stable train/eval splits out of 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "n_chars")
+
+
+_QUALITY_EXPR_SQL = """FLOOR((
+          0.25 * (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END)
+        + 0.25 * (CASE WHEN length(text) / GREATEST(n_toks, 1) >= 3
+                        AND length(text) / GREATEST(n_toks, 1) <= 12 THEN 1.0 ELSE 0.0 END)
+        + 0.3 * LEAST(stop_hits / GREATEST(n_toks, 1) * 5, 1.0)
+        + 0.2 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / GREATEST(length(text), 1))
+        ) * 10000 + 0.5) / 10000"""
+
+
+@register(
+    "pipe_quality_filter",
+    f"""SELECT doc_id, quality FROM (
+          SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality, {_lang_case_sql()} AS lang_detected
+          FROM (SELECT doc_id, text,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks,
+                       len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                           x -> x IN ({_STOP_SQL}))) AS stop_hits
+                FROM documents) s) q
+        WHERE quality >= 0.7 AND lang_detected = 'en'""",
+)
+def pipe_quality_filter(spark, sf_dir):
+    """Quality-gated corpus selection: detected-English docs with
+    quality >= 0.7 — the composed filter a data pipeline actually runs."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_detected"),
+    ).filter((F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")).select("doc_id", "quality")

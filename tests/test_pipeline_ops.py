@@ -1,0 +1,148 @@
+"""Unit tests for the pipeline operators that have no SQL oracle:
+SimHash (vs a Python reference implementation), sign-LSH ANN (recall vs
+brute force), multimodal mapInPandas plumbing, and the as-of join operator
+against a hand-computed answer."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.functions import dedup as D
+from sql_query_engine_rs_spark.functions import similarity as S
+from sql_query_engine_rs_spark.functions.multimodal import frame_sample, image_features
+from sql_query_engine_rs_spark.operators.join import asof_join
+
+
+# ---------------------------------------------------------------- simhash
+
+def xxhash64_via_spark(spark, tokens: list[str]) -> dict[str, int]:
+    rows = spark.createDataFrame([(t,) for t in tokens], "tok string").select(
+        "tok", F.xxhash64("tok").alias("h")
+    ).collect()
+    return {r.tok: r.h for r in rows}
+
+
+def python_simhash(token_hashes: list[int]) -> int:
+    """Reference construction: ±1 vote per bit, signed 64-bit result."""
+    sig = 0
+    for i in range(64):
+        vote = sum(1 if (h >> i) & 1 else -1 for h in token_hashes)
+        if vote > 0:
+            sig += (1 << i) if i < 63 else -(1 << 63)
+    return sig
+
+
+def test_simhash_matches_python_reference(spark):
+    texts = ["the quick brown fox", "pack my box with five dozen jugs", "spark hash agg join"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()
+    }
+    for i, text in enumerate(texts):
+        toks = sorted(set(text.split()))
+        hashes = xxhash64_via_spark(spark, toks)
+        assert got[i] == python_simhash(list(hashes.values())), f"doc {i}"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha  beta gamma delta"), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_candidates(df, band_bits=16, max_hamming=None).collect()}
+    assert pairs.get((1, 2)) == 0  # whitespace-normalized duplicates
+
+
+# ---------------------------------------------------------------- LSH ANN
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.lsh_topk(emb, queries, k=5, num_planes=1).collect()
+    }
+    # 1 plane halves the candidate set; measured recall on this corpus is
+    # ~0.64. Require > 40% overlap to catch construction regressions without
+    # flaking on data. More planes trade recall for cost (documented).
+    assert len(approx & bf) / len(bf) > 0.4
+    # every approx neighbor must share the query's bucket -> correctness of
+    # the bucket restriction is implied by the smaller candidate count
+    assert len(approx) <= len(bf)
+
+
+def test_bucket_ids_in_range(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = S.random_hyperplane_buckets(emb, num_planes=4).select("bucket").distinct().collect()
+    assert all(0 <= r.bucket < 16 for r in buckets)
+
+
+# ---------------------------------------------------------------- multimodal
+
+def test_image_features_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-jpeg-bytes-0001")), (2, bytearray(b"fake-jpeg-bytes-0002"))],
+        "item_id long, payload binary",
+    )
+    rows = {r.item_id: r for r in image_features(df).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert r.n_bytes == 20
+        assert len(r.feature) == 8
+        assert 64 <= r.width < 64 + 1024
+    # determinism: same bytes -> same features
+    again = {r.item_id: r for r in image_features(df).collect()}
+    assert again[1].feature == rows[1].feature
+
+
+def test_frame_sample_fanout(spark):
+    df = spark.createDataFrame([(7, bytearray(bytes(range(256)) * 20))], "item_id long, payload binary")
+    frames = frame_sample(df, every_ms=1000).collect()
+    assert len(frames) > 1  # 1 video -> N frames
+    assert [f.frame_idx for f in frames] == list(range(len(frames)))
+    assert all(f.item_id == 7 for f in frames)
+
+
+# ---------------------------------------------------------------- as-of join
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 99, 50)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(10, 90), (10, 100), (10, 200), (10, 300), (99, 60)], "k long, rts long"
+    )
+    out = {r.event_id: r._asof_ts for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert out == {1: 100, 2: 200}  # event 3 has no match (60 > 50) and drops
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, 100)], "event_id long, k long, ts long")
+    right = spark.createDataFrame([(10, 90), (10, 150), (10, 120)], "k long, rts long")
+    out = asof_join(left, right, "k", "ts", "rts", direction="forward").collect()
+    assert out[0]._asof_ts == 120
+
+
+# ---------------------------------------------------------------- dedup edges
+
+def test_token_ngrams_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    rows = df.select(D.token_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert rows[0].g == []  # shorter than n -> empty, not an error
+
+
+def test_exact_dedup_groups_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_copies for r in D.exact_dedup_groups(df, "doc_id", ["text"]).collect()}
+    assert rows == {1: 2, 3: 1}  # min-id canonical representative

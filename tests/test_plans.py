@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correct results are necessary, not sufficient: at 100 TB the plan must push
+filters into the parquet scan, prune columns, broadcast dimensions, and use
+TakeOrderedAndProject instead of global sorts. These tests pin those
+properties so a refactor that silently regresses the plan fails CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.plans import explain_str, pushed_filters, uses_broadcast
+from sql_query_engine_rs_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["v0_filter_comparison"].build(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_quantity" in pf, f"filter not pushed: {pf!r}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = QUERIES["v0_projection"].build(spark, sf_dir)
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, "scan reads unprojected columns"
+
+
+def test_partition_filter_pushdown_q1(spark, sf_dir):
+    df = QUERIES["ext_tpch_q1"].build(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, f"date filter not pushed: {pf!r}"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ["ext_join_broadcast", "ext_join_fact", "ext_tpch_q3"]:
+        df = QUERIES[name].build(spark, sf_dir)
+        assert uses_broadcast(df), f"{name}: no BroadcastHashJoin in plan"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["ext_order_by_limit"].build(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_str(df, "simple"), "top-k planned as global sort"
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    semi = QUERIES["ext_semi_exists"].build(spark, sf_dir)
+    anti = QUERIES["ext_anti_join"].build(spark, sf_dir)
+    assert "LeftSemi" in explain_str(semi, "simple")
+    assert "LeftAnti" in explain_str(anti, "simple")
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """Map-side combine: HashAggregate appears twice (partial + final)
+    around the exchange — the property that shrinks the shuffle."""
+    df = QUERIES["v0_hash_agg"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # "codegen" mode reports generated subtrees even under AQE (the
+    # formatted plan hides them until the adaptive plan is final).
+    df = QUERIES["ext_tpch_q1"].build(spark, sf_dir)
+    assert "WholeStageCodegen" in explain_str(df, "codegen")
+
+
+def test_range_join_broadcasts_bands(spark, sf_dir):
+    df = QUERIES["ext_range_join"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple

@@ -1,0 +1,95 @@
+"""Structured Streaming: the same transformations run as a REAL stream
+(file source -> memory sink, availableNow trigger) and match their batch
+twin — the unified batch/streaming contract the module promises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.streaming import (
+    session_windows,
+    streaming_dedup,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """A small events table written as parquet for the file stream source
+    (micros timestamps so the streaming reader needs no nanos handling)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:20:00", 1, "click", 2.0),
+            (3, "2024-01-01 11:05:00", 1, "view", 3.0),   # > 30 min gap -> new session
+            (4, "2024-01-01 10:10:00", 2, "click", 4.0),
+            (4, "2024-01-01 10:10:00", 2, "click", 4.0),  # duplicate event_id
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def read_stream(spark, path):
+    static = spark.read.parquet(path)
+    return spark.readStream.schema(static.schema).parquet(path)
+
+
+def drain(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    stream = windowed_counts(read_stream(spark, events_dir), "1 hour", watermark="2 hours")
+    assert stream.isStreaming
+    # complete mode: append would hold windows above the watermark back
+    # until a later micro-batch, and availableNow has none.
+    drain(stream, "win_sink", "complete")
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_sink").collect()
+    }
+    batch = windowed_counts(spark.read.parquet(events_dir), "1 hour")
+    want = {
+        (str(r.window_start), r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+    # duplicate event_id 4 is NOT deduped here (that's streaming_dedup's job):
+    # 10:00 click window = events 1, 2, 4, 4 -> count 4, sum 1+2+4+4 = 11
+    assert got[("2024-01-01 10:00:00", "click")] == (4, 11.0)
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = streaming_dedup(read_stream(spark, events_dir), watermark="1 hour")
+    drain(stream, "dedup_sink", "append")
+    ids = [r.event_id for r in spark.table("dedup_sink").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]  # duplicate event_id 4 dropped
+
+
+def test_session_windows_batch_twin(spark, events_dir):
+    """session_window works on the batch frame: user 1 has 2 sessions
+    (65-min gap), user 2 has 1."""
+    out = session_windows(spark.read.parquet(events_dir), gap="30 minutes")
+    per_user = {}
+    for r in out.collect():
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + 1
+    assert per_user == {1: 2, 2: 1}
+
+
+def test_session_windows_stream_runs(spark, events_dir):
+    stream = session_windows(read_stream(spark, events_dir), gap="30 minutes", watermark="2 hours")
+    assert stream.isStreaming
+    drain(stream, "sess_sink", "complete")
+    rows = spark.table("sess_sink").collect()
+    assert len(rows) == 3  # 2 sessions for user 1 + 1 for user 2
