@@ -31,14 +31,19 @@ BENCH_QUERIES = [
     "ext_tpch_q1",
     "ext_tpch_q3",
     "ext_join_broadcast",
+    "ext_left_join",
     "ext_order_by_limit",
     "ext_window_rank",
     "ext_events_window",
+    "ext_sessionize",
+    "ext_asof_join",
+    "ext_explode_tokens",
     "pipe_dedup_exact",
     "pipe_fingerprint_dedup",
     "pipe_minhash_lsh",
     "pipe_embedding_topk",
     "pipe_token_count",
+    "pipe_quality_filter",
 ]
 
 

@@ -1221,3 +1221,125 @@ def pipe_quality_filter(spark, sf_dir):
         T.quality_score(F.col("text")).alias("quality"),
         T.lang_id(F.col("text")).alias("lang_detected"),
     ).filter((F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")).select("doc_id", "quality")
+
+
+# =====================================================================
+# Extension surface, batch 3: lateral/explode, regex, null-handling,
+# fuzzy matching, streaming-executed entry, UDF alternate paths
+# =====================================================================
+
+@register(
+    "ext_explode_tokens",
+    """SELECT token, count(*) AS freq FROM (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS token
+         FROM documents) tk
+       GROUP BY token ORDER BY freq DESC, token LIMIT 20""",
+)
+def ext_explode_tokens(spark, sf_dir):
+    """Lateral explode -> token frequency top-20 (the word-count of the
+    engine). Explode is map-side; the count is one partial+final aggregate;
+    the top-20 is TakeOrdered, not a global sort."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "ext_regexp_extract",
+    """SELECT event_type,
+              CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+              count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def ext_regexp_extract(spark, sf_dir):
+    """Regex field extraction (same value as ext_json_extract but via
+    regexp_extract — patterns kept RE2-compatible for the oracle)."""
+    e = events_table(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.sum(F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")).cast("bigint").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ext_null_funcs",
+    """SELECT o_orderkey,
+              COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+              GREATEST(o_totalprice, 100000.0) AS floored_price,
+              LEAST(CAST(o_custkey AS BIGINT), o_orderkey) AS min_key
+       FROM orders WHERE o_orderkey < 200""",
+)
+def ext_null_funcs(spark, sf_dir):
+    """NULL-handling scalar functions: coalesce/nullif/greatest/least."""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_or_open"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored_price"),
+        F.least(F.col("o_custkey").cast("bigint"), F.col("o_orderkey")).alias("min_key"),
+    )
+
+
+@register(
+    "ext_levenshtein",
+    """SELECT c_custkey, c_name, levenshtein(c_name, 'Customer#000000042') AS edit_dist
+       FROM customer WHERE levenshtein(c_name, 'Customer#000000042') <= 2""",
+)
+def ext_levenshtein(spark, sf_dir):
+    """Edit-distance fuzzy matching (entity-resolution primitive)."""
+    c = t(spark, sf_dir, "customer")
+    d = F.levenshtein(F.col("c_name"), F.lit("Customer#000000042"))
+    return c.select("c_custkey", "c_name", d.alias("edit_dist")).filter(F.col("edit_dist") <= 2)
+
+
+@register(
+    "stream_windowed_counts",
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+              count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def stream_windowed_counts(spark, sf_dir):
+    """The windowed aggregation executed as a REAL stream: readStream over
+    the events parquet -> watermark -> tumbling window -> availableNow drain
+    into a memory sink. Same result (and same oracle) as the batch twin
+    ext_events_window — the unified batch/streaming contract, verified by
+    the driver itself."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+    # FileStreamSource requires a DIRECTORY; expose the single parquet file
+    # through a temp dir symlink (zero copy).
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = windowed_counts(stream, "1 hour", watermark="2 hours")
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -146,3 +146,32 @@ def test_exact_dedup_groups_counts(spark):
     )
     rows = {r.doc_id: r.n_copies for r in D.exact_dedup_groups(df, "doc_id", ["text"]).collect()}
     assert rows == {1: 2, 3: 1}  # min-id canonical representative
+
+
+# ---------------------------------------------------------------- pandas-UDF alternates
+
+def test_cosine_udf_matches_jvm_expression(spark, sf_dir):
+    """The Arrow-vectorized Pandas-UDF cosine and the JVM higher-order
+    expression must agree to float64 precision — either path can serve."""
+    from sql_query_engine_rs_spark.functions.pandas_udfs import cosine_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    rows = pairs.select(
+        S.cosine(F.col("va"), F.col("vb")).alias("jvm"),
+        cosine_udf(F.col("va"), F.col("vb")).alias("udf"),
+    ).collect()
+    assert rows and all(abs(r.jvm - r.udf) < 1e-12 for r in rows)
+
+
+def test_token_count_udf_matches_jvm(spark, sf_dir):
+    from sql_query_engine_rs_spark.functions.pandas_udfs import token_count_udf
+    from sql_query_engine_rs_spark.functions.text import token_count
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = d.select(
+        token_count(F.col("text")).alias("jvm"), token_count_udf(F.col("text")).alias("udf")
+    ).collect()
+    assert rows and all(r.jvm == r.udf for r in rows)
