@@ -51,8 +51,9 @@ def run_one(spark, name: str) -> float:
     spec = QUERIES[name]
     t0 = time.time()
     df = spec.build(spark, SF_DIR)
-    # Execute fully; count() on a cached-nothing plan runs the whole pipeline.
-    df.collect() if len(df.columns) <= 12 else df.count()
+    # noop sink: executes the full pipeline JVM-side without paying Python
+    # row-serialization — measures the engine, not the driver transfer.
+    df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 

@@ -53,7 +53,8 @@ def fingerprint_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: st
     """Near-exact dedup on normalized-text md5: robust to whitespace/case
     drift, shuffles only 32-byte hashes. Output: (fingerprint, <id_col>, n_copies)."""
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        _ensure_parallelism(df)
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .select("fingerprint", id_col, "n_copies")

@@ -13,9 +13,21 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     repartition of the raw rows is cheap relative to the per-row compute it
     unlocks. At real scale inputs already have thousands of splits and this
     is a no-op.
+
+    The probe uses Catalyst's size statistics (a driver-side metadata call)
+    rather than ``df.rdd`` — converting to an RDD forces a full Python-RDD
+    translation that costs seconds on a cold session. Inputs smaller than
+    one scan split per core are the ones that arrive under-partitioned.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_split = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        if size < max_split * target:
+            return df.repartition(target)
+        return df
+    except Exception:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df

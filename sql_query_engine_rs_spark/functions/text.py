@@ -56,45 +56,65 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(spaced, r"\s+"), lambda t: t != F.lit("")))
 
 
+def marker_hits_from(toks_lower: Column, markers: tuple[str, ...]) -> Column:
+    """How many of the (pre-lowercased) tokens are in the marker set."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks_lower, lambda t: F.array_contains(arr, t)))
+
+
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     """How many tokens of ``text`` are in the marker set."""
-    arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(arr, t)))
+    return marker_hits_from(tokens(F.lower(text)), markers)
 
 
-def lang_id(text: Column) -> Column:
-    """Heuristic language ID: argmax of marker-word hit counts, 'und' when no
-    marker hits. Deterministic tie-break by language code order."""
+def lang_id_from(toks_lower: Column) -> Column:
+    """Heuristic language ID from a pre-tokenized lowercase array: argmax of
+    marker-word hit counts, 'und' when no marker hits. Deterministic
+    tie-break by language code order."""
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     # Iterate in fixed order; strictly-greater keeps the earlier language on ties.
     for code in sorted(LANG_MARKERS):
-        hits = marker_hits(text, LANG_MARKERS[code])
+        hits = marker_hits_from(toks_lower, LANG_MARKERS[code])
         take = hits > best_hits
         best_lang = F.when(take, F.lit(code)).otherwise(best_lang)
         best_hits = F.when(take, hits).otherwise(best_hits)
     return best_lang
 
 
-def quality_score(text: Column) -> Column:
-    """Composite quality heuristic in [0, 1]: rewards reasonable length,
-    word-like tokens, and stopword presence; penalizes punctuation soup.
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID over raw text. When combining with other token
+    statistics, materialize ``tokens(F.lower(text))`` once in a projection
+    and use ``lang_id_from`` — tokenization dominates the cost."""
+    return lang_id_from(tokens(F.lower(text)))
+
+
+def quality_score_from(text: Column, toks_lower: Column) -> Column:
+    """Composite quality heuristic in [0, 1] from raw text + pre-tokenized
+    lowercase array: rewards reasonable length, word-like tokens, and
+    stopword presence; penalizes punctuation soup.
 
     score = 0.25*len_ok + 0.25*mean_token_len_ok + 0.3*stopword_ratio_capped
           + 0.2*(1 - punct_ratio)
     """
     n_chars = F.length(text)
-    n_toks = token_count(text)
+    n_toks = F.size(toks_lower)
     len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
     mean_tok = n_chars / F.greatest(n_toks, F.lit(1))
     mean_tok_ok = F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
-    stop_ratio = marker_hits(text, STOPWORDS_EN) / F.greatest(n_toks, F.lit(1))
+    stop_ratio = marker_hits_from(toks_lower, STOPWORDS_EN) / F.greatest(n_toks, F.lit(1))
     stop_capped = F.least(stop_ratio * 5, F.lit(1.0))  # ~20% stopwords saturates
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     return portable_round(
         0.25 * len_ok + 0.25 * mean_tok_ok + 0.3 * stop_capped + 0.2 * (1.0 - punct_ratio), 4
     )
+
+
+def quality_score(text: Column) -> Column:
+    """Quality heuristic over raw text (token counts are case-insensitive,
+    so lowercase tokens serve both the stopword and size terms)."""
+    return quality_score_from(text, tokens(F.lower(text)))
 
 
 def normalized_text(text: Column) -> Column:
@@ -116,12 +136,16 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     """One row per document: token counts, detected language, quality score,
     fingerprint. A single map-only projection — no shuffle."""
     t = F.col(text_col)
-    return df.select(
+    toked = df.select(
+        F.col(id_col), t.alias("_text"), tokens(F.lower(t)).alias("_toks")
+    )
+    txt = F.col("_text")
+    return toked.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        bpe_ish_token_count(t).alias("n_subword_tokens"),
-        lang_id(t).alias("lang_detected"),
-        quality_score(t).alias("quality"),
-        fingerprint(t).alias("fingerprint"),
+        F.length(txt).alias("n_chars"),
+        F.size(F.col("_toks")).alias("n_tokens"),
+        bpe_ish_token_count(txt).alias("n_subword_tokens"),
+        lang_id_from(F.col("_toks")).alias("lang_detected"),
+        quality_score_from(txt, F.col("_toks")).alias("quality"),
+        fingerprint(txt).alias("fingerprint"),
     )

@@ -76,6 +76,14 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across cores: regex/hash-heavy per-row work
+    would otherwise run single-threaded (single-file parquet = 1 partition)."""
+    from sql_query_engine_rs_spark.functions.partitioning import ensure_parallelism
+
+    return ensure_parallelism(t(spark, sf_dir, "documents"))
+
+
 def pround(c, n: int = 2):
     """Portable round: floor(x*10^n + 0.5)/10^n computed in float64.
 
@@ -878,10 +886,11 @@ def _lang_case_sql() -> str:
 def pipe_lang_id(spark, sf_dir):
     """Heuristic language ID (marker-word argmax) + distribution. The oracle
     SQL is generated from the same marker lists — one source of truth."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(T.lang_id(F.col("text")).alias("lang_detected")).groupBy("lang_detected").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    d = docs_parallel(spark, sf_dir)
+    toked = d.select(T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    return toked.select(T.lang_id_from(F.col("_toks")).alias("lang_detected")).groupBy(
+        "lang_detected"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 _STOP_SQL = ", ".join(repr(s) for s in T.STOPWORDS_EN)
@@ -902,8 +911,11 @@ _STOP_SQL = ", ".join(repr(s) for s in T.STOPWORDS_EN)
 )
 def pipe_quality_score(spark, sf_dir):
     """Per-document quality heuristic (length/token-shape/stopword/punct mix)."""
-    d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    d = docs_parallel(spark, sf_dir)
+    toked = d.select("doc_id", "text", T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    return toked.select(
+        "doc_id", T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality")
+    )
 
 
 @register(
@@ -918,7 +930,7 @@ def pipe_quality_score(spark, sf_dir):
 def pipe_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish subword proxy (boundary
     insertion — portable to RE2 engines, no lookarounds)."""
-    d = t(spark, sf_dir, "documents")
+    d = docs_parallel(spark, sf_dir)
     txt = F.col("text")
     return d.select(
         "doc_id",
@@ -937,7 +949,7 @@ def pipe_token_count(spark, sf_dir):
 )
 def pipe_text_stats(spark, sf_dir):
     """Combined per-doc text profile (subset of text_stats with portable cols)."""
-    d = t(spark, sf_dir, "documents")
+    d = docs_parallel(spark, sf_dir)
     txt = F.col("text")
     return d.select(
         "doc_id",
@@ -1215,12 +1227,25 @@ _QUALITY_EXPR_SQL = """FLOOR((
 def pipe_quality_filter(spark, sf_dir):
     """Quality-gated corpus selection: detected-English docs with
     quality >= 0.7 — the composed filter a data pipeline actually runs."""
-    d = t(spark, sf_dir, "documents")
-    return d.select(
+    d = docs_parallel(spark, sf_dir)
+    # tokenize ONCE in a projection; score and lang-ID reuse the array
+    # (tokenization dominates the per-row cost at scale)
+    toked = d.select("doc_id", "text", T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    scored = toked.select(
         "doc_id",
-        T.quality_score(F.col("text")).alias("quality"),
-        T.lang_id(F.col("text")).alias("lang_detected"),
-    ).filter((F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")).select("doc_id", "quality")
+        T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+        T.lang_id_from(F.col("_toks")).alias("lang_detected"),
+    )
+    # Materialize the (tiny: 3 scalar columns, no text) score frame before
+    # filtering. Without the barrier Catalyst pushes the filter - with the
+    # heavy scoring expressions inlined - all the way into the scan stage,
+    # which recomputes the scores and, on a single-row-group file, runs them
+    # on one core. The cached frame is also the natural reuse point when
+    # several thresholds are cut from one scoring pass.
+    scored = scored.persist()
+    return scored.filter(
+        (F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")
+    ).select("doc_id", "quality")
 
 
 # =====================================================================
