@@ -1368,3 +1368,121 @@ def stream_windowed_counts(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+# =====================================================================
+# Extension surface, batch 4: TPC-H anchors + grouped-Pandas operator
+# =====================================================================
+
+@register(
+    "ext_tpch_q6",
+    """SELECT FLOOR((SUM(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount >= 0.05 AND l_discount <= 0.07
+         AND l_quantity < 24""",
+)
+def ext_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue: the canonical pushdown showcase — all
+    four predicates reach the parquet scan; zero shuffle (global agg)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "ext_tpch_q5",
+    """SELECT n_name, FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation   ON s_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name""",
+)
+def ext_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier-volume: the 6-table join. All dimension sides
+    broadcast; only lineitem⋈orders is a real (AQE-managed) join."""
+    c = t(spark, sf_dir, "customer")
+    o = filter_(
+        t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"),
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = filter_(t(spark, sf_dir, "region"), F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
+    )
+
+
+@register(
+    "pipe_group_normalize",
+    """SELECT vec_id, label,
+              FLOOR((CASE WHEN sd = 0 OR sd IS NULL THEN 0.0 ELSE (norm - mu) / sd END) * 10000 + 0.5) / 10000
+                  AS norm_z
+       FROM (
+         SELECT vec_id, label, norm,
+                AVG(norm) OVER (PARTITION BY label) AS mu,
+                STDDEV_SAMP(norm) OVER (PARTITION BY label) AS sd
+         FROM (
+           SELECT vec_id, label,
+                  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS norm
+           FROM embeddings) v) z""",
+)
+def pipe_group_normalize(spark, sf_dir):
+    """Per-group z-score normalization of embedding L2 norms via
+    ``applyInPandas`` — the grouped-Pandas operator under the correctness
+    gate. Each label group arrives as one pandas DataFrame (Arrow transfer);
+    pandas ``mean``/``std(ddof=1)`` match SQL AVG/STDDEV_SAMP bit-for-bit on
+    float64, so the DuckDB window-function oracle validates the UDF path.
+    """
+    from sql_query_engine_rs_spark.functions.partitioning import ensure_parallelism
+    from sql_query_engine_rs_spark.functions.similarity import norm as l2norm
+
+    emb = ensure_parallelism(t(spark, sf_dir, "embeddings"))
+    with_norm = emb.select("vec_id", "label", l2norm(F.col("embedding")).alias("norm"))
+
+    def normalize(pdf):
+        import pandas as pd
+
+        mu = pdf["norm"].mean()
+        sd = pdf["norm"].std(ddof=1)
+        z = (pdf["norm"] - mu) / sd if (pd.notna(sd) and sd != 0) else pdf["norm"] * 0.0
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "norm_z": np.floor(z * 10000 + 0.5) / 10000,
+            }
+        )
+
+    return with_norm.groupBy("label").applyInPandas(
+        normalize, "vec_id long, label int, norm_z double"
+    )

@@ -28,6 +28,8 @@ def write(df: DataFrame, fmt: str, path: str, mode: str = "overwrite",
     """Uniform writer. ``partition_by`` produces hive-style directory
     partitioning — at 100 TB this is what enables partition pruning for
     downstream readers."""
+    if fmt == "csv":
+        options.setdefault("header", True)  # match the reader's default
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

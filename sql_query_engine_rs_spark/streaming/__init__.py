@@ -99,3 +99,58 @@ def run_stream_once(stream_df: DataFrame, sink_table: str) -> None:
 
 def _has_aggregation(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+
+
+def running_totals_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count + value sum, emitted on every update.
+
+    This is the template for operators Spark's built-ins can't express
+    (custom session logic, pattern detection, online aggregates): state is a
+    per-key tuple persisted by the state store; each micro-batch's rows for
+    a key arrive as pandas DataFrames; ``GroupStateTimeout`` expires idle
+    keys so state stays bounded — the property that keeps an always-on
+    pipeline's memory finite.
+
+    On a batch frame, falls back to the equivalent groupBy (same schema).
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = f"{key_col} long, n_events long, total double"
+
+    if not events.isStreaming:
+        return (
+            events.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(value_col).cast("double").alias("total"),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "n_events long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
