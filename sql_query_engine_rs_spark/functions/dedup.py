@@ -306,3 +306,35 @@ def embedding_cosine_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_cosine_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 2,
+) -> DataFrame:
+    """Scale path for ``embedding_cosine_dups``: candidate pairs form only
+    within sign-LSH buckets (2^num_planes-fold smaller join), then exact
+    cosine verifies. Trades recall (pairs split across buckets are missed)
+    for a bucket-local join; raise recall with fewer planes or multiple
+    bucket tables. Output: (id_a, id_b, cos_sim)."""
+    from sql_query_engine_rs_spark.functions.similarity import random_hyperplane_buckets
+
+    v = random_hyperplane_buckets(
+        _ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        vec_col="_v",
+        num_planes=num_planes,
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            portable_round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1486,3 +1486,117 @@ def pipe_group_normalize(spark, sf_dir):
     return with_norm.groupBy("label").applyInPandas(
         normalize, "vec_id long, label int, norm_z double"
     )
+
+
+# =====================================================================
+# Extension surface, batch 5: window battery, argmax aggs, date math,
+# TPC-H Q4, LSH-bucketed embedding dedup
+# =====================================================================
+
+@register(
+    "ext_window_battery",
+    """SELECT o_orderkey,
+              CAST(RANK() OVER w AS INT) AS price_rank,
+              CAST(DENSE_RANK() OVER w AS INT) AS price_dense_rank,
+              CAST(NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+              LAG(o_orderkey) OVER w AS prev_key,
+              LEAD(o_orderkey) OVER w AS next_key
+       FROM orders WHERE o_custkey < 50
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def ext_window_battery(spark, sf_dir):
+    """Window-function battery: rank/dense_rank/ntile/lag/lead over one
+    partition spec — a single shuffle + sort serves all five."""
+    from pyspark.sql import Window
+
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_asc = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w_asc).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+@register(
+    "ext_argmax_agg",
+    """SELECT o_orderpriority,
+              arg_max(o_orderkey, o_totalprice) AS biggest_order,
+              arg_min(o_orderkey, o_totalprice) AS smallest_order,
+              array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+       FROM orders GROUP BY o_orderpriority""",
+)
+def ext_argmax_agg(spark, sf_dir):
+    """Argmax aggregates (min_by/max_by) + collect_set. Deterministic here:
+    o_totalprice values are unique within each group in this data."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )
+
+
+@register(
+    "ext_date_arithmetic",
+    """SELECT o_orderkey,
+              CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_95,
+              CAST(CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 30 DAY) AS DATE) AS VARCHAR) AS due_date,
+              CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+              CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow
+       FROM orders WHERE o_orderkey < 300""",
+)
+def ext_date_arithmetic(spark, sf_dir):
+    """Date arithmetic: datediff / date_add / last_day / day-of-week.
+    (Spark dayofweek is 1=Sunday..7; DuckDB DOW is 0=Sunday..6 — offset by
+    one on the Spark side for parity.)"""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_95"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.last_day(d).cast("string").alias("month_end"),
+        (F.dayofweek(d) - 1).alias("dow"),
+    )
+
+
+@register(
+    "ext_tpch_q4",
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+def ext_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking: correlated EXISTS with an
+    inequality (late-shipped lineitems) -> left-semi join + group-by."""
+    o = filter_(
+        t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01"),
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register("pipe_embedding_dedup_lsh", None)  # murmur3-based buckets: Spark-specific
+def pipe_embedding_dedup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup — the 100 TB path for
+    pipe_embedding_near_dup: pairs only form inside sign-LSH buckets, so the
+    join is bucket-local instead of a global cross join. Recall vs the exact
+    operator is pinned in pytest."""
+    from sql_query_engine_rs_spark.functions.dedup import embedding_cosine_dups_lsh
+
+    return embedding_cosine_dups_lsh(t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=2)

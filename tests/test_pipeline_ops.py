@@ -175,3 +175,14 @@ def test_token_count_udf_matches_jvm(spark, sf_dir):
         token_count(F.col("text")).alias("jvm"), token_count_udf(F.col("text")).alias("udf")
     ).collect()
     assert rows and all(r.jvm == r.udf for r in rows)
+
+
+def test_embedding_lsh_dedup_recall(spark, sf_dir):
+    """Bucket-local near-dup must be a subset of the exact pairs with
+    substantial recall at 2 planes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in D.embedding_cosine_dups(emb, threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b) for r in D.embedding_cosine_dups_lsh(emb, threshold=0.4, num_planes=2).collect()}
+    assert lsh <= exact  # verification step keeps only true near-dups
+    if exact:
+        assert len(lsh & exact) / len(exact) > 0.3
