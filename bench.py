@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "v0_hash_agg_multi",
     "ext_tpch_q1",
     "ext_tpch_q3",
+    "ext_tpch_q5",
+    "ext_tpch_q6",
     "ext_join_broadcast",
     "ext_left_join",
     "ext_order_by_limit",
@@ -44,6 +46,7 @@ BENCH_QUERIES = [
     "pipe_embedding_topk",
     "pipe_token_count",
     "pipe_quality_filter",
+    "pipe_group_normalize",
 ]
 
 

@@ -1600,3 +1600,64 @@ def pipe_embedding_dedup_lsh(spark, sf_dir):
     from sql_query_engine_rs_spark.functions.dedup import embedding_cosine_dups_lsh
 
     return embedding_cosine_dups_lsh(t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=2)
+
+
+# =====================================================================
+# Extension surface, batch 6: unpivot, CDC/SCD2 merge emulation
+# =====================================================================
+
+@register(
+    "ext_unpivot",
+    """SELECT o_orderkey, metric, FLOOR((value) * 100 + 0.5) / 100 AS value
+       FROM (
+         SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value FROM orders WHERE o_orderkey < 100
+         UNION ALL
+         SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders WHERE o_orderkey < 100
+       ) u""",
+)
+def ext_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long) via ``stack`` — the inverse of pivot. The
+    oracle spells it as UNION ALL, the portable relational formulation."""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderkey") < 100)
+    return o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE)) AS (metric, value)",
+    ).select("o_orderkey", "metric", r2(F.col("value")).alias("value"))
+
+
+@register(
+    "ext_scd2_merge",
+    """WITH updates AS (
+         SELECT c_custkey, c_name, FLOOR((c_acctbal * 1.1) * 100 + 0.5) / 100 AS c_acctbal
+         FROM customer WHERE c_custkey < 100
+       )
+       SELECT c_custkey, c_name, FLOOR((c_acctbal) * 100 + 0.5) / 100 AS c_acctbal, is_current FROM (
+         SELECT c_custkey, c_name, c_acctbal, 'updated' AS is_current FROM updates
+         UNION ALL
+         SELECT c.c_custkey, c.c_name, c.c_acctbal, 'kept' AS is_current
+         FROM customer c WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+       ) m""",
+)
+def ext_scd2_merge(spark, sf_dir):
+    """MERGE/upsert emulation without a table format (no Delta in this
+    image): updates replace matching base rows (anti-join keeps the rest,
+    union applies the changes) — the CDC snapshot pattern. With Delta/
+    Iceberg this is one MERGE INTO; the plan shape is identical."""
+    c = t(spark, sf_dir, "customer")
+    updates = (
+        filter_(c, F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            "c_name",
+            r2(F.col("c_acctbal") * 1.1).alias("c_acctbal"),
+            F.lit("updated").alias("is_current"),
+        )
+    )
+    kept = (
+        c.join(updates.select("c_custkey"), "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal", F.lit("kept").alias("is_current"))
+    )
+    merged = updates.unionByName(kept)
+    return merged.select(
+        "c_custkey", "c_name", r2(F.col("c_acctbal")).alias("c_acctbal"), "is_current"
+    )
