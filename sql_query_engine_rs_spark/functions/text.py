@@ -149,3 +149,21 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         quality_score_from(txt, F.col("_toks")).alias("quality"),
         fingerprint(txt).alias("fingerprint"),
     )
+
+
+def char_shingle_sketch(text: Column, k: int = 5, sketch_size: int = 4) -> Column:
+    """Winnowing-style document sketch: the ``sketch_size`` smallest md5
+    hashes of the character ``k``-grams of the normalized text.
+
+    A rolling-fingerprint selection (Schleimer et al.'s winnowing picks
+    per-window minima; taking the global bottom-``sketch_size`` is the
+    order-free variant that needs no window state): near-identical documents
+    share most of their minimum shingle hashes, so equal sketch elements
+    are a cheap containment signal. md5 keeps it engine-portable.
+    """
+    norm = normalized_text(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    hashes = F.array_distinct(F.transform(grams, lambda g: F.md5(g)))
+    return F.slice(F.array_sort(hashes), 1, sketch_size)

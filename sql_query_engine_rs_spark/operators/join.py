@@ -73,6 +73,29 @@ def range_join(facts: DataFrame, bands: DataFrame, value_col: str, lo_col: str =
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant join: explode the hot keys across ``salt_buckets``.
+
+    The big (skewed) side gets a random salt in [0, buckets); the small side
+    is replicated once per salt value. The join key becomes (key, salt), so
+    one hot key's rows spread over ``salt_buckets`` tasks instead of one
+    straggler. AQE's skew-join split handles most cases automatically; use
+    this when a key is so hot a single split still overflows, or when AQE is
+    off (streaming). Results are identical to a plain join.
+    """
+    salted_big = big.withColumn("_salt", (F.rand(42) * salt_buckets).cast("int"))
+    salts = big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+    salted_small = small.crossJoin(F.broadcast(salts))
+    out = salted_big.join(salted_small, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
 def colocated_join(left: DataFrame, right: DataFrame, key: str | Column, num_partitions: int | None = None, how: str = "inner") -> DataFrame:
     """Repartition both sides identically so the join is shuffle-local.
 

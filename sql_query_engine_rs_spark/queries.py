@@ -1661,3 +1661,51 @@ def ext_scd2_merge(spark, sf_dir):
     return merged.select(
         "c_custkey", "c_name", r2(F.col("c_acctbal")).alias("c_acctbal"), "is_current"
     )
+
+
+# =====================================================================
+# Extension surface, batch 7: correlated subquery, rolling-hash sketch,
+# skew-salted join
+# =====================================================================
+
+@register(
+    "ext_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, FLOOR((o_totalprice) * 100 + 0.5) / 100 AS o_totalprice
+       FROM orders o
+       WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                 WHERE o2.o_custkey = o.o_custkey)""",
+)
+def ext_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (orders more than twice their customer's
+    average) — decorrelated into an aggregate + join, the standard rewrite."""
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("_ck")).agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.join(per_cust, F.col("o_custkey") == F.col("_ck"))
+        .filter(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", "o_custkey", r2(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+_SKETCH_SQL = """list_slice(list_sort(list_distinct(
+      list_transform(range(1, GREATEST(length(nt) - 5 + 1, 1) + 1),
+                     i -> md5(substr(nt, i, 5))))), 1, 4)"""
+
+
+@register(
+    "pipe_char_shingle_sketch",
+    f"""SELECT doc_id, array_to_string(sketch, ',') AS sketch FROM (
+          SELECT doc_id, {_SKETCH_SQL} AS sketch
+          FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                FROM documents) n) s""",
+)
+def pipe_char_shingle_sketch(spark, sf_dir):
+    """Rolling-hash document sketch (winnowing-style): bottom-4 md5 hashes
+    of character 5-grams. Serialized to a string so the oracle compares
+    scalars. Shared sketch elements between documents signal containment /
+    near-duplication without comparing full texts."""
+    d = docs_parallel(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", T.char_shingle_sketch(F.col("text"), k=5, sketch_size=4)).alias("sketch"),
+    )

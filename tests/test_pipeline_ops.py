@@ -186,3 +186,43 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
     assert lsh <= exact  # verification step keeps only true near-dups
     if exact:
         assert len(lsh & exact) / len(exact) > 0.3
+
+
+# ---------------------------------------------------------------- skew + bucketing
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change results — only the key distribution."""
+    from sql_query_engine_rs_spark.operators.join import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment")
+    plain = {(r.o_orderkey, r.c_mktsegment) for r in o.join(c, "c_custkey").collect()}
+    salted = {(r.o_orderkey, r.c_mktsegment) for r in salted_join(o, c, "c_custkey").collect()}
+    assert salted == plain and len(plain) > 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the sort-merge
+    join reads both sides without an Exchange — the ahead-of-time answer to
+    repeated 100 TB joins on the same key."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:6]
+    a = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    b = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 11).alias("w"))
+    # external-table paths: warehouse.dir is a static conf, unsettable here
+    a.write.bucketBy(8, "id").sortBy("id").option("path", str(tmp_path / "ta")).mode(
+        "overwrite"
+    ).saveAsTable(f"ta_{suffix}")
+    b.write.bucketBy(8, "id").sortBy("id").option("path", str(tmp_path / "tb")).mode(
+        "overwrite"
+    ).saveAsTable(f"tb_{suffix}")
+    # hint forces sort-merge (tiny test tables would otherwise broadcast
+    # and never exercise the bucket layout)
+    joined = spark.table(f"ta_{suffix}").hint("merge").join(spark.table(f"tb_{suffix}"), "id")
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles: {plan}"
+    assert joined.count() == 1000
