@@ -73,9 +73,14 @@ class Database:
         if parts[0] == "dt":
             return self.catalog.show_tables()
         if parts[0] == "load":
-            if len(parts) != 4 or parts[1] != "csv":
-                raise MetaCommandError(f"usage: \\load csv <name> <path>, got: {cmd}")
-            _, _, name, path = parts
-            self.catalog.create_csv_table(name, path)
+            if len(parts) != 4 or parts[1] not in ("csv", "parquet"):
+                raise MetaCommandError(f"usage: \\load csv|parquet <name> <path>, got: {cmd}")
+            _, fmt, name, path = parts
+            if fmt == "csv":
+                self.catalog.create_csv_table(name, path)
+            else:
+                # parquet: the scale-path format (extension beyond the
+                # reference's csv-only \load, src/cli.rs:111-129)
+                self.catalog.create_parquet_table(name, path)
             return self.catalog.show_tables()
         raise MetaCommandError(f"unknown meta command: {cmd}")

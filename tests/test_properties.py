@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the cross-engine invariants the
+whole correctness gate rests on. The reference has no property testing
+(SURVEY.md §5); these go beyond parity to pin the determinism rules."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=40))
+def test_portable_round_matches_duckdb(spark, values):
+    """floor(x*100+0.5)/100 must agree bit-for-bit between Spark and DuckDB
+    for any finite double — the invariant every rounded oracle column uses."""
+    from sql_query_engine_rs_spark.functions.expressions import portable_round
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v double")
+    got = {
+        r.i: r.r for r in df.select("i", portable_round(F.col("v"), 2).alias("r")).collect()
+    }
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, {v!r}::DOUBLE)" for i, v in enumerate(values))
+    want = dict(
+        con.execute(
+            f"SELECT i, FLOOR(v * 100 + 0.5) / 100 FROM (VALUES {rows}) t(i, v)"
+        ).fetchall()
+    )
+    for i in got:
+        g, w = got[i], want[i]
+        assert (g == w) or (math.isnan(g) and math.isnan(w)), (values[i], g, w)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=6)
+)
+def test_jaccard_bounds_and_symmetry(spark, texts):
+    """0 <= jaccard <= 1; j(a,a)=1 for non-empty shingle sets; symmetric."""
+    from sql_query_engine_rs_spark.functions.dedup import jaccard, token_ngrams
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    g = df.select("id", token_ngrams(F.col("text"), 1).alias("g"))
+    a, b = g.alias("a"), g.alias("b")
+    rows = (
+        a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+            F.size(F.col("a.g")).alias("na"),
+        )
+        .collect()
+    )
+    j = {(r.ia, r.ib): r.j for r in rows}
+    sizes = {r.ia: r.na for r in rows}
+    for (ia, ib), v in j.items():
+        assert 0.0 <= v <= 1.0
+        assert j[(ib, ia)] == v  # symmetric
+        if ia == ib and sizes[ia] > 0:
+            assert v == 1.0
+
+
+def test_fingerprint_whitespace_case_invariance(spark):
+    """The fingerprint must be invariant under case and whitespace runs —
+    its whole purpose."""
+    from sql_query_engine_rs_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD  "), (4, "helloworld")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]

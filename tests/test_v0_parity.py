@@ -163,3 +163,10 @@ def test_show_tables(db):
     assert ("employee", "id, first_name, last_name, state, job_title, salary, department_id") in [
         tuple(r) for r in rows
     ]
+
+
+def test_load_parquet_meta(db, spark):
+    df = db.run("\\load parquet li_meta /root/testdata/sf0.001/lineitem.parquet")
+    names = [r.table_name for r in df.collect()]
+    assert "li_meta" in names
+    assert db.run_collect("select count(*) as n from li_meta")[0].n == 6000
