@@ -1709,3 +1709,32 @@ def pipe_char_shingle_sketch(spark, sf_dir):
         "doc_id",
         F.concat_ws(",", T.char_shingle_sketch(F.col("text"), k=5, sketch_size=4)).alias("sketch"),
     )
+
+
+@register(
+    "v0_select_constant",
+    """SELECT 3 AS three, CAST(2.5 AS DOUBLE) AS half, 'hello' AS greeting, CAST(NULL AS INT) AS nothing""",
+)
+def v0_select_constant(spark, sf_dir):
+    """Table-less constant SELECT — the reference binds it but its planner
+    panics (src/planner/select.rs:19 todo!("need logical values")); Spark's
+    OneRowRelation closes the gap. Literal typing follows the reference's
+    i32 -> i64 -> f64 ladder (src/types/mod.rs:127-137)."""
+    return spark.range(1).select(
+        (F.lit(1) + F.lit(2)).alias("three"),
+        F.lit(2.5).alias("half"),
+        F.lit("hello").alias("greeting"),
+        F.lit(None).cast("int").alias("nothing"),
+    )
+
+
+@register(
+    "ext_cross_join",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation WHERE n_regionkey = 0""",
+)
+def ext_cross_join(spark, sf_dir):
+    """Explicit cross join (reference panics on non-Table factors,
+    src/binder/table/mod.rs:56). Both sides tiny -> broadcast nested loop."""
+    r = t(spark, sf_dir, "region")
+    n = filter_(t(spark, sf_dir, "nation"), F.col("n_regionkey") == 0)
+    return r.crossJoin(n).select("r_name", "n_name")

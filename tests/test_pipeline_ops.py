@@ -226,3 +226,20 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, f"bucketed join still shuffles: {plan}"
     assert joined.count() == 1000
+
+
+# ---------------------------------------------------------------- approx aggs
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """HLL sketch must land within its documented rsd of the exact count."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey").alias("n")).collect()[0].n
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.05).alias("n")).collect()[0].n
+    assert abs(approx - exact) / exact < 0.15  # 3x rsd safety margin
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = o.select(F.percentile("o_totalprice", F.lit(0.5)).alias("p")).collect()[0].p
+    approx = o.select(F.percentile_approx("o_totalprice", 0.5, 1000).alias("p")).collect()[0].p
+    assert abs(approx - exact) / exact < 0.05
