@@ -338,3 +338,79 @@ def embedding_cosine_dups_lsh(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list by iterative min-label
+    propagation — the canonical Spark shape for iterative graph algorithms
+    (driver loop; each step is one join + min-aggregate; converges in
+    O(graph diameter) steps).
+
+    Duplicate-pair clustering is the main use: after MinHash/SimHash emit
+    near-dup PAIRS, components turn them into dedup GROUPS (keep one doc
+    per cluster). Output: (node, cluster_id) where cluster_id is the
+    component's minimum node id — deterministic.
+
+    At 100 TB the per-iteration frames are (node, label) pairs — two longs —
+    and each iteration is a co-partitioned join on node. Lineage MUST be
+    truncated each round (`localCheckpoint`): with `persist` alone the
+    logical plan doubles per iteration and Catalyst analysis blows up after
+    ~10 rounds. diameter(dup-graph) is small in practice (dup clusters are
+    dense), so few iterations; on a cluster use reliable `checkpoint()`.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    # min-propagation labels only ever decrease, so "no label changed" is
+    # exactly "sum of labels unchanged" — one cheap aggregate per round
+    # instead of a self-join (sum as decimal: no overflow at scale).
+    prev_sum = label_sum(labels)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .select(F.col("a").alias("node"), "cluster_id")
+        )
+        labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> (doc_id, cluster_id):
+    the end-to-end dedup-grouping pipeline (keep min(doc_id) per cluster)."""
+    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **minhash_kwargs)
+    return connected_components(pairs).select(
+        F.col("node").alias(id_col), "cluster_id"
+    )

@@ -1738,3 +1738,406 @@ def ext_cross_join(spark, sf_dir):
     r = t(spark, sf_dir, "region")
     n = filter_(t(spark, sf_dir, "nation"), F.col("n_regionkey") == 0)
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+def _dup_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the SAME MinHash pair SQL the
+    Spark operator uses — min reachable id == iterative label propagation."""
+    pair_sql = _minhash_oracle()
+    return f"""WITH RECURSIVE pairs AS ({pair_sql}),
+        undirected AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT a, b FROM undirected
+          UNION
+          SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src"""
+
+
+@register("pipe_dup_clusters", _dup_clusters_oracle())
+def pipe_dup_clusters(spark, sf_dir):
+    """Near-duplicate clustering: MinHash-LSH pairs -> connected components
+    (iterative min-label propagation) -> cluster ids. The DuckDB oracle
+    computes the same components with a recursive-CTE transitive closure —
+    an iterative Spark algorithm under the exact-value correctness gate."""
+    from sql_query_engine_rs_spark.functions.dedup import duplicate_clusters
+
+    return duplicate_clusters(
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+    )
+
+
+# =====================================================================
+# TPC-H adaptations, second wave (schema lacks partsupp; queries adapted)
+# =====================================================================
+
+@register(
+    "ext_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+              FLOOR((SUM(volume)) * 100 + 0.5) / 100 AS revenue
+       FROM (
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                l_extendedprice * (1 - l_discount) AS volume
+         FROM supplier
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders   ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       ) shipping
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def ext_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: the same dimension table (nation) joined
+    twice under different roles. Both nation sides broadcast; the only real
+    shuffle is lineitem⋈orders (AQE-planned)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+
+
+@register(
+    "ext_tpch_q8",
+    """SELECT o_year,
+              FLOOR((SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume)) * 10000 + 0.5) / 10000
+                  AS mkt_share
+       FROM (
+         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                l_extendedprice * (1 - l_discount) AS volume,
+                n2.n_name AS nation
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region   ON n1.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       ) all_nations
+       GROUP BY o_year""",
+)
+def ext_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: conditional aggregation over an
+    8-way join (nation twice). All dims broadcast; ratio computed after a
+    single grouped pass (two conditional sums, one shuffle)."""
+    p = filter_(t(spark, sf_dir, "part"), F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    o = filter_(
+        t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"),
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = filter_(t(spark, sf_dir, "region"), F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0)).alias("_n"),
+            F.sum(vol).alias("_d"),
+        )
+        .select("o_year", pround(F.col("_n") / F.col("_d"), 4).alias("mkt_share"))
+    )
+
+
+@register(
+    "ext_tpch_q10",
+    """SELECT c_custkey, c_name,
+              FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+              c_acctbal, n_name
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def ext_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: selective fact filters, broadcast
+    dims, top-20 via TakeOrderedAndProject (no global sort)."""
+    li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_returnflag") == "R")
+    o = filter_(
+        t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"),
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = hash_agg(
+        joined,
+        ["c_custkey", "c_name", "c_acctbal", "n_name"],
+        [r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")],
+    )
+    return top_k(
+        agg.select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"),
+        20, F.col("revenue").desc(), F.col("c_custkey"),
+    )
+
+
+@register(
+    "ext_tpch_q13",
+    """SELECT c_count, count(*) AS custdist
+       FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey
+       ) c_orders
+       GROUP BY c_count""",
+)
+def ext_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer distribution: outer join with an ON-clause
+    predicate (not a WHERE — unmatched customers must survive with count 0),
+    then a second aggregation over the first's output."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "ext_tpch_q14",
+    """SELECT FLOOR((100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
+)
+def ext_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: global conditional-ratio aggregate; part
+    broadcasts, lineitem's shipdate range prunes before the join."""
+    li = filter_(
+        t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01"),
+    )
+    p = t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)).alias("_n"),
+            F.sum(vol).alias("_d"),
+        )
+        .select(pround(F.lit(100.0) * F.col("_n") / F.col("_d"), 4).alias("promo_revenue"))
+    )
+
+
+@register(
+    "ext_tpch_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def ext_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: aggregate → scalar-max subquery → equijoin
+    back. The revenue frame is computed once and reused for its own max
+    (broadcast single-row join, no second lineitem scan)."""
+    li = filter_(
+        t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"),
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "ext_tpch_q17",
+    """SELECT FLOOR((SUM(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#12'
+         AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+)
+def ext_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: the correlated aggregate
+    subquery, hand-decorrelated the way Catalyst would — per-part averages
+    computed once over only the brand's lineitems (the partkey equality
+    makes the restriction sound), broadcast back. One lineitem scan feeds
+    both sides via an AQE-reused exchange."""
+    p = filter_(t(spark, sf_dir, "part"), F.col("p_brand") == "Brand#12").select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cut")
+    )
+    return (
+        li.join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "ext_tpch_q18",
+    """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+              FLOOR((SUM(l_quantity)) * 100 + 0.5) / 100 AS total_qty
+       FROM customer
+       JOIN orders   ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderkey IN (
+         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+       GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""",
+)
+def ext_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: IN-subquery over a grouped HAVING
+    → left-semi join on the fact table. The qualifying-orders set is small
+    (top ~1% of orders) so it broadcasts into both joins."""
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("_big_ok"))
+    )
+    o = t(spark, sf_dir, "orders").join(
+        F.broadcast(big_orders), F.col("o_orderkey") == F.col("_big_ok"), "left_semi"
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(r2(F.sum("l_quantity")).alias("total_qty"))
+    )
+
+
+@register(
+    "ext_tpch_q19",
+    """SELECT FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def ext_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue: disjunctive mixed-table predicates.
+    The part-only disjuncts (brand+size) are pre-filtered before the
+    broadcast so the join build side shrinks; the residual OR runs post-join."""
+    p = filter_(
+        t(spark, sf_dir, "part"),
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)),
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30))
+        )
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "ext_tpch_q22",
+    """SELECT c_nationkey AS cntry, count(*) AS numcust,
+              FLOOR((SUM(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       GROUP BY c_nationkey""",
+)
+def ext_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (adapted: nationkey for cntrycode, urgent orders for the
+    order anti-set — every synthetic customer has orders): scalar subquery
+    threshold + NOT EXISTS → broadcast scalar filter + left-anti join."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("_uck"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(F.broadcast(urgent), F.col("c_custkey") == F.col("_uck"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(F.count(F.lit(1)).alias("numcust"), r2(F.sum("c_acctbal")).alias("totacctbal"))
+    )

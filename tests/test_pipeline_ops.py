@@ -243,3 +243,25 @@ def test_percentile_approx_tolerance(spark, sf_dir):
     exact = o.select(F.percentile("o_totalprice", F.lit(0.5)).alias("p")).collect()[0].p
     approx = o.select(F.percentile_approx("o_totalprice", 0.5, 1000).alias("p")).collect()[0].p
     assert abs(approx - exact) / exact < 0.05
+
+
+# ---------------------------------------------------------------- components
+
+def test_connected_components_known_graph(spark):
+    from sql_query_engine_rs_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A long chain needs multiple propagation rounds — exercises the loop."""
+    from sql_query_engine_rs_spark.functions.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(0, 12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert all(v == 0 for v in got.values()) and len(got) == 13
