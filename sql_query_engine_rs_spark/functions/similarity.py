@@ -130,3 +130,122 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------ IVF scale path
+
+def ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF codebook: seed centroids are the ``num_centroids``
+    corpus vectors with the smallest md5(id) (a stateless uniform sample —
+    any executor/run picks the same ones), optionally refined with Lloyd
+    iterations done entirely in DataFrame ops (assign → per-cell
+    element-wise mean via posexplode/groupBy/sort-reassemble).
+
+    Returns (centroid_id int, _centroid array<double>). k is small (100s to
+    ~65k at 100 TB scale) so the codebook broadcasts everywhere downstream;
+    each Lloyd iteration costs one N·k scoring pass + one (cell, dim) shuffle
+    whose cardinality is k·dim — trivial.
+    """
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("_h")
+    cents = seeds.select(
+        (F.row_number().over(w) - 1).alias("centroid_id"), "_centroid"
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        cents = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("_v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_v"))), lambda s: s["_v"]
+                ).alias("_centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach each vector's ``nprobe`` nearest centroid ids (cosine).
+
+    Scoring is a broadcast cross join (N·k rows) ranked per vector — the
+    map-side-heavy shape Spark handles well; the window shuffle keys on the
+    vector id, which is unique, so there is no skew by construction.
+    """
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        "*", cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cscore").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= nprobe)
+        .drop("_centroid", "_cscore", "_crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes only its ``nprobe`` nearest cells, so the exact
+    cosine work drops ~(k/nprobe)-fold vs brute force. Recall is tuned by
+    nprobe (nprobe = num_centroids ⇒ exact). Output schema matches
+    ``brute_force_topk``: (query_id, id, cos_sim, rank).
+
+    At 100 TB: the cell id becomes the corpus partitioning/bucketing key, so
+    the probe join is shuffle-free on the corpus side; only the (small)
+    query×nprobe frame moves.
+    """
+    cents = ivf_centroids(
+        corpus, num_centroids=num_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    corpus_cells = ivf_assign(
+        _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
+        nprobe=1, id_col=id_col, vec_col=vec_col,
+    )
+    query_cells = ivf_assign(
+        queries.select(id_col, vec_col), cents,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"), "centroid_id"
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), on="centroid_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            portable_round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2141,3 +2141,14 @@ def ext_tpch_q22(spark, sf_dir):
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(F.count(F.lit(1)).alias("numcust"), r2(F.sum("c_acctbal")).alias("totacctbal"))
     )
+
+
+@register("pipe_ann_ivf", None)  # approximate by construction: rows-only gate
+def pipe_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors — the cell-partitioned scale path
+    (codebook from a deterministic md5 sample + 1 Lloyd iteration; queries
+    probe nprobe cells). Recall vs brute force is asserted in pytest."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=3
+    )

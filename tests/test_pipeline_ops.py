@@ -265,3 +265,40 @@ def test_connected_components_chain_diameter(spark):
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
     assert all(v == 0 for v in got.values()) and len(got) == 13
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.vec_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=3).collect()
+    }
+    # probing 3/8 cells; cosine-clustered cells put true neighbors in the
+    # query's own cell, so recall is high — require >50% to avoid data-flake
+    assert len(approx & bf) / len(bf) > 0.5
+    assert len(approx) <= len(bf)
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """nprobe = num_centroids degenerates to brute force — exactness check."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = {(r.query_id, r.vec_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    full = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(emb, queries, k=5, num_centroids=4, nprobe=4, iterations=0).collect()
+    }
+    assert full == bf
+
+
+def test_ivf_centroid_shapes(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, num_centroids=6, iterations=1).collect()
+    assert len(cents) == 6
+    assert {r.centroid_id for r in cents} == set(range(6))
+    dims = {len(r._centroid) for r in cents}
+    assert dims == {64}
