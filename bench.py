@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "pipe_token_count",
     "pipe_quality_filter",
     "pipe_group_normalize",
+    "ext_tpch_q7",
+    "ext_tpch_q8",
+    "ext_tpch_q13",
+    "ext_tpch_q18",
+    "ext_grouping_sets",
+    "pipe_ann_ivf",
 ]
 
 

@@ -71,3 +71,31 @@ def test_range_join_broadcasts_bands(spark, sf_dir):
     df = QUERIES["ext_range_join"].build(spark, sf_dir)
     simple = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in simple or "BroadcastHashJoin" in simple
+
+
+def test_q7_q8_all_dims_broadcast(spark, sf_dir):
+    """The multi-dimension TPC-H joins must not shuffle-join any dimension:
+    every dim side is hinted broadcast, so the fact table streams through
+    N BroadcastHashJoins with zero Exchange on the probe side."""
+    for name, n_joins in [("ext_tpch_q7", 5), ("ext_tpch_q8", 7)]:
+        simple = explain_str(QUERIES[name].build(spark, sf_dir), "simple")
+        assert simple.count("BroadcastHashJoin") >= n_joins, f"{name}: {simple}"
+        assert "SortMergeJoin" not in simple, f"{name} fell back to SMJ"
+
+
+def test_q10_topk_take_ordered(spark, sf_dir):
+    simple = explain_str(QUERIES["ext_tpch_q10"].build(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in simple
+
+
+def test_q18_semi_join_on_qualifying_orders(spark, sf_dir):
+    simple = explain_str(QUERIES["ext_tpch_q18"].build(spark, sf_dir), "simple")
+    assert "LeftSemi" in simple
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """Three grouping sets must plan as ONE Expand (one pass over lineitem),
+    not a union of three aggregations."""
+    simple = explain_str(QUERIES["ext_grouping_sets"].build(spark, sf_dir), "simple")
+    assert simple.count("Expand") == 1
+    assert simple.count("Scan parquet") == 1
