@@ -188,13 +188,25 @@ def ivf_assign(
 ) -> DataFrame:
     """Attach each vector's ``nprobe`` nearest centroid ids (cosine).
 
-    Scoring is a broadcast cross join (N·k rows) ranked per vector — the
-    map-side-heavy shape Spark handles well; the window shuffle keys on the
-    vector id, which is unique, so there is no skew by construction.
+    Scoring is a broadcast cross join (N·k rows); the reduction to the
+    nearest cell(s) is where scale is won or lost:
+
+    - nprobe=1 (the corpus-assignment path, N huge): ``max_by`` aggregation
+      — partial aggregation collapses the N·k scored rows map-side, so the
+      shuffle carries ~N rows, not N·k, and there is no sort.
+    - nprobe>1 (the query-probe path, N small): row_number window — the
+      shuffle keys on the unique vector id, so no skew by construction.
     """
     scored = df.crossJoin(F.broadcast(centroids)).select(
         "*", cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore")
     )
+    if nprobe == 1:
+        payload = F.struct(*[c for c in df.columns if c != id_col], "centroid_id")
+        # tie-break = lowest centroid_id among equal scores (max of negated id)
+        best = scored.groupBy(id_col).agg(
+            F.max_by(payload, F.struct(F.col("_cscore"), -F.col("centroid_id"))).alias("_best")
+        )
+        return best.select(id_col, "_best.*")
     w = Window.partitionBy(id_col).orderBy(F.col("_cscore").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("_crank", F.row_number().over(w))
