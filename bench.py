@@ -71,6 +71,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warmup so per-query numbers measure the engine, not JIT
     QUERIES["v0_simple_agg"].build(spark, SF_DIR).collect()
+    # Python-worker warmup: the first Arrow-batched UDF pays worker fork +
+    # pandas import (~1s); spin the workers up once so pandas-path queries
+    # measure compute, not interpreter startup
+    from pyspark.sql.functions import pandas_udf
+
+    _one = pandas_udf(lambda s: s * 0 + 1, "long")
+    spark.range(64).repartition(int(CPUS)).select(_one("id")).collect()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

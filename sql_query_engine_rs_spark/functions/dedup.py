@@ -51,9 +51,13 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key_cols: list[str]) -> DataF
 
 def fingerprint_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Near-exact dedup on normalized-text md5: robust to whitespace/case
-    drift, shuffles only 32-byte hashes. Output: (fingerprint, <id_col>, n_copies)."""
+    drift, shuffles only 32-byte hashes. Output: (fingerprint, <id_col>, n_copies).
+
+    No ensure_parallelism here: one md5 per row is cheaper than the
+    round-robin shuffle it would take to spread it (measured 2x at sf0.1);
+    the groupBy shuffle right after rebalances anyway."""
     return (
-        _ensure_parallelism(df)
+        df
         .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))

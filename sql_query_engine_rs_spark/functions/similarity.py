@@ -191,22 +191,29 @@ def ivf_assign(
     Scoring is a broadcast cross join (N·k rows); the reduction to the
     nearest cell(s) is where scale is won or lost:
 
-    - nprobe=1 (the corpus-assignment path, N huge): ``max_by`` aggregation
-      — partial aggregation collapses the N·k scored rows map-side, so the
-      shuffle carries ~N rows, not N·k, and there is no sort.
+    - nprobe=1 (the corpus-assignment path, N huge): scalar ``max_by`` over
+      skinny (id, score, centroid) rows — partial aggregation collapses the
+      N·k scored rows map-side so the shuffle carries ~N scalar pairs, then
+      one co-partitioned join re-attaches the full row. Beats windowing the
+      N·k wide rows (which must shuffle AND sort them all); a struct-payload
+      max_by (no join-back) loses too — wide hash-agg values defeat codegen.
     - nprobe>1 (the query-probe path, N small): row_number window — the
       shuffle keys on the unique vector id, so no skew by construction.
     """
+    if nprobe == 1:
+        scored = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).select(
+            id_col,
+            cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore"),
+            "centroid_id",
+        )
+        # tie-break = lowest centroid_id among equal scores (max of negated id)
+        best = scored.groupBy(id_col).agg(
+            F.max_by("centroid_id", F.struct(F.col("_cscore"), -F.col("centroid_id"))).alias("centroid_id")
+        )
+        return df.join(best, id_col)
     scored = df.crossJoin(F.broadcast(centroids)).select(
         "*", cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore")
     )
-    if nprobe == 1:
-        payload = F.struct(*[c for c in df.columns if c != id_col], "centroid_id")
-        # tie-break = lowest centroid_id among equal scores (max of negated id)
-        best = scored.groupBy(id_col).agg(
-            F.max_by(payload, F.struct(F.col("_cscore"), -F.col("centroid_id"))).alias("_best")
-        )
-        return best.select(id_col, "_best.*")
     w = Window.partitionBy(id_col).orderBy(F.col("_cscore").desc(), F.col("centroid_id"))
     return (
         scored.withColumn("_crank", F.row_number().over(w))
