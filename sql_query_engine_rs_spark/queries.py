@@ -2176,3 +2176,61 @@ def ext_grouping_sets(spark, sf_dir):
         F.grouping("l_returnflag").cast("int").alias("g_rf"),
         F.grouping("l_linestatus").cast("int").alias("g_ls"),
     )
+
+
+@register(
+    "stream_interval_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+              CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""",
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join executed as a REAL stream: two readStream
+    sources (clicks, purchases) watermarked on event time, joined on
+    user + [ts, ts+10min], availableNow-drained to a memory sink. The
+    time-range bound is what lets Spark expire join state — the property
+    that keeps an always-on join's state finite. Same DuckDB oracle as the
+    batch twin (plain range-predicate self-join)."""
+    import os
+    import tempfile
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="events_sj_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    def src():
+        return (
+            spark.readStream.schema(static.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = src().filter(F.col("event_type") == "click")
+    purchases = src().filter(F.col("event_type") == "purchase")
+    joined = interval_join(clicks, purchases, key_col="user_id", upper="10 minutes")
+    out = joined.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_sec"),
+    )
+    sink = f"stream_sj_{uuid.uuid4().hex[:8]}"
+    (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)

@@ -154,3 +154,47 @@ def running_totals_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "10 minutes",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream INNER join on key + event-time interval:
+    right.ts ∈ [left.ts, left.ts + upper].
+
+    On streams, BOTH sides carry watermarks and the time-range condition is
+    what lets Spark expire join state — without it the state store grows
+    unboundedly and a 100 TB/day pipeline dies; with it, each side holds at
+    most (watermark + upper) of history per key. On batch frames the same
+    plan is a plain range-predicate join (batch twin for oracles/backfill).
+
+    Both sides are prefix-renamed so the self-join case (same source twice)
+    is unambiguous; output keeps the shared key un-prefixed.
+    """
+    def prefixed(df: DataFrame, prefix: str) -> DataFrame:
+        renames = {c: f"{prefix}{c}" for c in df.columns}
+        return df.select([F.col(c).alias(n) for c, n in renames.items()])
+
+    l = prefixed(left, left_prefix)
+    r = prefixed(right, right_prefix)
+    lts, rts = f"{left_prefix}{ts_col}", f"{right_prefix}{ts_col}"
+    if l.isStreaming:
+        l = l.withWatermark(lts, left_watermark)
+    if r.isStreaming:
+        r = r.withWatermark(rts, right_watermark)
+    cond = (
+        (F.col(f"{left_prefix}{key_col}") == F.col(f"{right_prefix}{key_col}"))
+        & (F.col(rts) >= F.col(lts))
+        & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond).withColumnRenamed(f"{left_prefix}{key_col}", key_col).drop(
+        f"{right_prefix}{key_col}"
+    )

@@ -93,3 +93,26 @@ def test_session_windows_stream_runs(spark, events_dir):
     drain(stream, "sess_sink", "complete")
     rows = spark.table("sess_sink").collect()
     assert len(rows) == 3  # 2 sessions for user 1 + 1 for user 2
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    from sql_query_engine_rs_spark.streaming import interval_join
+
+    static = spark.read.parquet(events_dir)
+
+    def pair(df_l, df_r):
+        return interval_join(
+            df_l.filter(F.col("event_type") == "click"),
+            df_r.filter(F.col("event_type") == "view"),
+            key_col="user_id", upper="1 hour",
+            left_watermark="2 hours", right_watermark="2 hours",
+        ).select("l_event_id", "r_event_id", "user_id")
+
+    batch_rows = {tuple(r) for r in pair(static, static).collect()}
+    stream = pair(read_stream(spark, events_dir), read_stream(spark, events_dir))
+    assert stream.isStreaming
+    drain(stream, "sj_t", "append")
+    stream_rows = {tuple(r) for r in spark.table("sj_t").collect()}
+    assert stream_rows == batch_rows
+    # the 10:20 click -> 11:05 view pair for user 1 (the 10:00 click is >1h away)
+    assert (2, 3, 1) in stream_rows and len(stream_rows) == 1
