@@ -167,3 +167,62 @@ def char_shingle_sketch(text: Column, k: int = 5, sketch_size: int = 4) -> Colum
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
     hashes = F.array_distinct(F.transform(grams, lambda g: F.md5(g)))
     return F.slice(F.array_sort(hashes), 1, sketch_size)
+
+
+# --------------------------------------------------------------- PII scrubbing
+
+# RE2-safe patterns (no backrefs/lookaround) so Spark and DuckDB agree.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails, URLs, and phone-like digit runs with typed placeholder
+    tags. Order matters (URLs can contain '@'); patterns apply URL→email→
+    phone so each span is tagged once. Map-only JVM regexp_replace — no
+    Python, no shuffle."""
+    out = text
+    for _name, pat, tag in sorted(PII_PATTERNS, key=lambda p: p[0] != "url"):
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (for audit metrics alongside the scrub)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat, _tag in PII_PATTERNS
+    }
+
+
+# --------------------------------------------------------------- chunking
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks (the LLM-training
+    unit). Output: (id, chunk_id, chunk_text, n_tokens) — one row per chunk,
+    chunk_id 0-based, last chunk ragged.
+
+    Shape at scale: tokenize + slice + posexplode are all map-side (explode
+    multiplies rows but never shuffles); downstream repartitioning happens at
+    whatever the next shuffle is. Slices reference the one tokens array —
+    no quadratic copying.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_size + 1, chunk_size)),
+    )
+    return (
+        df.filter(F.size(toks) > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .withColumn("n_tokens", token_count(F.col("chunk_text")))
+    )

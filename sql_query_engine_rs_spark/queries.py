@@ -2234,3 +2234,89 @@ def stream_interval_join(spark, sf_dir):
         .awaitTermination()
     )
     return spark.table(sink)
+
+
+@register(
+    "pipe_stratified_sample",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                CEIL(count(*) OVER (PARTITION BY source) * 0.2) AS take
+         FROM documents) s
+       WHERE rn <= take""",
+)
+def pipe_stratified_sample(spark, sf_dir):
+    """Exact-size stratified sampling: ceil(20%) of every source, rows chosen
+    by smallest md5(doc_id) — deterministic and engine-portable (same sample
+    from DuckDB, any Spark cluster, any run)."""
+    from sql_query_engine_rs_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        t(spark, sf_dir, "documents"), "source", 0.2
+    ).select("doc_id", "source")
+
+
+_PII_DOCS = [
+    (1, "contact me at alice.smith+work@example.com for details"),
+    (2, "see https://spark.apache.org/docs/latest/api for the API"),
+    (3, "call +1 (555) 123-4567 or 555 987 6543 after 5pm"),
+    (4, "mixed: bob@corp.io via https://corp.io/u?id=7 tel 555-222-3333"),
+    (5, "nothing sensitive here at all"),
+]
+
+
+def _pii_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{s}')" for i, s in _PII_DOCS)
+    return f"(VALUES {rows}) AS pii(doc_id, text)"
+
+
+@register(
+    "pipe_pii_scrub",
+    f"""SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   'https?://[^\\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{{6,}}[0-9]', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls
+        FROM {_pii_values_sql()}""",
+)
+def pipe_pii_scrub(spark, sf_dir):
+    """PII scrubbing: URL -> email -> phone regexp_replace chain with typed
+    placeholder tags + per-kind audit counts. RE2-safe patterns keep Spark
+    and DuckDB byte-identical. Runs over an inline corpus (the synthetic
+    documents contain no PII-like spans) — same VALUES on both engines."""
+    from sql_query_engine_rs_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(_PII_DOCS, "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    return df.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("clean_text"),
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["url"].cast("bigint").alias("n_urls"),
+    )
+
+
+@register(
+    "pipe_chunk_documents",
+    """WITH d AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+                CAST(i AS INTEGER) AS chunk_id,
+                array_to_string(toks[(i*32+1):(i*32+32)], ' ') AS chunk_text
+         FROM d, UNNEST(range(CAST(CEIL(len(toks) / 32.0) AS BIGINT))) AS u(i)
+         WHERE len(toks) > 0)
+       SELECT doc_id, chunk_id, chunk_text,
+              CAST(len(list_filter(regexp_split_to_array(chunk_text, '\\s+'), x -> x != '')) AS INTEGER) AS n_tokens
+       FROM c""",
+)
+def pipe_chunk_documents(spark, sf_dir):
+    """Fixed-size token chunking (the LLM-training unit): tokenize -> slice
+    into 32-token windows -> posexplode. All map-side; explode multiplies
+    rows without shuffling."""
+    from sql_query_engine_rs_spark.functions.text import chunk_tokens
+
+    return chunk_tokens(docs_parallel(spark, sf_dir), chunk_size=32)

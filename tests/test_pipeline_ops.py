@@ -302,3 +302,45 @@ def test_ivf_centroid_shapes(spark, sf_dir):
     assert {r.centroid_id for r in cents} == set(range(6))
     dims = {len(r._centroid) for r in cents}
     assert dims == {64}
+
+
+# ---------------------------------------------------------------- pii / chunk / sample
+
+def test_scrub_pii_tags_and_order(spark):
+    from sql_query_engine_rs_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or https://x.io/u@v then +1 555-123-4567 done")],
+        "id long, text string",
+    )
+    out = df.select(scrub_pii(F.col("text")).alias("t")).collect()[0].t
+    assert "<EMAIL>" in out and "<URL>" in out and "<PHONE>" in out
+    # URL ran first: the '@' inside the URL was absorbed by <URL>, not tagged
+    assert "u@v" not in out and "@" not in out
+
+
+def test_chunk_tokens_sizes(spark):
+    from sql_query_engine_rs_spark.functions.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(32))),   # exactly one chunk
+         (2, " ".join(f"w{i}" for i in range(33))),   # ragged second chunk
+         (3, "")],                                     # dropped
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.chunk_id): r.n_tokens for r in chunk_tokens(docs, 32).collect()}
+    assert rows == {(1, 0): 32, (2, 0): 32, (2, 1): 1}
+
+
+def test_stratified_sample_exact_sizes(spark, sf_dir):
+    from sql_query_engine_rs_spark.functions.sampling import stratified_sample
+    import math
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {
+        r.source: r.n
+        for r in stratified_sample(docs, "source", 0.3)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {s: math.ceil(n * 0.3) for s, n in full.items()}
