@@ -2320,3 +2320,92 @@ def pipe_chunk_documents(spark, sf_dir):
     from sql_query_engine_rs_spark.functions.text import chunk_tokens
 
     return chunk_tokens(docs_parallel(spark, sf_dir), chunk_size=32)
+
+
+@register(
+    "ext_stats_agg",
+    """SELECT c_nationkey,
+              FLOOR((corr(c_acctbal, n_orders)) * 1000000 + 0.5) / 1000000 AS corr_bal_orders,
+              FLOOR((covar_samp(c_acctbal, n_orders)) * 10000 + 0.5) / 10000 AS covar_bal_orders,
+              FLOOR((stddev_samp(c_acctbal)) * 10000 + 0.5) / 10000 AS sd_bal,
+              FLOOR((var_samp(c_acctbal)) * 100 + 0.5) / 100 AS var_bal
+       FROM (
+         SELECT c_custkey, c_nationkey, c_acctbal,
+                (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+         FROM customer) c
+       GROUP BY c_nationkey""",
+)
+def ext_stats_agg(spark, sf_dir):
+    """Statistical aggregates (corr/covar_samp/stddev_samp/var_samp) — both
+    engines implement the same sample formulas in float64. The correlated
+    order count is decorrelated into an aggregate + outer join."""
+    c = t(spark, sf_dir, "customer")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    enriched = (
+        c.join(F.broadcast(per_cust), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_nationkey", "c_acctbal", F.coalesce("_n", F.lit(0)).alias("n_orders"))
+    )
+    return enriched.groupBy("c_nationkey").agg(
+        pround(F.corr("c_acctbal", "n_orders"), 6).alias("corr_bal_orders"),
+        pround(F.covar_samp("c_acctbal", "n_orders"), 4).alias("covar_bal_orders"),
+        pround(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        pround(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+    )
+
+
+@register(
+    "ext_bool_string_agg",
+    """SELECT o_orderpriority,
+              bool_and(o_totalprice > 1000) AS all_over_1k,
+              bool_or(o_orderstatus = 'F') AS any_finished,
+              string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+       FROM orders WHERE o_custkey < 30
+       GROUP BY o_orderpriority""",
+)
+def ext_bool_string_agg(spark, sf_dir):
+    """Boolean aggregates (bool_and/bool_or) + ordered string aggregation
+    (sorted collect_set -> concat_ws == DuckDB string_agg DISTINCT...ORDER BY,
+    made deterministic by the explicit sort)."""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_custkey") < 30)
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias("statuses"),
+    )
+
+
+@register(
+    "ext_window_frames",
+    """SELECT o_custkey, o_orderkey,
+              FLOOR((AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+                  AS moving_avg_3,
+              first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS first_order,
+              last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS last_order
+       FROM orders WHERE o_custkey < 100""",
+)
+def ext_window_frames(spark, sf_dir):
+    """Explicit window frames: 3-row moving average + whole-partition
+    first/last (the UNBOUNDED FOLLOWING frame is what makes last_value
+    well-defined — the default frame would return the current row)."""
+    from pyspark.sql import Window
+
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_custkey") < 100)
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    sliding = ordered.rowsBetween(-2, Window.currentRow)
+    whole = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        r2(F.avg("o_totalprice").over(sliding)).alias("moving_avg_3"),
+        F.first("o_orderkey").over(whole).alias("first_order"),
+        F.last("o_orderkey").over(whole).alias("last_order"),
+    )
