@@ -2409,3 +2409,37 @@ def ext_window_frames(spark, sf_dir):
         F.first("o_orderkey").over(whole).alias("first_order"),
         F.last("o_orderkey").over(whole).alias("last_order"),
     )
+
+
+@register(
+    "ext_array_funcs",
+    """WITH d AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents WHERE doc_id < 50)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS INTEGER) AS n_shared,
+              CAST(len(list_distinct(a.toks || b.toks)) AS INTEGER) AS n_union,
+              array_to_string(list_sort(list_intersect(list_distinct(a.toks), list_distinct(b.toks)))[1:5], ' ')
+                  AS shared_head
+       FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id""",
+)
+def ext_array_funcs(spark, sf_dir):
+    """Array-function battery: distinct/intersect/union-distinct/sort/slice
+    over token arrays of adjacent documents — all higher-order JVM
+    expressions inside codegen, no UDFs."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    joined = a.join(F.broadcast(b), F.col("id_a") + 1 == F.col("id_b"))
+    inter = F.array_intersect("toks_a", "toks_b")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.size(inter).alias("n_shared"),
+        F.size(F.array_distinct(F.concat("toks_a", "toks_b"))).alias("n_union"),
+        F.concat_ws(" ", F.slice(F.array_sort(inter), 1, 5)).alias("shared_head"),
+    )
