@@ -2443,3 +2443,42 @@ def ext_array_funcs(spark, sf_dir):
         F.size(F.array_distinct(F.concat("toks_a", "toks_b"))).alias("n_union"),
         F.concat_ws(" ", F.slice(F.array_sort(inter), 1, 5)).alias("shared_head"),
     )
+
+
+@register(
+    "ext_resample_gapfill",
+    """WITH hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n
+         FROM events WHERE user_id < 20 GROUP BY 1, 2),
+       spans AS (
+         SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY user_id),
+       grid AS (
+         SELECT s.user_id, CAST(g.h AS TIMESTAMP) AS hr
+         FROM spans s, UNNEST(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS g(h))
+       SELECT grid.user_id, CAST(grid.hr AS VARCHAR) AS hour,
+              COALESCE(hourly.n, 0) AS n_events
+       FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND grid.hr = hourly.hr""",
+)
+def ext_resample_gapfill(spark, sf_dir):
+    """Time-series resampling with gap fill: hourly event counts per user,
+    with EVERY hour in each user's [first, last] span present (missing hours
+    = 0). The dense grid comes from sequence()+explode — generated, not
+    stored; the left join back is per-user co-partitioned. The canonical
+    prep step for windowed models over sparse event streams."""
+    ev = filter_(events_table(spark, sf_dir), F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("user_id").agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+    )
+    return (
+        grid.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            F.col("hr").cast("string").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )

@@ -77,3 +77,30 @@ def test_stateful_running_totals_stream(spark, tmp_path):
     batch = running_totals_stateful(df, key_col="user_id")
     brows = {r.user_id: (r.n_events, r.total) for r in batch.collect()}
     assert brows == rows
+
+
+def test_compact_small_files(spark, tmp_path):
+    from sql_query_engine_rs_spark.sources import compact
+
+    src = str(tmp_path / "shattered")
+    out = str(tmp_path / "compacted")
+    df = spark.range(10000).selectExpr("id", "id % 7 AS k", "md5(CAST(id AS STRING)) AS payload")
+    df.repartition(64).write.parquet(src)   # 64 tiny files
+    n_files = compact(spark, src, out, target_mb=512)
+    assert n_files < 8
+    assert spark.read.parquet(out).count() == 10000
+
+
+def test_compact_range_clustering_prunes(spark, tmp_path):
+    """Range-clustered output: each file covers a narrow id range, so the
+    min/max stats make a point filter touch ~1 row group."""
+    from sql_query_engine_rs_spark.sources import compact
+
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "out2")
+    spark.range(20000).selectExpr("id", "md5(CAST(id AS STRING)) AS payload") \
+        .repartition(32).write.parquet(src)
+    compact(spark, src, out, target_mb=1, sort_cols=["id"])
+    got = spark.read.parquet(out)
+    assert got.filter("id = 12345").count() == 1
+    assert got.count() == 20000
