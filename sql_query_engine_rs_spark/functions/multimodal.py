@@ -143,3 +143,53 @@ def frame_sample(df: DataFrame, id_col: str = "item_id", payload_col: str = "pay
             yield pd.DataFrame(rows, columns=["item_id", "frame_idx", "frame_ts_ms", "frame_payload"])
 
     return df.mapInPandas(sample_batches, out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+    window_ms: int = 500,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Audio feature extraction — STUB codec, real batch plumbing.
+
+    Emits one row per analysis window: (item_id, window_idx, start_ms, rms,
+    zero_crossings). The stub treats the payload as signed 8-bit PCM mono at
+    ``sample_rate`` (real deployment: soundfile/librosa decode). The kernel
+    is numpy-vectorized over the whole clip — the batch shape to copy when
+    swapping in a real codec: per-ROW Python loops are the anti-pattern,
+    per-BATCH vectorized kernels are the contract.
+    """
+    out_schema = StructType(
+        [
+            StructField("item_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField("start_ms", LongType()),
+            StructField("rms", FloatType()),
+            StructField("zero_crossings", IntegerType()),
+        ]
+    )
+    spw = max(1, sample_rate * window_ms // 1000)  # samples per window
+
+    def feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("item_id", "window_idx", "start_ms", "rms", "zero_crossings")}
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float32) / 128.0
+                n_win = max(1, len(pcm) // spw)
+                for w in range(n_win):
+                    seg = pcm[w * spw : (w + 1) * spw]
+                    if len(seg) == 0:
+                        seg = np.zeros(1, dtype=np.float32)
+                    out["item_id"].append(int(item_id))
+                    out["window_idx"].append(w)
+                    out["start_ms"].append(w * window_ms)
+                    out["rms"].append(float(np.sqrt(np.mean(seg * seg))))
+                    out["zero_crossings"].append(int(np.sum(np.signbit(seg[1:]) != np.signbit(seg[:-1]))))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feature_batches, out_schema)

@@ -2482,3 +2482,16 @@ def ext_resample_gapfill(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register("pipe_audio_features", None)  # mapInPandas fan-out: not SQL-expressible
+def pipe_audio_features(spark, sf_dir):
+    """Audio-modality plumbing: documents' text bytes as stand-in PCM
+    payloads → numpy-vectorized mapInPandas windowed RMS/zero-crossing
+    features, one row per 500ms window (the 1→N fan-out shape)."""
+    from sql_query_engine_rs_spark.functions.multimodal import audio_features
+
+    d = docs_parallel(spark, sf_dir).select(
+        F.col("doc_id").alias("item_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return audio_features(d, window_ms=50)

@@ -344,3 +344,19 @@ def test_stratified_sample_exact_sizes(spark, sf_dir):
         .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {s: math.ceil(n * 0.3) for s, n in full.items()}
+
+
+def test_audio_features_windows(spark):
+    from sql_query_engine_rs_spark.functions.multimodal import audio_features
+
+    # 8000 samples @8kHz = 1s = two 500ms windows; constant +64 -> rms 0.5, 0 crossings
+    clip = bytes([64]) * 8000
+    # alternating +64/-64 -> rms 0.5, crossings = len-1
+    alt = bytes([64, 192] * 4000)
+    df = spark.createDataFrame([(1, bytearray(clip)), (2, bytearray(alt))],
+                               "item_id long, payload binary")
+    rows = {(r.item_id, r.window_idx): r for r in audio_features(df).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    assert abs(rows[(1, 0)].rms - 0.5) < 1e-6
+    assert rows[(1, 0)].zero_crossings == 0
+    assert rows[(2, 1)].zero_crossings == 3999
