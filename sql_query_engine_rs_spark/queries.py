@@ -2495,3 +2495,18 @@ def pipe_audio_features(spark, sf_dir):
         F.col("doc_id").alias("item_id"), F.encode("text", "utf-8").alias("payload")
     )
     return audio_features(d, window_ms=50)
+
+
+@register(
+    "ext_global_sort",
+    """SELECT c_custkey, c_acctbal FROM customer
+       WHERE c_nationkey = 3 ORDER BY c_acctbal DESC, c_custkey""",
+)
+def ext_global_sort(spark, sf_dir):
+    """Full ORDER BY (no LIMIT): plans as range-partitioned Exchange +
+    per-partition sort — the scalable total order (sampled range bounds, no
+    single-node sort). Distinct from top-k, which never totally sorts."""
+    c = filter_(t(spark, sf_dir, "customer"), F.col("c_nationkey") == 3)
+    return c.select("c_custkey", "c_acctbal").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )

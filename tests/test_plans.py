@@ -99,3 +99,12 @@ def test_grouping_sets_single_expand(spark, sf_dir):
     simple = explain_str(QUERIES["ext_grouping_sets"].build(spark, sf_dir), "simple")
     assert simple.count("Expand") == 1
     assert simple.count("Scan parquet") == 1
+
+
+def test_global_sort_is_range_partitioned(spark, sf_dir):
+    """Total order must come from rangepartitioning + local sorts, never a
+    single-partition global sort."""
+    df = QUERIES["ext_global_sort"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "rangepartitioning" in simple
+    assert "TakeOrdered" not in simple
