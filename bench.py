@@ -78,6 +78,20 @@ def main() -> None:
 
     _one = pandas_udf(lambda s: s * 0 + 1, "long")
     spark.range(64).repartition(int(CPUS)).select(_one("id")).collect()
+    # Expression-class warmup: regex, split, higher-order transforms, md5,
+    # explode — first use of each pays ~1-2s of janino/JIT compile that would
+    # otherwise land on whichever query happens to use it first.
+    from pyspark.sql import functions as F
+
+    warm = spark.range(8).select(F.concat(F.lit("a b c d "), F.col("id").cast("string")).alias("t"))
+    warm.select(
+        F.explode(
+            F.transform(
+                F.filter(F.split(F.regexp_replace(F.lower(F.col("t")), r"\s+", " "), " "), lambda x: x != F.lit("")),
+                lambda x: F.substring(F.md5(x), 1, 4),
+            )
+        ).alias("h")
+    ).groupBy("h").count().collect()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -127,21 +127,36 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- MinHash-LSH
 
-def _minhash_component(shingles: Column, seed: int) -> Column:
-    """One MinHash permutation: min over shingles of md5(seed || shingle).
+def _minhash_digests(shingles: Column, block: int) -> Column:
+    """array<string> of md5 hex digests for one 8-component block.
 
-    md5-as-permutation keeps the signature engine-portable (the DuckDB oracle
-    reproduces it exactly); lexicographic min over hex strings is a valid
-    uniform min-hash.
+    Block 0 hashes the shingle raw; block b>0 salts with ``"{b}:"`` so every
+    block of 8 components draws from an independent digest. One digest serves
+    8 components (4 hex chars each) — 8x fewer hash computations than
+    hash-per-component, and the same construction is plain ANSI SQL
+    (``substr(md5(g), pos, 4)``) for the DuckDB oracle.
     """
-    return F.array_min(F.transform(shingles, lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t))))
+    if block == 0:
+        return F.transform(shingles, lambda g: F.md5(g))
+    return F.transform(shingles, lambda g: F.md5(F.concat(F.lit(f"{block}:"), g)))
+
+
+def _minhash_component_from_digests(digests: Column, slot: int) -> Column:
+    """MinHash component ``slot`` (0..7) of a digest block: min over shingles
+    of hex chars [4*slot, 4*slot+4). Lexicographic min over fixed-width hex
+    substrings is a valid uniform min-hash on a 16-bit domain."""
+    return F.array_min(F.transform(digests, lambda h: F.substring(h, slot * 4 + 1, 4)))
 
 
 def minhash_signature(text: Column, num_hashes: int = 8, ngram: int = 3) -> Column:
     """array<string> MinHash signature over distinct word n-gram shingles of
     the normalized text (ngram=1 → plain token set)."""
     shingles = token_ngrams(normalized_text(text), ngram)
-    return F.array(*[_minhash_component(shingles, i) for i in range(num_hashes)])
+    comps = []
+    for i in range(num_hashes):
+        digests = _minhash_digests(shingles, i // 8)
+        comps.append(_minhash_component_from_digests(digests, i % 8))
+    return F.array(*comps)
 
 
 def minhash_lsh_candidates(
@@ -163,21 +178,39 @@ def minhash_lsh_candidates(
 
     Output: (id_a, id_b, jaccard_sim), id_a < id_b, deduplicated across bands.
 
-    Plan shape (matters at 100 TB): the expensive signature expression is
-    materialized ONCE into a persisted (id, band_key) frame — two short rows
-    per doc — instead of being recomputed on both sides of the self-join.
-    Candidate ids then join back to a map-only (id, grams) frame for the
-    exact-Jaccard verify, so full shingle arrays are only shuffled for the
-    (tiny) candidate set plus one hash-partitioning of the grams frame.
+    Plan shape (matters at 100 TB): the tokenize→shingle pass runs ONCE into
+    a persisted (id, grams) frame feeding three consumers — signature build
+    and both sides of the exact-Jaccard verify. Signatures slice one md5
+    digest per shingle into 8 components (cheap enough to recompute on each
+    side of the band self-join straight off the cache). Full shingle arrays
+    are only shuffled for the (tiny) candidate set plus one hash-partitioning
+    of the grams frame.
     """
     rows_per_band = num_hashes // bands
     base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    # Persisted: the shingle arrays feed three consumers (signature build and
+    # both sides of the exact-Jaccard verify). One tokenize+shingle pass,
+    # serialized MEMORY_AND_DISK, beats recomputing the regex pipeline per
+    # consumer — the standard trade in production text-dedup pipelines.
     grams_df = base.select(
         "_id", token_ngrams(normalized_text(F.col("_text")), ngram).alias("_grams")
-    )
-    sig = grams_df.select(
+    ).persist()
+    # Digest arrays live in their own projection: each md5 array feeds 8
+    # substring-min components, and Catalyst's CollapseProject keeps the
+    # multiply-referenced non-cheap transform from being inlined 8x.
+    n_blocks = (num_hashes + 7) // 8
+    digs_df = grams_df.select(
         "_id",
-        F.array(*[_minhash_component(F.col("_grams"), i) for i in range(num_hashes)]).alias("_sig"),
+        *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
+    )
+    sig = digs_df.select(
+        "_id",
+        F.array(
+            *[
+                _minhash_component_from_digests(F.col(f"_digs{i // 8}"), i % 8)
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
     )
     banded = sig.select(
         "_id",
@@ -187,7 +220,7 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("_band_key"),
-    ).persist()
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on="_band_key")

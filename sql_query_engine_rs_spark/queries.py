@@ -767,9 +767,13 @@ def pipe_ngram_jaccard(spark, sf_dir):
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8) -> str:
     rows = num_hashes // bands
-    comps = ",\n               ".join(
-        f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS h{i}" for i in range(num_hashes)
-    )
+    # component i = min over shingles of hex chars [4*(i%8), 4*(i%8)+4) of the
+    # block-(i//8) digest (block 0 unsalted) — mirrors dedup._minhash_digests
+    def _comp(i: int) -> str:
+        arg = "g" if i // 8 == 0 else f"'{i // 8}:' || g"
+        return f"list_min(list_transform(grams, g -> substr(md5({arg}), {(i % 8) * 4 + 1}, 4))) AS h{i}"
+
+    comps = ",\n               ".join(_comp(i) for i in range(num_hashes))
     band_keys = ",\n               ".join(
         "concat_ws('|', '%d', %s) AS b%d" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)), b)
         for b in range(bands)
