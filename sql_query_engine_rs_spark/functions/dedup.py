@@ -317,6 +317,96 @@ def simhash_candidates(
     return pairs
 
 
+def simhash_bits_from_digests(digests: Column, nibbles: int = 32) -> Column:
+    """Portable SimHash signature as a ``nibbles``-char bitstring.
+
+    Bit i's vote per token: +1 when hex nibble i of the token's md5 digest
+    has its top bit set (hex char >= '8' — digits sort before letters in
+    ASCII so the comparison is exact), -1 otherwise; signature char i is '1'
+    iff the summed vote is positive. Unlike xxhash64-based ``simhash64``
+    this construction is plain ANSI SQL (substr over md5 hex), so the DuckDB
+    oracle reproduces it bit for bit.
+    """
+
+    def vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, i, 1) >= F.lit("8"), 1
+        ).otherwise(-1)
+
+    bits = [
+        F.when(F.aggregate(digests, F.lit(0), vote(i)) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(1, nibbles + 1)
+    ]
+    return F.concat(*bits)
+
+
+def simhash_md5_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nibbles: int = 32,
+    band_chars: int = 16,
+    max_hamming: int | None = 3,
+    ngram: int = 3,
+) -> DataFrame:
+    """Oracle-portable SimHash near-dup pairs: 32-bit md5-nibble signature
+    over word ``ngram`` shingles, bands of ``band_chars`` bitstring chars
+    generate candidates, Hamming cut filters to true near-dups. Same
+    banding/verify shape as ``simhash_candidates`` (the xxhash64 fast path);
+    see that docstring for the recall argument. Shingles (not unigrams) are
+    the feature set: on low-entropy corpora shared vocabulary makes unigram
+    votes collapse to near-identical signatures. Output: (id_a, id_b, hamming).
+
+    Scale shape: signature build is map-only off one persisted (id, sig)
+    frame; the self-join shuffles only (id, sig, band_key) rows.
+    """
+    n_bands = nibbles // band_chars
+    base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    # digests materialized in their own projection: the array feeds `nibbles`
+    # vote folds; CollapseProject keeps the md5 transform from inlining 32x
+    digs = base.select(
+        "_id",
+        F.transform(
+            token_ngrams(normalized_text(F.col("_text")), ngram), lambda t: F.md5(t)
+        ).alias("_digs"),
+    )
+    sig = digs.select(
+        "_id", simhash_bits_from_digests(F.col("_digs"), nibbles).alias("_sig")
+    ).persist()
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "|", F.lit(str(b)), F.substring("_sig", b * band_chars + 1, band_chars)
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("_band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(nibbles)),
+            lambda i: F.col("a._sig").substr(i, F.lit(1)) != F.col("b._sig").substr(i, F.lit(1)),
+        )
+    )
+    pairs = (
+        a.join(b, on="_band_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if max_hamming is not None:
+        pairs = pairs.filter(F.col("hamming") <= max_hamming)
+    return pairs
+
+
 # ---------------------------------------------------------------- embedding near-dup
 
 def embedding_cosine_dups(

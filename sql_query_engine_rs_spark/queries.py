@@ -806,11 +806,42 @@ def pipe_minhash_lsh(spark, sf_dir):
     )
 
 
-@register("pipe_simhash", None)  # xxhash64-based: not expressible in DuckDB
+def _simhash_oracle(nibbles: int = 32, band_chars: int = 16, max_hamming: int = 3) -> str:
+    # bit i votes +1 per token whose md5 nibble i has its top bit set (hex
+    # char >= '8'); mirrors dedup.simhash_bits_from_digests exactly
+    votes = ",\n                ".join(
+        "CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN substr(x, %d, 1) >= '8'"
+        " THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END" % i
+        for i in range(1, nibbles + 1)
+    )
+    n_bands = nibbles // band_chars
+    band_keys = ", ".join(
+        f"concat('{b}|', substr(sig, {b * band_chars + 1}, {band_chars})) AS b{b}"
+        for b in range(n_bands)
+    )
+    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(n_bands))
+    ham = (
+        f"CAST(len(list_filter(range(1, {nibbles + 1}), "
+        "i -> substr(a.sig, i, 1) != substr(b.sig, i, 1))) AS INT)"
+    )
+    return f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
+        h AS (SELECT doc_id, list_transform(grams, t -> md5(t)) AS hs FROM g),
+        s AS (SELECT doc_id, concat({votes}) AS sig FROM h),
+        banded AS (SELECT doc_id, sig, {band_keys} FROM s)
+        SELECT * FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, {ham} AS hamming
+          FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+        ) WHERE hamming <= {max_hamming}"""
+
+
+@register("pipe_simhash", _simhash_oracle())
 def pipe_simhash(spark, sf_dir):
-    """SimHash-banded near-dup candidates (Hamming blocking). Validated in
-    pytest against a Python reference implementation of the same construction."""
-    return D.simhash_candidates(t(spark, sf_dir, "documents"), band_bits=16)
+    """SimHash-banded near-dup pairs (Hamming blocking + cut), md5-nibble
+    construction so the DuckDB oracle reproduces the bits exactly. The
+    xxhash64 fast path (``dedup.simhash_candidates``) computes the same
+    shape ~2x faster and is validated in pytest against a Python reference."""
+    return D.simhash_md5_candidates(t(spark, sf_dir, "documents"))
 
 
 def _cosine_sql(a: str, b: str) -> str:
