@@ -20,6 +20,8 @@ Scale design
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -71,39 +73,60 @@ def brute_force_topk(
 
 # ------------------------------------------------------------ LSH scale path
 
-def _plane_coeff(plane: int, dim_idx: Column) -> Column:
-    """Deterministic ±1 coefficient for (plane, dimension) — parity of a
-    cheap integer hash. Stateless: recomputable on any executor."""
-    h = F.hash(F.lit(plane), dim_idx)
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def hyperplane_coeffs(num_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplane coefficient matrix: coefficient (p, i) is +1 iff the
+    top bit of md5("p:i")'s first hex nibble is set.
+
+    The planes are pure functions of (plane index, dimension index), so they
+    are computed ONCE driver-side and compiled into the plan as literal
+    arrays — zero per-row hashing, and nothing to broadcast or store. Any
+    engine reproduces them from the same public construction (the DuckDB
+    oracle embeds the identical literals), unlike a Murmur3-seeded variant.
+    """
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
 
 
-def random_hyperplane_signature(vec: Column, num_planes: int = 8) -> Column:
+def random_hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
     """Sign-LSH signature: bit b = sign(vec · plane_b) with ±1-coefficient
-    hyperplanes. Returns an int bucket id in [0, 2^num_planes)."""
-    def plane_sign(p: int) -> Column:
+    hyperplanes (literal matrix, see ``hyperplane_coeffs``). ``dim`` must
+    equal the vector length. Returns an int bucket id in [0, 2^num_planes).
+
+    Cross-engine note: the projection is a left fold in array order starting
+    at 0.0 — DuckDB's ``list_reduce`` reproduces the identical rounding
+    sequence, so the sign (hence the bucket) matches bit for bit. Products
+    are exact (±1 × a float32-exact double), leaving summation order as the
+    only rounding source.
+    """
+    vd = vec.cast("array<double>")
+
+    def plane_sign(p: int, coeffs: list[float]) -> Column:
+        plane = F.array(*[F.lit(c) for c in coeffs])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda i: _plane_coeff(p, i)),
-                lambda x, c: x * c,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(vd, plane, lambda x, c: x * c), F.lit(0.0), lambda acc, x: acc + x
         )
         return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
 
     sig = F.lit(0)
-    for p in range(num_planes):
-        sig = sig + plane_sign(p)
+    for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim)):
+        sig = sig + plane_sign(p, coeffs)
     return sig
 
 
 def random_hyperplane_buckets(
-    df: DataFrame, vec_col: str = "embedding", num_planes: int = 8, bucket_col: str = "bucket"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    bucket_col: str = "bucket",
+    dim: int = 64,
 ) -> DataFrame:
     """Attach the sign-LSH bucket id (map-only)."""
-    return df.withColumn(bucket_col, random_hyperplane_signature(F.col(vec_col), num_planes))
+    return df.withColumn(bucket_col, random_hyperplane_signature(F.col(vec_col), num_planes, dim))
 
 
 def lsh_topk(

@@ -885,10 +885,44 @@ def pipe_embedding_near_dup(spark, sf_dir):
     return D.embedding_cosine_dups(t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
-@register("pipe_ann_lsh", None)  # murmur3-based plane hashing: Spark-specific
+def _lsh_bucket_sql(col: str, num_planes: int, dim: int = 64) -> str:
+    """Sign-LSH bucket id in SQL with the SAME literal ±1 plane matrix the
+    Spark side compiles in (similarity.hyperplane_coeffs). list_reduce folds
+    the products left-to-right exactly like Spark's aggregate(0.0, +), so
+    the projection — and therefore the bucket — matches bit for bit."""
+    from sql_query_engine_rs_spark.functions.similarity import hyperplane_coeffs
+
+    terms = []
+    for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim)):
+        lst = "[" + ", ".join(("1.0" if c > 0 else "-1.0") for c in coeffs) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lst})[i]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "pipe_ann_lsh",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 4)} AS bucket
+                     FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bkt WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 FLOOR(({_cosine_sql('q.qv', 'e.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+          FROM bkt e JOIN q ON e.bucket = q.bucket AND e.vec_id != q.query_id)
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+          FROM scored) r
+        WHERE rank <= 5""",
+)
 def pipe_ann_lsh(spark, sf_dir):
     """Sign-LSH approximate top-k — the 2^planes-fold-cheaper scale path.
-    Recall vs brute force is asserted in pytest."""
+    Literal md5-derived plane matrix makes the buckets engine-portable, so
+    the DuckDB oracle reproduces candidates AND ranks exactly; recall vs
+    brute force is additionally asserted in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
 
@@ -1626,12 +1660,21 @@ def ext_tpch_q4(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
-@register("pipe_embedding_dedup_lsh", None)  # murmur3-based buckets: Spark-specific
+@register(
+    "pipe_embedding_dedup_lsh",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 2)} AS bucket
+                     FROM embeddings)
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+        FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 >= 0.45""",
+)
 def pipe_embedding_dedup_lsh(spark, sf_dir):
     """LSH-bucketed embedding near-dup — the 100 TB path for
     pipe_embedding_near_dup: pairs only form inside sign-LSH buckets, so the
-    join is bucket-local instead of a global cross join. Recall vs the exact
-    operator is pinned in pytest."""
+    join is bucket-local instead of a global cross join. Portable literal
+    plane matrix → full DuckDB oracle; recall vs the exact operator is
+    additionally pinned in pytest."""
     from sql_query_engine_rs_spark.functions.dedup import embedding_cosine_dups_lsh
 
     return embedding_cosine_dups_lsh(t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=2)
