@@ -317,6 +317,43 @@ def simhash_candidates(
     return pairs
 
 
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of distinct word
+    ``ngram`` shingles it shares with ANY benchmark document — the standard
+    guard against evaluation data leaking into training corpora.
+
+    Scale shape: the benchmark side reduces to DISTINCT md5(shingle) hashes
+    (32-byte keys, no text) — even a million benchmark docs fit a broadcast,
+    so the corpus probe is a map-side broadcast hash join with NO shuffle of
+    corpus text; the only shuffle is the per-doc hit-count aggregation of
+    matched (id, hash) pairs. Output: (<id_col>, n_hits), contaminated docs
+    only; anti-join the result against the corpus to keep the clean set.
+    """
+    bench_hashes = (
+        benchmark.select(
+            F.explode(token_ngrams(normalized_text(F.col(text_col)), ngram)).alias("_g")
+        )
+        .select(F.md5("_g").alias("_h"))
+        .distinct()
+    )
+    corpus_hashes = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(token_ngrams(normalized_text(F.col(text_col)), ngram)).alias("_g"),
+    ).select("_id", F.md5("_g").alias("_h"))
+    return (
+        corpus_hashes.join(F.broadcast(bench_hashes), "_h")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("_id").alias(id_col), "n_hits")
+    )
+
+
 def simhash_bits_from_digests(digests: Column, nibbles: int = 32) -> Column:
     """Portable SimHash signature as a ``nibbles``-char bitstring.
 

@@ -151,6 +151,22 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def ngram_repetition(text: Column, n: int) -> Column:
+    """Fraction of repeated word ``n``-grams — ``1 - distinct/total`` over
+    the (non-distinct) shingle sequence; 0.0 for docs shorter than ``n``
+    tokens. The Rae et al. (Gopher) repetition signal: high values mark
+    boilerplate/spam that per-token quality scores miss. Map-only."""
+    toks = tokens(normalized_text(text))
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.when(
+        F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    return F.when(
+        total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    ).otherwise(F.lit(0.0))
+
+
 def char_shingle_sketch(text: Column, k: int = 5, sketch_size: int = 4) -> Column:
     """Winnowing-style document sketch: the ``sketch_size`` smallest md5
     hashes of the character ``k``-grams of the normalized text.

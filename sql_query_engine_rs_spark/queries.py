@@ -1317,6 +1317,72 @@ def pipe_quality_filter(spark, sf_dir):
     ).select("doc_id", "quality")
 
 
+def _grams_sql_n(n: int, distinct: bool = True) -> str:
+    """Word n-gram list over a ``toks`` column in DuckDB SQL — the general-n
+    version of _GRAMS_SQL; ``distinct=False`` keeps the raw shingle sequence
+    (repetition metrics need multiplicity)."""
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    inner = f"list_transform(range(1, len(toks)-{n}+2), i -> concat_ws(' ', {parts}))"
+    if distinct:
+        inner = f"list_distinct({inner})"
+    return f"CASE WHEN len(toks) >= {n} THEN {inner} ELSE [] END"
+
+
+def _rep_sql(n: int) -> str:
+    grams = _grams_sql_n(n, distinct=False)
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"1.0 - len(list_distinct({grams})) / len({grams}) ELSE 0.0 END"
+    )
+
+
+@register(
+    "pipe_repetition_score",
+    f"""SELECT doc_id,
+               FLOOR(({_rep_sql(2)}) * 1000000 + 0.5) / 1000000 AS rep2,
+               FLOOR(({_rep_sql(3)}) * 1000000 + 0.5) / 1000000 AS rep3
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) d""",
+)
+def pipe_repetition_score(spark, sf_dir):
+    """Gopher-style repetition signals: fraction of duplicated word 2-grams
+    and 3-grams per document — the boilerplate/spam marker that per-token
+    quality scores miss. Map-only; pairs with pipe_quality_filter as a
+    corpus gate."""
+    d = docs_parallel(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        pround(T.ngram_repetition(F.col("text"), 2), 6).alias("rep2"),
+        pround(T.ngram_repetition(F.col("text"), 3), 6).alias("rep3"),
+    )
+
+
+@register(
+    "pipe_decontaminate",
+    f"""WITH bench AS (
+          SELECT DISTINCT md5(g) AS h FROM (
+            SELECT unnest({_grams_sql_n(5)}) AS g
+            FROM (SELECT {_TOKS_SQL} AS toks FROM documents WHERE source = 'src0') b) bg),
+        corpus AS (
+          SELECT doc_id, md5(g) AS h FROM (
+            SELECT doc_id, unnest({_grams_sql_n(5)}) AS g
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE source != 'src0') c) cg)
+        SELECT corpus.doc_id, count(*) AS n_hits
+        FROM corpus JOIN bench ON corpus.h = bench.h
+        GROUP BY corpus.doc_id""",
+)
+def pipe_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (source != src0) sharing any
+    distinct word 5-gram with the benchmark set (source = src0), with the
+    shared-shingle count. The benchmark reduces to a broadcast set of md5
+    hashes — no corpus shuffle; see dedup.decontaminate_hits."""
+    d = t(spark, sf_dir, "documents")
+    return D.decontaminate_hits(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        ngram=5,
+    )
+
+
 # =====================================================================
 # Extension surface, batch 3: lateral/explode, regex, null-handling,
 # fuzzy matching, streaming-executed entry, UDF alternate paths

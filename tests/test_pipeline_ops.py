@@ -188,6 +188,45 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
         assert len(lsh & exact) / len(exact) > 0.3
 
 
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc embedding a verbatim benchmark sentence must be flagged
+    with the exact shared-shingle count; clean docs must not appear."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text the quick brown fox jumps over the lazy dog outro"),
+            (2, "completely unrelated words about spark partitions and shuffles"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in D.decontaminate_hits(corpus, bench, ngram=5).collect()}
+    # benchmark has 5 distinct 5-grams, all present verbatim in doc 1
+    assert hits == {1: 5}
+
+
+def test_ngram_repetition_known_values(spark):
+    from sql_query_engine_rs_spark.functions.text import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words here differ"),
+            (3, "x"),             # shorter than n -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.rep
+        for r in df.select("doc_id", F.round(ngram_repetition(F.col("text"), 2), 6).alias("rep")).collect()
+    }
+    assert rows[1] == round(1 - 2 / 5, 6)
+    assert rows[2] == 0.0
+    assert rows[3] == 0.0
+
+
 # ---------------------------------------------------------------- skew + bucketing
 
 def test_salted_join_matches_plain_join(spark, sf_dir):
