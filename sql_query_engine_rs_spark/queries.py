@@ -2381,6 +2381,52 @@ def stream_interval_join(spark, sf_dir):
 
 
 @register(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dedup executed as a REAL stream: readStream over events,
+    event-time watermark, ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type), availableNow drain. Within-watermark dedup is
+    what keeps an always-on stream's dedup state finite — keys expire once
+    the watermark passes them, unlike plain dropDuplicates whose state grows
+    without bound. With the whole file in one batch the result equals batch
+    DISTINCT, which is the oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="events_dd_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(sink)
+
+
+@register(
     "pipe_stratified_sample",
     """SELECT doc_id, source FROM (
          SELECT doc_id, source,
