@@ -362,11 +362,13 @@ def ext_join_broadcast(spark, sf_dir):
        GROUP BY c_mktsegment""",
 )
 def ext_join_fact(spark, sf_dir):
-    """Fact-to-dimension join + group-by. Customer broadcasts (≤ a few GB at
-    even large SF); orders streams map-side."""
+    """Fact-to-dimension join + group-by. Customer is data-proportional
+    (~SF x 150k rows), so it gets NO broadcast hint: AQE broadcasts it at
+    runtime when it is actually small and shuffle-joins at 100 TB where a
+    forced broadcast would OOM the executors."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    joined = broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return hash_agg(
         joined,
         ["c_mktsegment"],
@@ -423,14 +425,17 @@ def ext_tpch_q1(spark, sf_dir):
        ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 )
 def ext_tpch_q3(spark, sf_dir):
-    """TPC-H Q3-style shipping priority: selective dim filter → broadcast →
-    fact join → agg → top-k. o_orderdate is returned CAST to string on both
-    sides via the driver-stable timestamp rendering."""
+    """TPC-H Q3-style shipping priority: selective filters pushed to every
+    scan → joins → agg → top-k. Customer and orders are data-proportional
+    even after their filters (1/5 and ~3/4 of the table), so neither is
+    hint-broadcast — AQE picks broadcast at small SF and shuffle join at
+    100 TB. o_orderdate is returned CAST to string on both sides via the
+    driver-stable timestamp rendering."""
     c = filter_(t(spark, sf_dir, "customer"), F.col("c_mktsegment") == "BUILDING")
     o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderdate") < "1998-03-15")
     li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_shipdate") > "1996-03-15")
-    joined = broadcast_join(li, broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey")),
-                            F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = li.join(o.join(c, F.col("o_custkey") == F.col("c_custkey")),
+                     F.col("l_orderkey") == F.col("o_orderkey"))
     agg = hash_agg(
         joined,
         ["o_orderkey", "o_orderdate", "o_orderpriority"],
@@ -468,10 +473,11 @@ def ext_having(spark, sf_dir):
          AND o_totalprice > 300000""",
 )
 def ext_subquery_in(spark, sf_dir):
-    """IN-subquery (absent in reference) — planned as a left-semi join."""
+    """IN-subquery (absent in reference) — planned as a left-semi join.
+    The qualifying-customer key set is data-proportional → AQE-planned."""
     o = filter_(t(spark, sf_dir, "orders"), F.col("o_totalprice") > 300000)
     rich = filter_(t(spark, sf_dir, "customer"), F.col("c_acctbal") > 9000).select("c_custkey")
-    return o.join(F.broadcast(rich), F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
+    return o.join(rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
         "o_orderkey", "o_totalprice"
     )
 
@@ -548,10 +554,11 @@ def ext_except(spark, sf_dir):
 )
 def ext_window_rank(spark, sf_dir):
     """Window function row_number: per-segment top-3 orders (absent in
-    reference). Per-group top-k via window — one shuffle on the partition key."""
+    reference). Per-group top-k via window — one shuffle on the partition
+    key. customer is data-proportional → AQE-planned join."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    joined = broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+    joined = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return per_group_top_k(
         joined.select("c_mktsegment", "o_orderkey", "o_totalprice"),
         ["c_mktsegment"],
@@ -1169,11 +1176,12 @@ def ext_cube(spark, sf_dir):
 )
 def ext_pivot(spark, sf_dir):
     """PIVOT: order-status counts per market segment as columns. Spark's
-    pivot emits NULL for empty cells; coalesce to 0 to match COUNT(CASE)."""
+    pivot emits NULL for empty cells; coalesce to 0 to match COUNT(CASE).
+    customer is data-proportional → AQE-planned join, no hint."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     piv = (
-        broadcast_join(o, c, F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
@@ -1590,8 +1598,11 @@ def ext_tpch_q6(spark, sf_dir):
        GROUP BY n_name""",
 )
 def ext_tpch_q5(spark, sf_dir):
-    """TPC-H Q5 local-supplier-volume: the 6-table join. All dimension sides
-    broadcast; only lineitem⋈orders is a real (AQE-managed) join."""
+    """TPC-H Q5 local-supplier-volume: the 6-table join. Broadcast hints only
+    on the BOUNDED dims (nation = 25 rows, region = 5 rows at every SF);
+    customer/orders/supplier are data-proportional, so AQE chooses their
+    join strategy — broadcast at small SF, shuffle join at 100 TB where a
+    forced broadcast of a year of orders would OOM every executor."""
     c = t(spark, sf_dir, "customer")
     o = filter_(
         t(spark, sf_dir, "orders"),
@@ -1602,10 +1613,10 @@ def ext_tpch_q5(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = filter_(t(spark, sf_dir, "region"), F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1982,22 +1993,31 @@ def pipe_dup_clusters(spark, sf_dir):
 )
 def ext_tpch_q7(spark, sf_dir):
     """TPC-H Q7 volume shipping: the same dimension table (nation) joined
-    twice under different roles. Both nation sides broadcast; the only real
-    shuffle is lineitem⋈orders (AQE-planned)."""
+    twice under different roles. Only the two (bounded, 25-row) nation sides
+    carry broadcast hints — and each is pre-filtered to the two nations of
+    interest, so the broadcast hash join semi-reduces supplier and customer
+    (and through them lineitem) before any shuffle. orders/customer/supplier
+    are data-proportional: AQE picks their strategy. The residual pair
+    filter keeps only the two asymmetric combinations."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    nations = ["NATION_1", "NATION_2"]
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
     joined = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -2035,8 +2055,10 @@ def ext_tpch_q7(spark, sf_dir):
 )
 def ext_tpch_q8(spark, sf_dir):
     """TPC-H Q8 national market share: conditional aggregation over an
-    8-way join (nation twice). All dims broadcast; ratio computed after a
-    single grouped pass (two conditional sums, one shuffle)."""
+    8-way join (nation twice). Broadcast hints only on nation/region (bounded
+    at every SF); part — even type-filtered — plus orders/customer/supplier
+    grow with the data, so AQE owns their join strategy. Ratio computed
+    after a single grouped pass (two conditional sums, one shuffle)."""
     p = filter_(t(spark, sf_dir, "part"), F.col("p_type") == "ECONOMY")
     li = t(spark, sf_dir, "lineitem")
     o = filter_(
@@ -2053,12 +2075,12 @@ def ext_tpch_q8(spark, sf_dir):
     )
     r = filter_(t(spark, sf_dir, "region"), F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -2088,8 +2110,10 @@ def ext_tpch_q8(spark, sf_dir):
        ORDER BY revenue DESC, c_custkey LIMIT 20""",
 )
 def ext_tpch_q10(spark, sf_dir):
-    """TPC-H Q10 returned-item reporting: selective fact filters, broadcast
-    dims, top-20 via TakeOrderedAndProject (no global sort)."""
+    """TPC-H Q10 returned-item reporting: selective fact filters, bounded
+    nation dim broadcast (orders/customer stay AQE-planned — a quarter of
+    orders is still data-proportional), top-20 via TakeOrderedAndProject
+    (no global sort)."""
     li = filter_(t(spark, sf_dir, "lineitem"), F.col("l_returnflag") == "R")
     o = filter_(
         t(spark, sf_dir, "orders"),
@@ -2098,8 +2122,8 @@ def ext_tpch_q10(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     joined = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = hash_agg(
@@ -2152,8 +2176,10 @@ def ext_tpch_q13(spark, sf_dir):
          AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
 )
 def ext_tpch_q14(spark, sf_dir):
-    """TPC-H Q14 promotion effect: global conditional-ratio aggregate; part
-    broadcasts, lineitem's shipdate range prunes before the join."""
+    """TPC-H Q14 promotion effect: global conditional-ratio aggregate;
+    lineitem's shipdate range prunes before the join. part is
+    data-proportional (SF x 200k rows) so its join is AQE-planned, not
+    hint-broadcast."""
     li = filter_(
         t(spark, sf_dir, "lineitem"),
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01"),
@@ -2161,7 +2187,7 @@ def ext_tpch_q14(spark, sf_dir):
     p = t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)).alias("_n"),
             F.sum(vol).alias("_d"),
@@ -2185,8 +2211,9 @@ def ext_tpch_q14(spark, sf_dir):
 )
 def ext_tpch_q15(spark, sf_dir):
     """TPC-H Q15 top supplier: aggregate → scalar-max subquery → equijoin
-    back. The revenue frame is computed once and reused for its own max
-    (broadcast single-row join, no second lineitem scan)."""
+    back. The revenue frame is computed once and reused for its own max;
+    only the SINGLE-ROW max frame keeps a broadcast hint (bounded by
+    construction) — supplier is data-proportional and AQE-planned."""
     li = filter_(
         t(spark, sf_dir, "lineitem"),
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"),
@@ -2198,7 +2225,7 @@ def ext_tpch_q15(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("_max"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -2215,17 +2242,19 @@ def ext_tpch_q17(spark, sf_dir):
     """TPC-H Q17 small-quantity-order revenue: the correlated aggregate
     subquery, hand-decorrelated the way Catalyst would — per-part averages
     computed once over only the brand's lineitems (the partkey equality
-    makes the restriction sound), broadcast back. One lineitem scan feeds
-    both sides via an AQE-reused exchange."""
+    makes the restriction sound), joined back. One lineitem scan feeds
+    both sides via an AQE-reused exchange. The brand-filtered part list and
+    the per-part aggregate both scale with the data (1/1000 of parts is
+    still millions of rows at 100 TB), so neither is hint-broadcast."""
     p = filter_(t(spark, sf_dir, "part"), F.col("p_brand") == "Brand#12").select("p_partkey")
     li = t(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     per_part_avg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cut")
     )
     return (
-        li.join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("_pk"))
+        li.join(per_part_avg, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qty_cut"))
         .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -2244,8 +2273,12 @@ def ext_tpch_q17(spark, sf_dir):
 )
 def ext_tpch_q18(spark, sf_dir):
     """TPC-H Q18 large-volume customers: IN-subquery over a grouped HAVING
-    → left-semi join on the fact table. The qualifying-orders set is small
-    (top ~1% of orders) so it broadcasts into both joins."""
+    → left-semi join on the fact table. The qualifying-orders set is ~1% of
+    orders — a small FRACTION but unbounded in N (GBs at 100 TB), so no
+    broadcast hints anywhere: AQE broadcasts the semi-join side at runtime
+    when it is actually small, and all three fact joins share the orderkey
+    shuffle key (one exchange reused across the semi join, the lineitem
+    join, and the final group-by)."""
     li = t(spark, sf_dir, "lineitem")
     big_orders = (
         li.groupBy("l_orderkey")
@@ -2254,12 +2287,12 @@ def ext_tpch_q18(spark, sf_dir):
         .select(F.col("l_orderkey").alias("_big_ok"))
     )
     o = t(spark, sf_dir, "orders").join(
-        F.broadcast(big_orders), F.col("o_orderkey") == F.col("_big_ok"), "left_semi"
+        big_orders, F.col("o_orderkey") == F.col("_big_ok"), "left_semi"
     )
     c = t(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
         .agg(r2(F.sum("l_quantity")).alias("total_qty"))
     )
@@ -2285,7 +2318,7 @@ def ext_tpch_q19(spark, sf_dir):
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
              & F.col("l_quantity").between(1, 11))
@@ -2311,7 +2344,9 @@ def ext_tpch_q19(spark, sf_dir):
 def ext_tpch_q22(spark, sf_dir):
     """TPC-H Q22 (adapted: nationkey for cntrycode, urgent orders for the
     order anti-set — every synthetic customer has orders): scalar subquery
-    threshold + NOT EXISTS → broadcast scalar filter + left-anti join."""
+    threshold + NOT EXISTS → broadcast scalar filter + left-anti join. Only
+    the single-row average keeps a hint; the urgent-orders key set is
+    data-proportional, so the anti join is AQE-planned."""
     c = t(spark, sf_dir, "customer")
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg"))
     urgent = (
@@ -2322,7 +2357,7 @@ def ext_tpch_q22(spark, sf_dir):
     return (
         c.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("_avg"))
-        .join(F.broadcast(urgent), F.col("c_custkey") == F.col("_uck"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("_uck"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(F.count(F.lit(1)).alias("numcust"), r2(F.sum("c_acctbal")).alias("totacctbal"))
     )
@@ -2569,7 +2604,9 @@ def pipe_chunk_documents(spark, sf_dir):
 def ext_stats_agg(spark, sf_dir):
     """Statistical aggregates (corr/covar_samp/stddev_samp/var_samp) — both
     engines implement the same sample formulas in float64. The correlated
-    order count is decorrelated into an aggregate + outer join."""
+    order count is decorrelated into an aggregate + outer join; the per-
+    customer aggregate has |customer| cardinality (data-proportional), so
+    the join carries no broadcast hint — AQE decides."""
     c = t(spark, sf_dir, "customer")
     per_cust = (
         t(spark, sf_dir, "orders")
@@ -2577,7 +2614,7 @@ def ext_stats_agg(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     enriched = (
-        c.join(F.broadcast(per_cust), F.col("c_custkey") == F.col("o_custkey"), "left")
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
         .select("c_nationkey", "c_acctbal", F.coalesce("_n", F.lit(0)).alias("n_orders"))
     )
     return enriched.groupBy("c_nationkey").agg(
