@@ -39,27 +39,54 @@ def asof_join(
     """As-of join: for each left row, the single right row with the greatest
     ``right_ts`` <= ``left_ts`` (backward) / least >= (forward), per key.
 
-    Spark has no native as-of join; this composes one from an inequality
-    join + per-left-row argmax. Rows with no match are dropped (inner-asof).
-    At scale, bound the inequality join with a coarse time-bucket equality
-    term (join on key AND bucket) so the match search is band-local instead
-    of per-key-quadratic.
+    Spark has no native as-of join; this builds one with the union-ordering
+    window — the scalable Spark shape. Both sides are tagged and unioned
+    into one frame, hash-partitioned on ``key`` and sorted by (ts, side);
+    ``last(right_ts, ignorenulls)`` over the ordered prefix attaches to
+    every left row the most recent right timestamp at-or-before it.
+
+    Cost: ONE shuffle on the key + one per-partition sort, linear in
+    |left| + |right| — unlike the naive inequality-join + argmax, which is
+    per-key quadratic (every left row pairs with every earlier right row
+    of its key before the argmax collapses them). Duplicate left rows are
+    preserved (one output row each). Rows with no match are dropped
+    (inner-asof). A single pathologically hot key serializes into one
+    task's sort — at that point pre-aggregate the right side per (key,
+    coarse time bucket) first, or salt; for typical key cardinalities the
+    window shuffle is already balanced.
 
     Output: all left columns + ``_asof_ts`` (the matched right timestamp).
     Further right columns can be recovered by joining back on
     (key, _asof_ts).
     """
-    l, r = left.alias("l"), right.alias("r")
-    if direction == "backward":
-        cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
-        pick = F.max(F.col(f"r.{right_ts}"))
-    else:
-        cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
-        pick = F.min(F.col(f"r.{right_ts}"))
+    from pyspark.sql import Window
+
+    ts_type = right.schema[right_ts].dataType
+    # _side 0 sorts right rows BEFORE left rows at equal timestamps, so an
+    # exactly-equal right_ts is visible to the left row (<= / >= semantics).
+    l = (
+        left.withColumn("_t", F.col(left_ts))
+        .withColumn("_r_ts", F.lit(None).cast(ts_type))
+        .withColumn("_side", F.lit(1))
+    )
+    r = (
+        right.select(F.col(key), F.col(right_ts).alias("_t"))
+        .withColumn("_r_ts", F.col("_t"))
+        .withColumn("_side", F.lit(0))
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("_t").asc(), F.col("_side").asc()] if direction == "backward" else [
+        F.col("_t").desc(), F.col("_side").asc()
+    ]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        l.join(r, cond)
-        .groupBy(*[F.col(f"l.{c}") for c in left.columns])
-        .agg(pick.alias("_asof_ts"))
+        merged.withColumn("_asof_ts", F.last("_r_ts", ignorenulls=True).over(w))
+        .filter((F.col("_side") == 1) & F.col("_asof_ts").isNotNull())
+        .select(*left.columns, "_asof_ts")
     )
 
 

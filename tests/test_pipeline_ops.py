@@ -132,6 +132,17 @@ def test_asof_join_forward(spark):
     assert out[0]._asof_ts == 120
 
 
+def test_asof_join_preserves_duplicate_left_rows(spark):
+    """Two identical left rows must each produce an output row (the old
+    groupBy-all-columns shape collapsed them)."""
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 100)], "event_id long, k long, ts long"
+    )
+    right = spark.createDataFrame([(10, 90)], "k long, rts long")
+    out = asof_join(left, right, "k", "ts", "rts").collect()
+    assert len(out) == 2 and all(r._asof_ts == 90 for r in out)
+
+
 # ---------------------------------------------------------------- dedup edges
 
 def test_token_ngrams_short_doc(spark):
