@@ -93,27 +93,52 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    size_blocking: bool = False,
 ) -> DataFrame:
-    """All document pairs with n-gram Jaccard >= threshold.
+    """Document pairs with n-gram Jaccard >= threshold.
 
-    ``block_col`` restricts candidate pairs to equal blocking keys (e.g. a
-    language or length bucket) — REQUIRED at scale to avoid the quadratic
-    cross join; without it this is exact all-pairs (fine for validation runs).
+    Candidate generation, most to least scalable:
+    - ``size_blocking=True`` (the default scale path for the registered
+      query): docs are bucketed by floor(log2(|shingle set|)) and pairs form
+      only across EQUAL-OR-ADJACENT buckets. J(A,B) >= t bounds the size
+      ratio |B|/|A| by 1/t, so for t >= 0.5 the two floor-log2 buckets
+      differ by at most one — the blocking has EXACT recall while replacing
+      the cross join with an equi-join (the b side fans out 3x on bucket
+      keys; candidate count collapses from N^2/2 to same-size-class pairs).
+      The bucket is computed as length(bin(size)) — pure integer/string ops
+      that DuckDB reproduces exactly (no float log whose last-ulp could
+      flip a floor at bucket boundaries).
+    - ``block_col``: caller-provided equality blocking (language, domain);
+      recall limited to within-block pairs by construction.
+    - neither: exact all-pairs cross join — validation scale ONLY.
+
+    Docs with an empty shingle set are dropped before pairing (they carry
+    no n-gram evidence; all-pairs of empty docs would otherwise emit a
+    spurious O(N^2) clique of trivial 'duplicates').
     Output: (id_a, id_b, jaccard_sim), id_a < id_b.
     """
     shingled = _ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
         token_ngrams(F.col(text_col), n).alias("_grams"),
-    )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    cond = F.col(f"a._id") < F.col("b._id")
-    if block_col:
-        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    ).filter(F.size("_grams") > 0)
+    if size_blocking:
+        shingled = shingled.withColumn("_blk", F.length(F.bin(F.size("_grams"))))
+        a = shingled.alias("a")
+        b = shingled.withColumn(
+            "_bkey", F.explode(F.array(F.col("_blk") - 1, F.col("_blk"), F.col("_blk") + 1))
+        ).alias("b")
+        joined = a.join(b, on=F.col("a._blk") == F.col("b._bkey")).filter(
+            F.col("a._id") < F.col("b._id")
+        )
+    elif block_col:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
         joined = a.join(b, on=F.col("a._blk") == F.col("b._blk")).filter(F.col("a._id") < F.col("b._id"))
     else:
-        joined = a.crossJoin(b).filter(cond)
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        joined = a.crossJoin(b).filter(F.col("a._id") < F.col("b._id"))
     sim = jaccard(F.col("a._grams"), F.col("b._grams"))
     return (
         joined.select(

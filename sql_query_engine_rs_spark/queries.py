@@ -756,20 +756,25 @@ def pipe_fingerprint_dedup(spark, sf_dir):
 @register(
     "pipe_ngram_jaccard",
     f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
-        g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d)
+        g0 AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
+        g AS (SELECT doc_id, grams, length(bin(len(grams))) AS blk
+              FROM g0 WHERE len(grams) > 0)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                FLOOR((len(list_intersect(a.grams, b.grams)) /
                      GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1)) * 10000 + 0.5) / 10000
                    AS jaccard_sim
-        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        FROM g a JOIN g b ON a.doc_id < b.doc_id AND abs(a.blk - b.blk) <= 1
         WHERE len(list_intersect(a.grams, b.grams)) /
               GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1) >= 0.8""",
 )
 def pipe_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8). All-pairs
-    at validation scale; the LSH variant below is the 100 TB path."""
+    """3-gram-shingle Jaccard near-dup pairs (threshold 0.8) with size
+    blocking: pairs form only across equal-or-adjacent floor-log2 shingle-
+    count buckets — exact recall at this threshold (J >= 0.5 bounds the
+    size ratio by 2) with an equi-join instead of the all-pairs cross join.
+    The oracle mirrors the same integer bucket (length(bin(n)))."""
     d = t(spark, sf_dir, "documents").select("doc_id", T.normalized_text(F.col("text")).alias("text"))
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, size_blocking=True)
 
 
 def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8) -> str:
