@@ -57,13 +57,20 @@ BENCH_QUERIES = [
 
 
 def run_one(spark, name: str) -> float:
+    from sql_query_engine_rs_spark.functions.caching import release_caches
+
     spec = QUERIES[name]
     t0 = time.time()
     df = spec.build(spark, SF_DIR)
     # noop sink: executes the full pipeline JVM-side without paying Python
     # row-serialization — measures the engine, not the driver transfer.
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    elapsed = time.time() - t0
+    # operator-internal caches (MinHash shingles, SimHash signatures, ...)
+    # are only live within one query's plan; release so storage memory
+    # doesn't accumulate stale blocks across the 100+ query run
+    release_caches()
+    return elapsed
 
 
 def main() -> None:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_query_engine_rs_spark.functions.caching import persist_tracked
 from sql_query_engine_rs_spark.functions.expressions import portable_round
 
 from sql_query_engine_rs_spark.functions.text import fingerprint, normalized_text, tokens
@@ -217,9 +218,15 @@ def minhash_lsh_candidates(
     # both sides of the exact-Jaccard verify). One tokenize+shingle pass,
     # serialized MEMORY_AND_DISK, beats recomputing the regex pipeline per
     # consumer — the standard trade in production text-dedup pipelines.
-    grams_df = base.select(
-        "_id", token_ngrams(normalized_text(F.col("_text")), ngram).alias("_grams")
-    ).persist()
+    # Cache lifetime: tracked; batch drivers release via caching.release_caches().
+    # Docs with no shingles are dropped up front — they carry no n-gram
+    # evidence, and an all-zero/null signature would otherwise band every
+    # short doc into one spurious O(n^2) near-dup clique (and one hot key).
+    grams_df = persist_tracked(
+        base.select(
+            "_id", token_ngrams(normalized_text(F.col("_text")), ngram).alias("_grams")
+        ).filter(F.size("_grams") > 0)
+    )
     # Digest arrays live in their own projection: each md5 array feeds 8
     # substring-min components, and Catalyst's CollapseProject keeps the
     # multiply-referenced non-cheap transform from being inlined 8x.
@@ -315,9 +322,14 @@ def simhash_candidates(
     weak candidates because common tokens dominate every signature.
     Output: (id_a, id_b, hamming)."""
     n_bands = 64 // band_bits
-    sig = _ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh")
-    ).persist()
+    # token-less docs are dropped: an empty token set votes 0 on every bit,
+    # giving all such docs the identical all-zero signature — a spurious
+    # O(n^2) hamming-0 clique and a hot band key.
+    sig = persist_tracked(
+        _ensure_parallelism(df)
+        .filter(F.size(tokens(normalized_text(F.col(text_col)))) > 0)
+        .select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    )
     mask = (1 << band_bits) - 1
     banded = sig.select(
         "_id",
@@ -425,16 +437,20 @@ def simhash_md5_candidates(
     n_bands = nibbles // band_chars
     base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
     # digests materialized in their own projection: the array feeds `nibbles`
-    # vote folds; CollapseProject keeps the md5 transform from inlining 32x
+    # vote folds; CollapseProject keeps the md5 transform from inlining 32x.
+    # Shingle-less docs are dropped BEFORE banding: their empty digest array
+    # sums every vote to 0, so they would all share the identical all-zero
+    # signature — a spurious O(n^2) hamming-0 'near-dup' clique of short
+    # docs, and one pathologically hot band key at scale.
     digs = base.select(
         "_id",
         F.transform(
             token_ngrams(normalized_text(F.col("_text")), ngram), lambda t: F.md5(t)
         ).alias("_digs"),
+    ).filter(F.size("_digs") > 0)
+    sig = persist_tracked(
+        digs.select("_id", simhash_bits_from_digests(F.col("_digs"), nibbles).alias("_sig"))
     )
-    sig = digs.select(
-        "_id", simhash_bits_from_digests(F.col("_digs"), nibbles).alias("_sig")
-    ).persist()
     banded = sig.select(
         "_id",
         "_sig",

@@ -102,8 +102,17 @@ def random_hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64)
     sequence, so the sign (hence the bucket) matches bit for bit. Products
     are exact (±1 × a float32-exact double), leaving summation order as the
     only rounding source.
+
+    A runtime guard raises on any vector whose length differs from ``dim``:
+    zip_with would null-pad the mismatch, the projection would go NULL, and
+    every plane sign would silently evaluate to 0 — collapsing all rows into
+    bucket 0 and degrading LSH to a full cross join with no error.
     """
     vd = vec.cast("array<double>")
+    guard = F.assert_true(
+        F.size(vd) == dim,
+        F.concat(F.lit(f"LSH vector length != dim={dim}: got "), F.size(vd).cast("string")),
+    )
 
     def plane_sign(p: int, coeffs: list[float]) -> Column:
         plane = F.array(*[F.lit(c) for c in coeffs])
@@ -115,7 +124,9 @@ def random_hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64)
     sig = F.lit(0)
     for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim)):
         sig = sig + plane_sign(p, coeffs)
-    return sig
+    # assert_true returns NULL on success; adding its int cast (coalesced to
+    # 0) fuses the guard into the same projection without changing the value
+    return sig + F.coalesce(guard.cast("int"), F.lit(0))
 
 
 def random_hyperplane_buckets(

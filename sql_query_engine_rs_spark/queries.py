@@ -65,6 +65,30 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return parquet_scan(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _set_confs(spark: SparkSession, confs: dict[str, str]) -> dict[str, str | None]:
+    """Set session confs, returning the prior values for ``_restore_confs``.
+
+    The streaming queries need runtime confs (nanosAsLong, UTC tz) only for
+    the duration of their eager drain; leaving them set would leak into
+    whatever query the session runs next."""
+    prior: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, v)
+    return prior
+
+
+def _restore_confs(spark: SparkSession, prior: dict[str, str | None]) -> None:
+    for k, v in prior.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; read nanos as long (runtime conf) and rebuild a microsecond
@@ -799,7 +823,7 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8)
         g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
         sig AS (SELECT doc_id, grams,
                {comps}
-        FROM g),
+        FROM g WHERE len(grams) > 0),
         banded AS (SELECT doc_id, grams,
                {band_keys}
         FROM sig)
@@ -838,7 +862,8 @@ def _simhash_oracle(nibbles: int = 32, band_chars: int = 16, max_hamming: int = 
     )
     return f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
         g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
-        h AS (SELECT doc_id, list_transform(grams, t -> md5(t)) AS hs FROM g),
+        h AS (SELECT doc_id, list_transform(grams, t -> md5(t)) AS hs
+              FROM g WHERE len(grams) > 0),
         s AS (SELECT doc_id, concat({votes}) AS sig FROM h),
         banded AS (SELECT doc_id, sig, {band_keys} FROM s)
         SELECT * FROM (
@@ -1364,8 +1389,11 @@ def pipe_quality_filter(spark, sf_dir):
     # heavy scoring expressions inlined - all the way into the scan stage,
     # which recomputes the scores and, on a single-row-group file, runs them
     # on one core. The cached frame is also the natural reuse point when
-    # several thresholds are cut from one scoring pass.
-    scored = scored.persist()
+    # several thresholds are cut from one scoring pass. (Tracked cache:
+    # batch drivers release via caching.release_caches().)
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    scored = persist_tracked(scored)
     return scored.filter(
         (F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")
     ).select("doc_id", "quality")
@@ -1522,35 +1550,39 @@ def stream_windowed_counts(spark, sf_dir):
     the events parquet -> watermark -> tumbling window -> availableNow drain
     into a memory sink. Same result (and same oracle) as the batch twin
     ext_events_window — the unified batch/streaming contract, verified by
-    the driver itself."""
-    import os
-    import tempfile
+    the driver itself.
+
+    Conf note: nanosAsLong is restored after the drain (the scan is done);
+    the session timezone stays pinned to UTC because the returned frame
+    casts the window timestamp to string LAZILY, at the driver's collect —
+    restoring tz here would change that rendering. Every events query in
+    this module sets the same UTC value, so it is session-consistent."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prior = _set_confs(spark, {"spark.sql.legacy.parquet.nanosAsLong": "true"})
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    static = parquet_scan(spark, f"{sf_dir}/events.parquet")
-    # FileStreamSource requires a DIRECTORY; expose the single parquet file
-    # through a temp dir symlink (zero copy).
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    out = windowed_counts(stream, "1 hour", watermark="2 hours")
-    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        # FileStreamSource requires a DIRECTORY; expose the single parquet
+        # file through a temp dir symlink (zero copy).
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_stream_")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        out = windowed_counts(stream, "1 hour", watermark="2 hours")
+        sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        _restore_confs(spark, prior)
     return spark.table(sink).select(
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
@@ -2418,47 +2450,49 @@ def stream_interval_join(spark, sf_dir):
     user + [ts, ts+10min], availableNow-drained to a memory sink. The
     time-range bound is what lets Spark expire join state — the property
     that keeps an always-on join's state finite. Same DuckDB oracle as the
-    batch twin (plain range-predicate self-join)."""
-    import os
-    import tempfile
+    batch twin (plain range-predicate self-join). Runtime confs are scoped
+    to the drain (output columns are longs/strings — nothing lazily
+    tz-dependent)."""
     import uuid
 
     from sql_query_engine_rs_spark.streaming import interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    static = parquet_scan(spark, f"{sf_dir}/events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="events_sj_")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_sj_")
 
-    def src():
-        return (
-            spark.readStream.schema(static.schema)
-            .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        def src():
+            return (
+                spark.readStream.schema(static.schema)
+                .parquet(stream_dir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+
+        clicks = src().filter(F.col("event_type") == "click")
+        purchases = src().filter(F.col("event_type") == "purchase")
+        joined = interval_join(clicks, purchases, key_col="user_id", upper="10 minutes")
+        out = joined.select(
+            F.col("l_event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            "user_id",
+            (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_sec"),
         )
-
-    clicks = src().filter(F.col("event_type") == "click")
-    purchases = src().filter(F.col("event_type") == "purchase")
-    joined = interval_join(clicks, purchases, key_col="user_id", upper="10 minutes")
-    out = joined.select(
-        F.col("l_event_id").alias("click_id"),
-        F.col("r_event_id").alias("purchase_id"),
-        "user_id",
-        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_sec"),
-    )
-    sink = f"stream_sj_{uuid.uuid4().hex[:8]}"
-    (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(sink)
+        sink = f"stream_sj_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.table(sink)
+    finally:
+        _restore_confs(spark, prior)
 
 
 @register(
@@ -2471,40 +2505,65 @@ def stream_dedup(spark, sf_dir):
     (user_id, event_type), availableNow drain. Within-watermark dedup is
     what keeps an always-on stream's dedup state finite — keys expire once
     the watermark passes them, unlike plain dropDuplicates whose state grows
-    without bound. With the whole file in one batch the result equals batch
-    DISTINCT, which is the oracle."""
-    import os
-    import tempfile
+    without bound. Single-batch execution is pinned (one source file,
+    availableNow, no maxFilesPerTrigger — see _single_batch_stream_dir), so
+    the result equals batch DISTINCT, which is the oracle. Runtime confs are
+    scoped to the drain: the output holds no timestamp columns, so nothing
+    lazily depends on them afterward."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    static = parquet_scan(spark, f"{sf_dir}/events.parquet")
-    stream_dir = tempfile.mkdtemp(prefix="events_dd_")
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_dd_")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        deduped = (
+            stream.select("user_id", "event_type", "ts")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        sink = f"stream_dd_{uuid.uuid4().hex[:8]}"
+        (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.table(sink)
+    finally:
+        _restore_confs(spark, prior)
+
+
+def _single_batch_stream_dir(sf_dir: str, prefix: str) -> str:
+    """Materialize events.parquet as a 1-file stream source directory.
+
+    The batch-DISTINCT oracle for ``stream_dedup`` holds ONLY when the whole
+    source drains in one micro-batch: across batches the watermark advances
+    and dropDuplicatesWithinWatermark may re-emit expired keys. One file +
+    availableNow + no maxFilesPerTrigger pins single-batch execution; the
+    assertion makes the contract loud if the fixture ever changes.
+    """
+    import glob
+    import os
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    deduped = (
-        stream.select("user_id", "event_type", "ts")
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type")
-    )
-    sink = f"stream_dd_{uuid.uuid4().hex[:8]}"
-    (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    return spark.table(sink)
+    n_files = len(glob.glob(os.path.join(stream_dir, "*.parquet")))
+    assert n_files == 1, f"single-batch stream contract broken: {n_files} files"
+    return stream_dir
 
 
 @register(
