@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -160,36 +161,47 @@ def audio_features(
     is numpy-vectorized over the whole clip — the batch shape to copy when
     swapping in a real codec: per-ROW Python loops are the anti-pattern,
     per-BATCH vectorized kernels are the contract.
+
+    Determinism contract (what puts this mapInPandas path under the DuckDB
+    value-hash gate): all accumulation happens in INTEGER domain — the
+    window RMS is sqrt(sum(x^2) / (n * 128^2)) with the sum of squares an
+    exact int64 — so the only float ops are one division and one sqrt on
+    exactly-equal operands. Any engine reproduces the bits; a float32
+    running mean (the naive numpy shape) would not.
     """
     out_schema = StructType(
         [
             StructField("item_id", LongType()),
             StructField("window_idx", IntegerType()),
             StructField("start_ms", LongType()),
-            StructField("rms", FloatType()),
+            StructField("rms", DoubleType()),
             StructField("zero_crossings", IntegerType()),
         ]
     )
     spw = max(1, sample_rate * window_ms // 1000)  # samples per window
 
     def feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             out = {k: [] for k in ("item_id", "window_idx", "start_ms", "rms", "zero_crossings")}
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float32) / 128.0
+                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.int64)
                 n_win = max(1, len(pcm) // spw)
                 for w in range(n_win):
                     seg = pcm[w * spw : (w + 1) * spw]
                     if len(seg) == 0:
-                        seg = np.zeros(1, dtype=np.float32)
+                        seg = np.zeros(1, dtype=np.int64)
+                    sum_sq = int((seg * seg).sum())
+                    neg = seg < 0
                     out["item_id"].append(int(item_id))
                     out["window_idx"].append(w)
                     out["start_ms"].append(w * window_ms)
-                    out["rms"].append(float(np.sqrt(np.mean(seg * seg))))
-                    out["zero_crossings"].append(int(np.sum(np.signbit(seg[1:]) != np.signbit(seg[:-1]))))
+                    out["rms"].append(math.sqrt(sum_sq / (len(seg) * 16384.0)))
+                    out["zero_crossings"].append(int(np.sum(neg[1:] != neg[:-1])))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(feature_batches, out_schema)

@@ -1065,12 +1065,30 @@ def pipe_text_stats(spark, sf_dir):
     )
 
 
-@register("pipe_multimodal_features", None)  # mapInPandas: not SQL-expressible
+def _multimodal_oracle() -> str:
+    """SQL twin of multimodal._decode_image_stub: h = little-endian uint64 of
+    the first 8 payload bytes (documents are ASCII, so byte i == ascii(char
+    i); HUGEINT arithmetic because h exceeds int64)."""
+    h_terms = " + ".join(
+        f"CAST(CASE WHEN strlen(text) >= {i + 1} THEN ascii(substr(text, {i + 1}, 1)) "
+        f"ELSE 0 END AS HUGEINT) * CAST({256 ** i} AS HUGEINT)"
+        for i in range(8)
+    )
+    return f"""SELECT doc_id AS item_id,
+               CAST(64 + h % 1024 AS INTEGER) AS width,
+               CAST(64 + (h // 1024) % 1024 AS INTEGER) AS height,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
+        FROM (SELECT doc_id, text, ({h_terms}) AS h FROM documents) s"""
+
+
+@register("pipe_multimodal_features", _multimodal_oracle())
 def pipe_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: documents' text bytes as stand-in binary payloads
     → Arrow-batched mapInPandas decode (stub kernel) → typed features.
     Shapes/partitioning are real; the codec is a deterministic fake (no image
-    libs in this container)."""
+    libs in this container) — and because the fake is pure integer math on
+    the payload bytes, the DuckDB oracle reproduces it exactly, putting the
+    mapInPandas path under the full value-hash gate."""
     d = t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("item_id"), F.encode("text", "utf-8").alias("payload")
     )
@@ -2816,11 +2834,38 @@ def ext_resample_gapfill(spark, sf_dir):
     )
 
 
-@register("pipe_audio_features", None)  # mapInPandas fan-out: not SQL-expressible
+def _audio_oracle(spw: int = 400, window_ms: int = 50) -> str:
+    """SQL twin of multimodal.audio_features' stub kernel: payload bytes as
+    signed int8 PCM, per-window integer sum of squares → one float64 divide
+    + sqrt (bit-identical across engines), zero crossings as sign flips."""
+    return f"""WITH d AS (SELECT doc_id, text, strlen(text) AS L,
+                  GREATEST(strlen(text) // {spw}, 1) AS n_win FROM documents),
+        p AS (SELECT doc_id, L, n_win,
+                list_transform(range(1, L + 1),
+                  i -> CASE WHEN ascii(substr(text, CAST(i AS INTEGER), 1)) >= 128
+                            THEN ascii(substr(text, CAST(i AS INTEGER), 1)) - 256
+                            ELSE ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS pcm
+              FROM d),
+        w AS (SELECT doc_id, CAST(i AS INTEGER) AS window_idx,
+                     pcm[(CAST(i AS INTEGER)*{spw} + 1):LEAST(CAST((i+1)*{spw} AS BIGINT), L)] AS seg
+              FROM p, UNNEST(range(n_win)) AS u(i))
+        SELECT doc_id AS item_id, window_idx,
+               CAST(window_idx * {window_ms} AS BIGINT) AS start_ms,
+               CASE WHEN len(seg) = 0 THEN 0.0
+                    ELSE sqrt(CAST(list_sum(list_transform(seg, x -> x*x)) AS DOUBLE)
+                              / (len(seg) * 16384.0)) END AS rms,
+               CAST(len(list_filter(range(1, len(seg)), i -> (seg[i] < 0) != (seg[i+1] < 0)))
+                    AS INTEGER) AS zero_crossings
+        FROM w"""
+
+
+@register("pipe_audio_features", _audio_oracle())
 def pipe_audio_features(spark, sf_dir):
     """Audio-modality plumbing: documents' text bytes as stand-in PCM
     payloads → numpy-vectorized mapInPandas windowed RMS/zero-crossing
-    features, one row per 500ms window (the 1→N fan-out shape)."""
+    features, one row per 50ms window (the 1→N fan-out shape). The stub
+    kernel accumulates in integer domain (see multimodal.audio_features),
+    so the DuckDB oracle reproduces the float outputs bit for bit."""
     from sql_query_engine_rs_spark.functions.multimodal import audio_features
 
     d = docs_parallel(spark, sf_dir).select(
