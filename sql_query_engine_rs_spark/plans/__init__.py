@@ -13,8 +13,35 @@ from pyspark.sql import DataFrame
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
-    """Plan tree as a string (instead of stdout)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)  # type: ignore[attr-defined]
+    """Plan tree as a string (instead of stdout).
+
+    Fast path reaches through the JVM gateway (private API, stable across
+    Spark 3.x/4.x but not guaranteed); on any failure it degrades to
+    capturing ``df.explain()`` stdout — same text, slightly slower. All
+    ``_jdf``/``_jvm`` access in this package funnels through here and
+    ``plan_size_bytes`` so a Spark upgrade degrades gracefully instead of
+    crashing plan tests."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)  # type: ignore[attr-defined]
+    except Exception:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of the optimized plan's output, or None if
+    the private queryExecution API is unavailable (callers fall back to a
+    partition-count heuristic). Driver-side metadata only — never triggers
+    a job."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # type: ignore[attr-defined]
+    except Exception:
+        return None
 
 
 def pushed_filters(df: DataFrame) -> str:

@@ -53,15 +53,20 @@ def compact(
     groups on those columns (poor-man's Z-order for one sort dimension).
     Returns the number of output files.
     """
-    import glob
-    import os
+    from sql_query_engine_rs_spark.plans import plan_size_bytes
 
     df = spark.read.parquet(in_path)
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    n = max(1, round(size / (target_mb * 1024 * 1024)))
+    size = plan_size_bytes(df)
+    if size is not None:
+        n = max(1, round(size / (target_mb * 1024 * 1024)))
+    else:
+        # stats API unavailable: keep the current task count (no resize)
+        n = max(1, df.rdd.getNumPartitions())
     if sort_cols:
         df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.coalesce(n) if df.rdd.getNumPartitions() > n else df.repartition(n)
     df.write.mode("overwrite").parquet(out_path)
-    return len(glob.glob(os.path.join(out_path, "*.parquet")))
+    # inputFiles() is the catalog's own listing — works on object stores
+    # where a local-fs glob would see nothing
+    return len(spark.read.parquet(out_path).inputFiles())
