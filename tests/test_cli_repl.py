@@ -1,0 +1,61 @@
+"""Scripted REPL session (reference: src/cli.rs interactive loop): feed a
+stdin script, assert the rendered output — SQL, meta-commands, error
+recovery, EOF exit."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from sql_query_engine_rs_spark.cli import repl
+from sql_query_engine_rs_spark.database import Database
+from sql_query_engine_rs_spark.fixtures import load_employee
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    d = Database(spark)
+    load_employee(d)
+    return d
+
+
+def run_script(db, script: str) -> str:
+    out = io.StringIO()
+    repl(db, stdin=io.StringIO(script), stdout=out)
+    return out.getvalue()
+
+
+def test_repl_scripted_session(db):
+    script = (
+        "select sum(salary), count(id) from employee;\n"
+        "select first_name from employee where id > 2\n"
+        "\\dt\n"
+        "\\load parquet li_repl /root/testdata/sf0.001/lineitem.parquet\n"
+        "select count(*) as n from li_repl\n"
+    )
+    out = run_script(db, script)
+    assert "33500 4" in out              # aggregation golden (slt corpus)
+    assert "John" in out and "Von" in out  # filter golden
+    assert "employee" in out             # \dt lists the fixture
+    assert "li_repl" in out              # \load registers + shows tables
+    assert "6000" in out                 # count over loaded parquet
+    assert out.strip().endswith("Exited")
+
+
+def test_repl_error_recovery(db):
+    """Errors print and the loop continues (cli.rs run_sql behavior)."""
+    out = run_script(db, "select * from no_such_table\n\\bogus\nselect 1 as one\n")
+    assert "Run Error:" in out
+    assert "Run Internal Err:" in out or "Run Error:" in out
+    assert "one\n1" in out.replace("sql> ", "")
+
+
+def test_repl_null_and_empty_rendering(db):
+    out = run_script(db, "select state, salary from employee where id = 4\n")
+    assert "(empty) NULL" in out
+
+
+def test_repl_exit_command(db):
+    out = run_script(db, "exit\nselect 1\n")
+    assert out.count("sql>") == 1 and "Exited" in out

@@ -14,18 +14,7 @@ from __future__ import annotations
 import pytest
 
 from sql_query_engine_rs_spark.database import Database
-
-EMPLOYEE_CSV = """id,first_name,last_name,state,job_title,salary,department_id
-1,Bill,Hopkins,CA,Manager,12000,1
-2,Gregg,Langford,CO,Driver,10000,2
-3,John,Travis,CO,"Manager, Software",11500,4
-4,Von,Mill,,Defensive End,,
-"""
-
-EMPLOYEE_SCHEMA = (
-    "id long, first_name string, last_name string, state string, "
-    "job_title string, salary long, department_id long"
-)
+from sql_query_engine_rs_spark.fixtures import EMPLOYEE_CSV, EMPLOYEE_SCHEMA
 
 
 def render(rows) -> list[str]:
