@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "ext_tpch_q18",
     "ext_grouping_sets",
     "pipe_ann_ivf",
+    # iterative / streaming / broadcast-probe / global-sort paths — benched
+    # so round-over-round regressions in these engine paths are visible
+    "pipe_dup_clusters",
+    "pipe_decontaminate",
+    "stream_interval_join",
+    "ext_global_sort",
 ]
 
 

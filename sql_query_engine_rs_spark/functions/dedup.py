@@ -185,6 +185,27 @@ def minhash_signature(text: Column, num_hashes: int = 8, ngram: int = 3) -> Colu
     return F.array(*comps)
 
 
+def _cap_band_size(banded: DataFrame, key: str, max_band_size: int | None) -> DataFrame:
+    """Drop band keys whose bucket exceeds ``max_band_size`` rows.
+
+    A band bucket of size B emits ~B^2/2 candidate pairs in the self-join;
+    one boilerplate cluster (cookie banners, license headers) can therefore
+    concentrate millions of pairs in a single task — the classic LSH skew
+    straggler. Oversize buckets carry no near-dup INFORMATION either: a
+    bucket that a large fraction of the corpus shares cannot discriminate.
+    The standard production mitigation (used by every large-scale MinHash
+    pipeline) is to cap bucket size and route exact/boilerplate floods
+    through fingerprint dedup first. The count frame is (key, n) — tiny —
+    so AQE broadcasts the filter join; one extra shuffle of band keys.
+    """
+    if max_band_size is None:
+        return banded
+    counts = banded.groupBy(key).agg(F.count(F.lit(1)).alias("_band_n"))
+    return banded.join(
+        counts.filter(F.col("_band_n") <= max_band_size), key
+    ).drop("_band_n")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -193,6 +214,7 @@ def minhash_lsh_candidates(
     bands: int = 2,
     ngram: int = 3,
     verify_threshold: float | None = 0.8,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs.
 
@@ -200,6 +222,9 @@ def minhash_lsh_candidates(
        shingles per doc;
     2. banding: ``bands`` keys of ``num_hashes/bands`` rows each; docs sharing
        any band key become candidates (group-by shuffle on short strings);
+       ``max_band_size`` drops flood buckets first (see _cap_band_size) —
+       set it at scale, where one boilerplate cluster otherwise serializes
+       the self-join into a single quadratic task;
     3. verify: exact shingle-set Jaccard on candidate pairs only (optional).
 
     Output: (id_a, id_b, jaccard_sim), id_a < id_b, deduplicated across bands.
@@ -253,6 +278,7 @@ def minhash_lsh_candidates(
             ])
         ).alias("_band_key"),
     )
+    banded = _cap_band_size(banded, "_band_key", max_band_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, on="_band_key")
@@ -311,6 +337,7 @@ def simhash_candidates(
     text_col: str = "text",
     band_bits: int = 16,
     max_hamming: int | None = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banding on 64/band_bits signature slices
     generates candidates; ``max_hamming`` filters them to true near-dups.
@@ -341,6 +368,7 @@ def simhash_candidates(
             ])
         ).alias("_band_key"),
     )
+    banded = _cap_band_size(banded, "_band_key", max_band_size)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
     pairs = (
@@ -422,6 +450,7 @@ def simhash_md5_candidates(
     band_chars: int = 16,
     max_hamming: int | None = 3,
     ngram: int = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Oracle-portable SimHash near-dup pairs: 32-bit md5-nibble signature
     over word ``ngram`` shingles, bands of ``band_chars`` bitstring chars
@@ -463,6 +492,7 @@ def simhash_md5_candidates(
             ])
         ).alias("_band_key"),
     )
+    banded = _cap_band_size(banded, "_band_key", max_band_size)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.size(
         F.filter(
@@ -568,9 +598,13 @@ def connected_components(
     ~10 rounds. diameter(dup-graph) is small in practice (dup clusters are
     dense), so few iterations; on a cluster use reliable `checkpoint()`.
     """
+    # Materialize the pair list ONCE before mirroring it: both union
+    # branches reference `pairs`, so without the checkpoint the entire
+    # upstream plan (e.g. the MinHash-LSH pipeline) executes twice.
+    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        base
+        .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -143,6 +143,42 @@ def test_asof_join_preserves_duplicate_left_rows(spark):
     assert len(out) == 2 and all(r._asof_ts == 90 for r in out)
 
 
+# ---------------------------------------------------------------- band-size cap (skew)
+
+def test_minhash_band_cap_drops_flood_keeps_real_pairs(spark):
+    """A planted flood (1000 copies of one doc) would emit ~500k candidate
+    pairs in one band bucket; max_band_size drops the flood bucket while
+    genuine near-dup pairs outside it survive."""
+    flood = [(i, "common boilerplate banner text repeated everywhere online today") for i in range(1000)]
+    real = [
+        (5001, "the unique quick brown fox jumps over the lazy sleeping dog"),
+        (5002, "the unique quick brown fox jumps over the lazy sleeping cat"),
+        (5003, "completely different content about distributed query engines"),
+    ]
+    df = spark.createDataFrame(flood + real, "doc_id long, text string")
+    capped = D.minhash_lsh_candidates(
+        df, num_hashes=8, bands=2, ngram=3, verify_threshold=0.5, max_band_size=50
+    )
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (5001, 5002) in pairs          # genuine near-dup survives
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)  # flood dropped
+
+
+def test_simhash_band_cap(spark):
+    flood = [(i, "common boilerplate banner text repeated everywhere online today") for i in range(300)]
+    real = [
+        (9001, "the unique quick brown fox jumps over the lazy sleeping dog"),
+        (9002, "the unique quick brown fox jumps over the lazy sleeping dog"),
+    ]
+    df = spark.createDataFrame(flood + real, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_md5_candidates(df, max_band_size=50).collect()
+    }
+    assert (9001, 9002) in pairs
+    assert not any(a < 300 and b < 300 for a, b in pairs)
+
+
 # ---------------------------------------------------------------- dedup edges
 
 def test_token_ngrams_short_doc(spark):
