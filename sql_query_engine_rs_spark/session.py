@@ -50,7 +50,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs executors inside the driver JVM: 32 task threads +
+        # streaming state stores + cached blocks need headroom (the target
+        # box has 128 GiB; long bench sessions GC-thrash at 8g). Ignored
+        # under spark-submit, which sets driver memory itself.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if master is not None:
         builder = builder.master(master)
