@@ -2887,3 +2887,103 @@ def ext_global_sort(spark, sf_dir):
     return c.select("c_custkey", "c_acctbal").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
+
+
+@register(
+    "ext_tpch_q12",
+    """SELECT l_linestatus AS ship_class,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                  AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_linestatus""",
+)
+def ext_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-priority correlation (adapted: the synthetic
+    lineitem lacks l_shipmode/l_commitdate/l_receiptdate, so l_linestatus
+    stands in for the shipmode class and the filter is a shipdate year).
+    The operator shape is intact: fact-fact equijoin + two conditional
+    sums in ONE grouped pass. AQE plans the join (both sides
+    data-proportional)."""
+    li = filter_(
+        t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"),
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "ext_tpch_q21",
+    """WITH late AS (
+         SELECT l_orderkey, l_suppkey,
+                CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 365 THEN 1 ELSE 0 END AS is_late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F')
+       SELECT s_name, count(*) AS numwait FROM late l1
+       JOIN supplier ON s_suppkey = l1.l_suppkey
+       WHERE l1.is_late = 1
+         AND EXISTS (SELECT 1 FROM late l2
+                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM late l3
+                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.is_late = 1)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def ext_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: lateness =
+    shipdate more than a year after orderdate, standing in for the missing
+    l_receiptdate > l_commitdate). The signature operator shape survives:
+    a correlated EXISTS (another supplier contributed to the order) AND a
+    correlated NOT EXISTS (no OTHER supplier was late) over the same fact,
+    planned as a left-semi plus a left-anti join on orderkey with a
+    suppkey-inequality residual — all three lineitem passes share the
+    orderkey shuffle key, so AQE reuses one exchange. Top-20 via
+    TakeOrderedAndProject."""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365).alias("is_late"),
+        )
+    )
+    l1 = late.filter(F.col("is_late"))
+    l2 = late.select(F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2"))
+    l3 = late.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2")) & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3")) & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    s = t(spark, sf_dir, "supplier")
+    agg = (
+        waiting.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return top_k(agg, 20, F.col("numwait").desc(), F.col("s_name"))
