@@ -1106,8 +1106,9 @@ def pipe_multimodal_features(spark, sf_dir):
 _ROUND2_WINDOW = [
     # TPC-H wave 2 + rewritten-plan wave-1 members
     "ext_tpch_q4", "ext_tpch_q5", "ext_tpch_q6", "ext_tpch_q7", "ext_tpch_q8",
-    "ext_tpch_q10", "ext_tpch_q13", "ext_tpch_q14", "ext_tpch_q15",
-    "ext_tpch_q17", "ext_tpch_q18", "ext_tpch_q19", "ext_tpch_q22",
+    "ext_tpch_q10", "ext_tpch_q12", "ext_tpch_q13", "ext_tpch_q14",
+    "ext_tpch_q15", "ext_tpch_q17", "ext_tpch_q18", "ext_tpch_q19",
+    "ext_tpch_q21", "ext_tpch_q22",
     # streaming (real readStream pipelines)
     "stream_windowed_counts", "stream_interval_join", "stream_dedup",
     # pipeline ops changed or previously unchecked
@@ -1119,7 +1120,11 @@ _ROUND2_WINDOW = [
     # extension operators previously outside the window
     "ext_asof_join", "ext_range_join", "ext_sessionize", "ext_percentiles",
     "ext_array_agg", "ext_explode_tokens", "ext_window_battery",
-    "ext_window_frames", "ext_argmax_agg", "ext_date_arithmetic",
+    "ext_argmax_agg",
+    # ext_window_frames / ext_date_arithmetic rotated out for Q12/Q21: their
+    # operator families already hold green driver rows (ext_window_battery /
+    # rank / running; ext_date_funcs r01) and both stay under the local
+    # pytest DuckDB oracle (tests/test_oracle_parity.py).
     "ext_unpivot", "ext_scd2_merge", "ext_correlated_subquery",
     "ext_grouping_sets", "ext_stats_agg", "ext_bool_string_agg",
     "ext_array_funcs", "ext_resample_gapfill", "ext_global_sort",
