@@ -68,16 +68,38 @@ def fingerprint_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: st
 
 # ---------------------------------------------------------------- n-gram Jaccard
 
-def token_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-grams (shingles) of ``text`` as array<string>."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct word n-grams (shingles) from a token array, as array<string>.
+
+    Construction: zip_with over n-1 shifted copies of the array — shingle i
+    is ``toks[i] + " " + ... + toks[i+n-1]``; positions past L-n zip against
+    null padding and are compacted away (short docs yield an empty array, no
+    length guard needed). Every argument is evaluated ONCE per row. The naive
+    ``transform(sequence(1, L-n+1), i -> concat_ws(slice(toks, i, n)))``
+    re-evaluates the captured ``toks`` expression per element — when ``toks``
+    is a regex tokenize pipeline rather than a plain column that is O(L^2)
+    regex work per document (measured 10x on the MinHash shingle pass).
+    """
     if n == 1:
         return F.array_distinct(toks)
-    # shingle i = tokens[i..i+n); guard short docs (sequence needs start<=stop)
-    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )).otherwise(F.array().cast("array<string>"))
+    acc = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.size(toks))
+        acc = F.zip_with(
+            acc,
+            nxt,
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        )
+    return F.array_distinct(F.array_compact(acc))
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (shingles) of ``text`` as array<string>.
+
+    Prefer projecting ``tokens(...)`` into a real column first and calling
+    ``shingles_from_tokens`` on it — here the tokenize pipeline is embedded
+    n times (once per shifted copy), evaluated per row."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -118,11 +140,21 @@ def ngram_jaccard_pairs(
     spurious O(N^2) clique of trivial 'duplicates').
     Output: (id_a, id_b, jaccard_sim), id_a < id_b.
     """
-    shingled = _ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-        token_ngrams(F.col(text_col), n).alias("_grams"),
-    ).filter(F.size("_grams") > 0)
+    # tokens in their own projection (see shingles_from_tokens), shingles
+    # persisted once for both join sides, and the empty-set filter applied
+    # AFTER the eager cache so Catalyst can't push it (and the shingle
+    # computation it references) below the repartition onto one partition.
+    shingled = persist_tracked(
+        _ensure_parallelism(df.select(
+            F.col(id_col).alias("_id"),
+            *([F.col(block_col).alias("_blk")] if block_col else []),
+            F.col(text_col).alias("_text"),
+        ))
+        .select("_id", *(["_blk"] if block_col else []), tokens(F.col("_text")).alias("_toks"))
+        .select("_id", *(["_blk"] if block_col else []), shingles_from_tokens(F.col("_toks"), n).alias("_grams"))
+    )
+    shingled.count()
+    shingled = shingled.filter(F.size("_grams") > 0)
     if size_blocking:
         shingled = shingled.withColumn("_blk", F.length(F.bin(F.size("_grams"))))
         a = shingled.alias("a")
@@ -239,19 +271,33 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    # Tokens live in their own projection so the shingle build references a
+    # column, not the regex pipeline (see shingles_from_tokens; CollapseProject
+    # keeps a multiply-referenced non-cheap alias un-inlined).
+    toked = base.select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
     # Persisted: the shingle arrays feed three consumers (signature build and
     # both sides of the exact-Jaccard verify). One tokenize+shingle pass,
     # serialized MEMORY_AND_DISK, beats recomputing the regex pipeline per
     # consumer — the standard trade in production text-dedup pipelines.
     # Cache lifetime: tracked; batch drivers release via caching.release_caches().
-    # Docs with no shingles are dropped up front — they carry no n-gram
-    # evidence, and an all-zero/null signature would otherwise band every
-    # short doc into one spurious O(n^2) near-dup clique (and one hot key).
+    #
+    # The cache is materialized EAGERLY, and the degenerate-doc filter is
+    # applied on top of (not inside) the persisted plan, for two reasons:
+    # (a) the band self-join and the verify joins are broadcast-planned, and
+    # Spark kicks off their build futures concurrently — without a populated
+    # cache each future recomputes the full shingle pass; (b) a filter inside
+    # the cached plan gets pushed below the ensure_parallelism repartition by
+    # Catalyst, dragging the whole shingle computation (needed to evaluate
+    # size(_grams) > 0) onto the 1-partition scan side — measured 34 s
+    # single-threaded vs 2 s parallel at sf0.1.
     grams_df = persist_tracked(
-        base.select(
-            "_id", token_ngrams(normalized_text(F.col("_text")), ngram).alias("_grams")
-        ).filter(F.size("_grams") > 0)
+        toked.select("_id", shingles_from_tokens(F.col("_toks"), ngram).alias("_grams"))
     )
+    grams_df.count()
+    # Docs with no shingles are dropped — they carry no n-gram evidence, and
+    # an all-zero/null signature would otherwise band every short doc into
+    # one spurious O(n^2) near-dup clique (and one hot key).
+    grams_df = grams_df.filter(F.size("_grams") > 0)
     # Digest arrays live in their own projection: each md5 array feeds 8
     # substring-min components, and Catalyst's CollapseProject keeps the
     # multiply-referenced non-cheap transform from being inlined 8x.
@@ -349,14 +395,20 @@ def simhash_candidates(
     weak candidates because common tokens dominate every signature.
     Output: (id_a, id_b, hamming)."""
     n_bands = 64 // band_bits
-    # token-less docs are dropped: an empty token set votes 0 on every bit,
-    # giving all such docs the identical all-zero signature — a spurious
-    # O(n^2) hamming-0 clique and a hot band key.
+    # Token count rides along so the degenerate-doc filter (token-less docs
+    # all share the identical all-zero signature — a spurious O(n^2)
+    # hamming-0 clique and a hot band key) runs AFTER the cache; a filter
+    # inside the cached plan would be pushed below the repartition and
+    # serialize signature building onto the scan's single partition.
     sig = persist_tracked(
-        _ensure_parallelism(df)
-        .filter(F.size(tokens(normalized_text(F.col(text_col)))) > 0)
-        .select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+        _ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.size(tokens(normalized_text(F.col(text_col)))).alias("_nt"),
+            simhash64(F.col(text_col)).alias("_sh"),
+        )
     )
+    sig.count()
+    sig = sig.filter(F.col("_nt") > 0).select("_id", "_sh")
     mask = (1 << band_bits) - 1
     banded = sig.select(
         "_id",
@@ -401,16 +453,20 @@ def decontaminate_hits(
     only; anti-join the result against the corpus to keep the clean set.
     """
     bench_hashes = (
-        benchmark.select(
-            F.explode(token_ngrams(normalized_text(F.col(text_col)), ngram)).alias("_g")
-        )
+        benchmark.select(tokens(normalized_text(F.col(text_col))).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), ngram)).alias("_g"))
         .select(F.md5("_g").alias("_h"))
         .distinct()
     )
-    corpus_hashes = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(token_ngrams(normalized_text(F.col(text_col)), ngram)).alias("_g"),
-    ).select("_id", F.md5("_g").alias("_h"))
+    # tokens projected before shingling (see shingles_from_tokens), corpus
+    # spread across cores first — a single-file corpus would otherwise run
+    # the whole shingle+hash probe on one partition
+    corpus_hashes = (
+        _ensure_parallelism(corpus.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+        .select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
+        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), ngram)).alias("_g"))
+        .select("_id", F.md5("_g").alias("_h"))
+    )
     return (
         corpus_hashes.join(F.broadcast(bench_hashes), "_h")
         .groupBy("_id")
@@ -465,21 +521,34 @@ def simhash_md5_candidates(
     """
     n_bands = nibbles // band_chars
     base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
+    toked = base.select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
     # digests materialized in their own projection: the array feeds `nibbles`
     # vote folds; CollapseProject keeps the md5 transform from inlining 32x.
+    digs = toked.select(
+        "_id",
+        F.transform(
+            shingles_from_tokens(F.col("_toks"), ngram), lambda t: F.md5(t)
+        ).alias("_digs"),
+    )
+    # The shingle count rides along in the persisted frame so the
+    # degenerate-doc filter runs AFTER the cache: a filter inside the cached
+    # plan would be pushed below the repartition, serializing the whole
+    # signature computation onto the 1-partition scan side (see
+    # minhash_lsh_candidates). Cache materialized eagerly so the self-join's
+    # concurrent broadcast-build futures reuse it instead of recomputing.
+    sig = persist_tracked(
+        digs.select(
+            "_id",
+            F.size("_digs").alias("_ng"),
+            simhash_bits_from_digests(F.col("_digs"), nibbles).alias("_sig"),
+        )
+    )
+    sig.count()
     # Shingle-less docs are dropped BEFORE banding: their empty digest array
     # sums every vote to 0, so they would all share the identical all-zero
     # signature — a spurious O(n^2) hamming-0 'near-dup' clique of short
     # docs, and one pathologically hot band key at scale.
-    digs = base.select(
-        "_id",
-        F.transform(
-            token_ngrams(normalized_text(F.col("_text")), ngram), lambda t: F.md5(t)
-        ).alias("_digs"),
-    ).filter(F.size("_digs") > 0)
-    sig = persist_tracked(
-        digs.select("_id", simhash_bits_from_digests(F.col("_digs"), nibbles).alias("_sig"))
-    )
+    sig = sig.filter(F.col("_ng") > 0).select("_id", "_sig")
     banded = sig.select(
         "_id",
         "_sig",

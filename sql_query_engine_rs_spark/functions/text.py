@@ -151,20 +151,35 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def ngram_repetition(text: Column, n: int) -> Column:
+def ngram_repetition_from_tokens(toks: Column, n: int) -> Column:
     """Fraction of repeated word ``n``-grams — ``1 - distinct/total`` over
     the (non-distinct) shingle sequence; 0.0 for docs shorter than ``n``
     tokens. The Rae et al. (Gopher) repetition signal: high values mark
-    boilerplate/spam that per-token quality scores miss. Map-only."""
-    toks = tokens(normalized_text(text))
-    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
-    grams = F.when(
-        F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
+    boilerplate/spam that per-token quality scores miss. Map-only.
+
+    Shingles build as zip_with over shifted copies of the token array (each
+    argument evaluated once per row) — transform(sequence, i -> slice(toks,
+    i, n)) would re-evaluate a captured tokenize expression per element,
+    O(L^2) regex work per doc. Pass a pre-projected token column."""
+    acc = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.size(toks))
+        acc = F.zip_with(
+            acc, nxt,
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        )
+    grams = F.array_compact(acc)
     total = F.size(grams)
     return F.when(
         total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
     ).otherwise(F.lit(0.0))
+
+
+def ngram_repetition(text: Column, n: int) -> Column:
+    """``ngram_repetition_from_tokens`` over ``tokens(normalized_text(text))``
+    — prefer projecting the tokens into a column first (the tokenize pipeline
+    is embedded n times here, evaluated per row)."""
+    return ngram_repetition_from_tokens(tokens(normalized_text(text)), n)
 
 
 def char_shingle_sketch(text: Column, k: int = 5, sketch_size: int = 4) -> Column:
@@ -177,7 +192,14 @@ def char_shingle_sketch(text: Column, k: int = 5, sketch_size: int = 4) -> Colum
     share most of their minimum shingle hashes, so equal sketch elements
     are a cheap containment signal. md5 keeps it engine-portable.
     """
-    norm = normalized_text(text)
+    return char_shingle_sketch_from_norm(normalized_text(text), k, sketch_size)
+
+
+def char_shingle_sketch_from_norm(norm: Column, k: int = 5, sketch_size: int = 4) -> Column:
+    """``char_shingle_sketch`` taking pre-normalized text. ``norm`` is
+    captured inside the per-character lambda below, so pass a projected
+    COLUMN — a regex-normalize expression here would be re-evaluated once
+    per character position (O(L^2) regex per doc)."""
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
@@ -231,14 +253,18 @@ def chunk_tokens(
     whatever the next shuffle is. Slices reference the one tokens array —
     no quadratic copying.
     """
-    toks = tokens(F.col(text_col))
+    # tokens materialized once: the chunk lambda below captures its argument,
+    # so slicing a raw tokenize expression would re-run the regex pipeline
+    # per chunk. One slice per chunk over a column is O(L) total.
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_size)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * chunk_size + 1, chunk_size)),
     )
-    return (
-        df.filter(F.size(toks) > 0)
-        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text"))
-        .withColumn("n_tokens", token_count(F.col("chunk_text")))
-    )
+    return toked.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).withColumn("n_tokens", token_count(F.col("chunk_text")))

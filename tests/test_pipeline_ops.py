@@ -446,3 +446,26 @@ def test_audio_features_windows(spark):
     assert abs(rows[(1, 0)].rms - 0.5) < 1e-6
     assert rows[(1, 0)].zero_crossings == 0
     assert rows[(2, 1)].zero_crossings == 3999
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["ext_approx_distinct"].build(spark, sf_dir).collect()
+    # one row per event type, sketch within the configured 2% rsd (5% slack)
+    assert len(rows) > 0
+    for r in rows:
+        assert r.exact_users > 0
+        assert r.rel_err_pct < 5.0, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    sample = QUERIES["pipe_weighted_sample"].build(spark, sf_dir)
+    mean_sampled = sample.agg(F.avg("n_chars")).first()[0]
+    # length-weighted sampling must pull the mean length above the corpus mean
+    assert mean_sampled > mean_all
