@@ -3651,3 +3651,87 @@ def ext_approx_distinct(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "pipe_label_centroids",
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              FLOOR(avg(embedding[i]) * 1000000 + 0.5) / 1000000 AS c
+       FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+       GROUP BY label, i""",
+)
+def pipe_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, one row per (label, dimension) — the
+    cluster-summarization / class-prototype pass of an embedding pipeline
+    (per-topic means, classifier prototypes, IVF codebook refresh).
+    posexplode fans each vector into (dim, val) rows; the (label, dim)
+    hash aggregation is partial+final, so only per-partition partial sums
+    shuffle — never raw vectors. At 100 TB this is the only shape that
+    works: vectors stay where they were scanned."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(F.avg("val"), 6).alias("c"),
+    )
+
+
+@register(
+    "pipe_corpus_curation",
+    f"""WITH scored AS (
+          SELECT doc_id, source,
+                 {_QUALITY_EXPR_SQL} AS quality,
+                 {_lang_case_sql()} AS lang_detected,
+                 md5({_NORM_SQL}) AS fingerprint
+          FROM (SELECT doc_id, source, text,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks,
+                       len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                           x -> x IN ({_STOP_SQL}))) AS stop_hits
+                FROM documents) s),
+        gated AS (
+          SELECT * FROM scored WHERE quality >= 0.6 AND lang_detected = 'en'),
+        deduped AS (
+          SELECT * FROM gated
+          WHERE doc_id = (SELECT min(g2.doc_id) FROM gated g2 WHERE g2.fingerprint = gated.fingerprint)),
+        capped AS (
+          SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+          FROM deduped)
+       SELECT doc_id, source, quality FROM capped WHERE rn <= 50""",
+)
+def pipe_corpus_curation(spark, sf_dir):
+    """The composed corpus-curation pipeline a training-data run actually
+    executes, end to end in one plan: quality + language gate (map-only)
+    -> exact dedup on normalized-text fingerprint (shuffle of 32-byte
+    hashes, keep min doc_id) -> per-domain cap of the best 50 by quality
+    (one shuffle on the domain key). Three shuffles total, none carrying
+    document text beyond the scan stage's projection; every stage reuses
+    an operator that is independently oracle-checked. Flagship demo that
+    the engine's pieces compose without materialization boundaries."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    toked = d.select(
+        "doc_id", "source", "text", T.tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    scored = toked.select(
+        "doc_id",
+        "source",
+        T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+        T.lang_id_from(F.col("_toks")).alias("lang_detected"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    gated = scored.filter((F.col("quality") >= 0.6) & (F.col("lang_detected") == "en"))
+    keeper = Window.partitionBy("fingerprint")
+    deduped = (
+        gated.withColumn("_min_id", F.min("doc_id").over(keeper))
+        .filter(F.col("doc_id") == F.col("_min_id"))
+    )
+    cap = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        deduped.select("doc_id", "source", "quality", F.row_number().over(cap).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "source", "quality")
+    )
