@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "pipe_decontaminate",
     "stream_interval_join",
     "ext_global_sort",
+    # round-2 additions: retrieval (explode-heavy), posexplode aggregation,
+    # and the composed curation pipeline
+    "pipe_bm25",
+    "pipe_label_centroids",
+    "pipe_corpus_curation",
 ]
 
 

@@ -3711,18 +3711,27 @@ def pipe_corpus_curation(spark, sf_dir):
     an operator that is independently oracle-checked. Flagship demo that
     the engine's pieces compose without materialization boundaries."""
     from pyspark.sql import Window
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
     d = docs_parallel(spark, sf_dir)
     toked = d.select(
         "doc_id", "source", "text", T.tokens(F.lower(F.col("text"))).alias("_toks")
     )
-    scored = toked.select(
-        "doc_id",
-        "source",
-        T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
-        T.lang_id_from(F.col("_toks")).alias("lang_detected"),
-        T.fingerprint(F.col("text")).alias("fingerprint"),
+    # scored is narrow (no text) and persisted EAGERLY so the gate filter
+    # applies on top of the cache: filtering on computed heavy columns
+    # (quality, lang) would otherwise be pushed below the repartition and
+    # run the whole scoring pipeline on the scan's single partition (see
+    # dedup.minhash_lsh_candidates for the same pattern + measurements).
+    scored = persist_tracked(
+        toked.select(
+            "doc_id",
+            "source",
+            T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+            T.lang_id_from(F.col("_toks")).alias("lang_detected"),
+            T.fingerprint(F.col("text")).alias("fingerprint"),
+        )
     )
+    scored.count()
     gated = scored.filter((F.col("quality") >= 0.6) & (F.col("lang_detected") == "en"))
     keeper = Window.partitionBy("fingerprint")
     deduped = (

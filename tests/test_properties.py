@@ -81,3 +81,21 @@ def test_fingerprint_whitespace_case_invariance(spark):
     fps = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2] == fps[3]
     assert fps[4] != fps[1]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=4),
+)
+def test_shingles_from_tokens_matches_reference(spark, toks, n):
+    """The zip_with shingle construction must equal the naive definition:
+    distinct space-joined n-grams of the token sequence, [] when len < n."""
+    from sql_query_engine_rs_spark.functions.dedup import shingles_from_tokens
+
+    df = spark.createDataFrame([(1, toks)], "id long, toks array<string>")
+    got = df.select(shingles_from_tokens(F.col("toks"), n).alias("g")).first().g
+    want = list(dict.fromkeys(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ))
+    assert sorted(got) == sorted(want), (toks, n, got, want)
