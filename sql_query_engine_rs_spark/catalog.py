@@ -94,6 +94,13 @@ class Catalog:
         df = self.spark.read.parquet(path)
         return self.register(name, df)
 
+    def create_json_table(self, name: str, path: str) -> DataFrame:
+        """JSON-lines source — training corpora's interchange format.
+        Schema is inferred (one extra pass); pass an explicit schema via
+        sources.read for production pipelines."""
+        df = self.spark.read.json(path)
+        return self.register(name, df)
+
     def create_memory_table(self, name: str, data, schema=None) -> DataFrame:
         """In-memory table (reference: src/storage/memory.rs:11-83)."""
         df = self.spark.createDataFrame(data, schema=schema)

@@ -67,17 +67,33 @@ class Database:
     # -- meta commands (src/cli.rs:111-135)
 
     def _run_meta(self, cmd: str) -> DataFrame:
+        head = cmd[1:].split(None, 1)
+        if not head:
+            raise MetaCommandError("empty meta command")
+        # \explain takes a raw SQL tail — peel it off before shlex, whose
+        # quoting rules (apostrophes in string literals) don't apply to SQL
+        if head[0] == "explain":
+            sql_text = head
+            if len(sql_text) < 2:
+                raise MetaCommandError(f"usage: \\explain <sql>, got: {cmd}")
+            from sql_query_engine_rs_spark.plans import explain_str
+
+            plan = explain_str(self.spark.sql(sql_text[1]))
+            return self.spark.createDataFrame([(plan,)], "plan string")
         # shlex would swallow the leading backslash (escape char), so strip
         # it first and parse only the argument list.
         parts = shlex.split(cmd[1:])
         if parts[0] == "dt":
             return self.catalog.show_tables()
         if parts[0] == "load":
-            if len(parts) != 4 or parts[1] not in ("csv", "parquet"):
-                raise MetaCommandError(f"usage: \\load csv|parquet <name> <path>, got: {cmd}")
+            if len(parts) != 4 or parts[1] not in ("csv", "parquet", "json"):
+                raise MetaCommandError(f"usage: \\load csv|parquet|json <name> <path>, got: {cmd}")
             _, fmt, name, path = parts
             if fmt == "csv":
                 self.catalog.create_csv_table(name, path)
+            elif fmt == "json":
+                # json-lines: training corpora's interchange format
+                self.catalog.create_json_table(name, path)
             else:
                 # parquet: the scale-path format (extension beyond the
                 # reference's csv-only \load, src/cli.rs:111-129)

@@ -37,3 +37,45 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.col("_take"))
         .drop("_rn", "_take")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_col: str = "doc_id",
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain, the first by ``order_col`` —
+    the CommonCrawl-style guard against any one host dominating a corpus.
+    Output: input columns + ``rn`` (1-based rank within the domain).
+
+    ``salted=False``: one row_number window — one shuffle, but a mega-domain
+    serializes onto a single task (every row of the domain must pass through
+    one partition's sort).
+
+    ``salted=True`` (the 100 TB path): two phases, both bounded.
+    Phase 1 ranks within (domain, salt) where salt = pmod(hash(order_col),
+    n_salts) and keeps rank <= cap: any row within the domain's true first
+    ``cap`` has at most cap-1 predecessors overall, hence at most cap-1 in
+    its own salt, so phase 1 keeps a SUPERSET of the answer (exactness
+    preserved) while bounding every task at the salt's share; survivors are
+    <= cap * n_salts per domain. Phase 2 re-ranks the bounded survivor set
+    per domain — the hot key now carries at most cap * n_salts rows, not
+    the whole domain. Same result as the single-phase window, by
+    construction; pinned by tests/test_pipeline_ops.py.
+    """
+    final_w = Window.partitionBy(domain_col).orderBy(order_col)
+    if not salted:
+        return df.withColumn("rn", F.row_number().over(final_w)).filter(F.col("rn") <= cap)
+    salt = F.pmod(F.hash(F.col(order_col)), F.lit(n_salts))
+    phase1_w = Window.partitionBy(F.col(domain_col), salt).orderBy(order_col)
+    survivors = df.withColumn("_rn1", F.row_number().over(phase1_w)).filter(
+        F.col("_rn1") <= cap
+    )
+    return (
+        survivors.drop("_rn1")
+        .withColumn("rn", F.row_number().over(final_w))
+        .filter(F.col("rn") <= cap)
+    )

@@ -3512,19 +3512,20 @@ def ext_full_outer_join(spark, sf_dir):
 )
 def pipe_domain_cap(spark, sf_dir):
     """Per-domain document cap (CommonCrawl-style: at most N pages per
-    host so no single domain dominates the corpus): row_number over
-    (domain, stable order), keep rn <= cap. One shuffle on the domain key.
-    Skew note: a mega-domain lands on one task; at 100 TB cap-per-salt
-    first (row_number over (domain, salt) with cap/n_salts) then exact-cap
-    the survivors — two shuffles but every task bounded. The synthetic
-    corpus's ~uniform sources don't need the salted phase."""
-    from pyspark.sql import Window
+    host so no single domain dominates the corpus), running the SALTED
+    two-phase variant under the oracle: phase 1 ranks within (domain,
+    salt) and keeps a provable superset, phase 2 exact-caps the bounded
+    survivors — a mega-domain costs at most cap x n_salts rows on one
+    task instead of its whole row count. Identical output to the
+    single-window form (which is what the SQL oracle runs); equivalence
+    also pinned by a planted-mega-domain test."""
+    from sql_query_engine_rs_spark.functions.sampling import domain_cap
 
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 100)
+    return domain_cap(
+        t(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source",
+        100,
+        salted=True,
     )
 
 

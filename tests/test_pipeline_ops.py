@@ -469,3 +469,26 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     mean_sampled = sample.agg(F.avg("n_chars")).first()[0]
     # length-weighted sampling must pull the mean length above the corpus mean
     assert mean_sampled > mean_all
+
+
+def test_domain_cap_salted_equals_exact_with_mega_domain(spark):
+    from pyspark.sql import functions as F
+    from sql_query_engine_rs_spark.functions.sampling import domain_cap
+
+    # one mega-domain (5000 rows) + two small ones; salted phase must keep
+    # the exact same first-25-by-id set the single-window form keeps
+    rows = [(i, "mega") for i in range(5000)]
+    rows += [(10_000 + i, "small_a") for i in range(10)]
+    rows += [(20_000 + i, "small_b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    exact = {
+        (r.doc_id, r.source, r.rn)
+        for r in domain_cap(df, "source", 25, salted=False).collect()
+    }
+    salted = {
+        (r.doc_id, r.source, r.rn)
+        for r in domain_cap(df, "source", 25, salted=True, n_salts=7).collect()
+    }
+    assert salted == exact
+    assert len([1 for _, s, _ in exact if s == "mega"]) == 25
+    assert len([1 for _, s, _ in exact if s == "small_a"]) == 10

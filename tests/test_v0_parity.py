@@ -159,3 +159,32 @@ def test_load_parquet_meta(db, spark):
     names = [r.table_name for r in df.collect()]
     assert "li_meta" in names
     assert db.run_collect("select count(*) as n from li_meta")[0].n == 6000
+
+
+def test_load_json_meta(db, spark, tmp_path):
+    p = str(tmp_path / "docs.jsonl")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20).write.mode(
+        "overwrite"
+    ).json(p)
+    df = db.run("\\load json jdocs " + p)
+    assert "jdocs" in [r.table_name for r in df.collect()]
+    assert db.run_collect("select count(*) as n from jdocs")[0].n == 20
+
+
+def test_explain_meta(db):
+    rows = db.run("\\explain select sum(salary) as s from employee where id > 1").collect()
+    plan = rows[0].plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    # quoted literal must survive the raw-tail parse (shlex would reject it)
+    rows2 = db.run("\\explain select * from employee where first_name = 'alice'").collect()
+    assert "employee" in rows2[0].plan.lower() or "Scan" in rows2[0].plan
+
+
+def test_explain_meta_errors(db):
+    import pytest as _pytest
+    from sql_query_engine_rs_spark.errors import MetaCommandError
+
+    with _pytest.raises(MetaCommandError):
+        db.run("\\explain")
+    with _pytest.raises(MetaCommandError):
+        db.run("\\")
