@@ -141,3 +141,33 @@ def test_global_sort_is_range_partitioned(spark, sf_dir):
     simple = explain_str(df, "simple")
     assert "rangepartitioning" in simple
     assert "TakeOrdered" not in simple
+
+
+def test_label_centroids_partial_aggregation(spark, sf_dir):
+    """posexplode fan-out must still combine map-side: partial+final
+    HashAggregate around the (label, dim) exchange — raw vectors never
+    shuffle."""
+    df = QUERIES["pipe_label_centroids"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("HashAggregate") >= 2
+    assert "Generate" in simple  # posexplode stays map-side
+
+
+def test_domain_cap_salted_two_phase(spark, sf_dir):
+    """The registered domain cap runs the salted variant: two Window
+    operators (salted pre-rank + exact re-rank), the first keyed by
+    (domain, salt)."""
+    df = QUERIES["pipe_domain_cap"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("Window") >= 2
+    assert "pmod" in simple or "hash" in simple
+
+
+def test_curation_single_plan_no_text_after_scan(spark, sf_dir):
+    """The composed curation pipeline must not carry document text past
+    the scoring projection: no shuffle exchanges a 'text' column."""
+    df = QUERIES["pipe_corpus_curation"].build(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        first_line = frag.split("\n", 1)[0]
+        assert "text" not in first_line, f"text shuffled: {first_line}"
