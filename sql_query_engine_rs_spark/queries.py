@@ -89,15 +89,34 @@ def _restore_confs(spark: SparkSession, prior: dict[str, str | None]) -> None:
             spark.conf.set(k, v)
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to session-tz TimestampType.
+
+    Older testdata generations wrote TIMESTAMP(NANOS), which Spark's parquet
+    reader only surfaces as a long (via the nanosAsLong legacy conf); newer
+    generations write TIMESTAMP(MICROS), which Spark reads natively as
+    TIMESTAMP_NTZ. Apply the nanos->micros rebuild only when the scan
+    surfaced an integral column, and cast NTZ to the session-tz type (UTC
+    everywhere in this module) so every downstream plan sees one type."""
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "integer"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long (runtime conf) and rebuild a microsecond
-    timestamp. Session tz is UTC so rendering matches DuckDB's naive reads.
+    """events.parquet historically stored TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; read nanos as long (runtime conf) and rebuild a
+    microsecond timestamp. Newer generations store TIMESTAMP(MICROS), read
+    natively (the conf is then inert). Session tz is UTC so rendering
+    matches DuckDB's naive reads.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = parquet_scan(spark, f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_events_ts(df)
 
 
 def docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1593,10 +1612,8 @@ def stream_windowed_counts(spark, sf_dir):
         # FileStreamSource requires a DIRECTORY; expose the single parquet
         # file through a temp dir symlink (zero copy).
         stream_dir = _single_batch_stream_dir(sf_dir, "events_stream_")
-        stream = (
-            spark.readStream.schema(static.schema)
-            .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
         )
         out = windowed_counts(stream, "1 hour", watermark="2 hours")
         sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
@@ -2504,10 +2521,8 @@ def stream_interval_join(spark, sf_dir):
         stream_dir = _single_batch_stream_dir(sf_dir, "events_sj_")
 
         def src():
-            return (
-                spark.readStream.schema(static.schema)
-                .parquet(stream_dir)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            return _normalize_events_ts(
+                spark.readStream.schema(static.schema).parquet(stream_dir)
             )
 
         clicks = src().filter(F.col("event_type") == "click")
@@ -2559,10 +2574,8 @@ def stream_dedup(spark, sf_dir):
     try:
         static = parquet_scan(spark, f"{sf_dir}/events.parquet")
         stream_dir = _single_batch_stream_dir(sf_dir, "events_dd_")
-        stream = (
-            spark.readStream.schema(static.schema)
-            .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
         )
         deduped = (
             stream.select("user_id", "event_type", "ts")
