@@ -929,18 +929,6 @@ def pipe_embedding_topk(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-@register(
-    "pipe_embedding_near_dup",
-    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 >= 0.45""",
-)
-def pipe_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.45 for this corpus)."""
-    return D.embedding_cosine_dups(t(spark, sf_dir, "embeddings"), threshold=0.45)
-
-
 def _lsh_bucket_sql(col: str, num_planes: int, dim: int = 64) -> str:
     """Sign-LSH bucket id in SQL with the SAME literal ±1 plane matrix the
     Spark side compiles in (similarity.hyperplane_coeffs). list_reduce folds
@@ -981,6 +969,29 @@ def pipe_ann_lsh(spark, sf_dir):
     brute force is additionally asserted in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
+
+
+@register(
+    "pipe_embedding_near_dup",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 1)} AS bucket
+                     FROM embeddings)
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+        FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 >= 0.45""",
+)
+def pipe_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45 for this corpus),
+    via the sign-LSH bucketed join: candidate pairs only form inside a
+    bucket, so there is no all-pairs cross join anywhere in the plan. One
+    plane (2 buckets) is the high-recall setting; pipe_embedding_dedup_lsh
+    is the cheaper 2-plane variant. The exact all-pairs form
+    (dedup.embedding_cosine_dups) is retained as a validation helper and
+    recall reference in pytest only — a cartesian product is not a plan
+    that survives 100x data."""
+    return D.embedding_cosine_dups_lsh(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=1
+    )
 
 
 def _lang_case_sql() -> str:
@@ -1115,41 +1126,44 @@ def pipe_multimodal_features(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order. Round 1 verified registration slots 1-50 (49 pass, 1 no-oracle);
-# the 53 queries registered after slot 50 got no driver row. This round the
-# window holds the highest-value previously-unchecked queries plus everything
-# written or rewritten this round (TPC-H partsupp family Q2/Q9/Q11/Q16/Q20,
-# retrieval ops, blocked ngram-jaccard plan, multimodal SQL oracle). Entries
-# rotated out all belong to operator families with green r01 driver rows and
-# every one stays under the local full-registry pytest oracle
+# dict order. Rounds 1-3 verified 98 of 120 registry entries cumulatively;
+# this round's window leads with the 22 entries that have never had a driver
+# row, then everything whose plan changed this round (events ts-type
+# normalization across the streaming family and as-of join, the BM25 persist
+# fix, the LSH-bucketed embedding near-dup registration, the minhash/simhash
+# band-size caps, the ANN-IVF recall contract), padded with high-value
+# repeats. Entries rotated out all have green driver rows from an earlier
+# round and every one stays under the local full-registry pytest oracle
 # (tests/test_oracle_parity.py replays ALL registered queries against DuckDB).
-_ROUND2_WINDOW = [
-    # TPC-H wave 2 + rewritten-plan wave-1 members + partsupp family (new)
-    "ext_tpch_q2", "ext_tpch_q4", "ext_tpch_q5", "ext_tpch_q6", "ext_tpch_q7",
-    "ext_tpch_q8", "ext_tpch_q9", "ext_tpch_q10", "ext_tpch_q11",
-    "ext_tpch_q12", "ext_tpch_q13", "ext_tpch_q14", "ext_tpch_q15",
-    "ext_tpch_q16", "ext_tpch_q17", "ext_tpch_q18", "ext_tpch_q19",
-    "ext_tpch_q20", "ext_tpch_q21", "ext_tpch_q22",
-    # streaming (real readStream pipelines)
+_ROUND4_WINDOW = [
+    # -- the 22 never-driver-checked entries ---------------------------
+    "ext_array_agg", "ext_array_funcs", "ext_bool_string_agg",
+    "ext_date_arithmetic", "ext_explode_tokens", "ext_full_outer_join",
+    "ext_global_sort", "ext_levenshtein", "ext_null_funcs",
+    "ext_regexp_extract", "ext_resample_gapfill", "ext_sessionize",
+    "ext_unpivot", "ext_window_frames", "ext_approx_distinct",
+    "pipe_char_shingle_sketch", "pipe_chunk_dedup_ratio",
+    "pipe_chunk_documents", "pipe_corpus_curation", "pipe_domain_cap",
+    "pipe_label_centroids", "pipe_weighted_sample",
+    # -- plans changed this round (need fresh green rows) --------------
     "stream_windowed_counts", "stream_interval_join", "stream_dedup",
-    # pipeline ops changed or previously unchecked, incl. new retrieval ops
-    "pipe_ngram_jaccard", "pipe_embedding_dedup_lsh", "pipe_dup_clusters",
-    "pipe_decontaminate", "pipe_ann_ivf", "pipe_multimodal_features",
-    "pipe_audio_features", "pipe_repetition_score", "pipe_quality_filter",
-    "pipe_hash_sample", "pipe_stratified_sample", "pipe_group_normalize",
-    "pipe_pii_scrub", "pipe_sequence_packing", "pipe_bm25",
-    "pipe_inverted_index",
-    # extension operators previously outside the window
-    "ext_asof_join", "ext_range_join", "ext_cross_join", "ext_percentiles",
-    "ext_window_battery", "ext_argmax_agg", "ext_scd2_merge",
-    "ext_correlated_subquery", "ext_grouping_sets", "ext_stats_agg",
-    "v0_select_constant",
+    "ext_asof_join", "ext_events_window",
+    "pipe_bm25", "pipe_embedding_near_dup", "pipe_minhash_lsh",
+    "pipe_simhash", "pipe_ann_ivf",
+    # -- high-value repeats (flagship families, all previously green) --
+    "pipe_inverted_index", "pipe_dup_clusters", "pipe_decontaminate",
+    "pipe_ngram_jaccard", "pipe_embedding_dedup_lsh",
+    "pipe_sequence_packing", "pipe_multimodal_features",
+    "pipe_group_normalize",
+    "ext_tpch_q1", "ext_tpch_q3", "ext_tpch_q9", "ext_tpch_q18",
+    "ext_order_by_limit", "ext_left_join", "ext_correlated_subquery",
+    "ext_grouping_sets", "ext_window_battery", "v0_hash_agg",
 ]
 
 
 def _ordered_names() -> list[str]:
-    names = [n for n in _ROUND2_WINDOW if n in QUERIES]
-    names += [n for n in QUERIES if n not in _ROUND2_WINDOW]
+    names = [n for n in _ROUND4_WINDOW if n in QUERIES]
+    names += [n for n in QUERIES if n not in _ROUND4_WINDOW]
     return names
 
 
@@ -3391,12 +3405,22 @@ def pipe_bm25(spark, sf_dir):
     (c) per-(doc, term) frequencies filtered to the query terms BEFORE the
     shuffle, so the big groupBy only carries matching postings. df and the
     1-row corpus stats broadcast; the only data-proportional shuffle keys
-    are (doc_id, term) for matching docs. Top-20 via TakeOrdered."""
+    are (doc_id, term) for matching docs. Top-20 via TakeOrdered.
+
+    The token frame is persisted EAGERLY (persist_tracked + count), like
+    minhash_lsh_candidates: a plan-build-time persist()/unpersist() pair
+    would release the cache before the caller's action ever runs, and the
+    broadcast-build futures for df/stats would each recompute the explode.
+    Cache lifetime: tracked; batch drivers release via release_caches()."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
     k1, b = 1.2, 0.75
     terms = ["spark", "join", "window"]
     docs = docs_parallel(spark, sf_dir)
-    tok = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
-    tok = tok.persist()
+    tok = persist_tracked(
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    )
+    tok.count()
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -3415,7 +3439,6 @@ def pipe_bm25(spark, sf_dir):
         .groupBy("doc_id")
         .agg(pround(F.sum(score), 4).alias("bm25"))
     )
-    tok.unpersist()
     return top_k(out, 20, F.col("bm25").desc(), F.col("doc_id"))
 
 
