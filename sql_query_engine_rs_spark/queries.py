@@ -820,7 +820,9 @@ def pipe_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, size_blocking=True)
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8) -> str:
+def _minhash_oracle(
+    num_hashes: int = 8, bands: int = 2, threshold: float = 0.8, max_band_size: int = 256
+) -> str:
     rows = num_hashes // bands
     # component i = min over shingles of hex chars [4*(i%8), 4*(i%8)+4) of the
     # block-(i//8) digest (block 0 unsalted) — mirrors dedup._minhash_digests
@@ -833,7 +835,14 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8)
         "concat_ws('|', '%d', %s) AS b%d" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)), b)
         for b in range(bands)
     )
-    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    # mirror of dedup._cap_band_size: a band key only generates candidates
+    # while its bucket holds <= max_band_size docs (window count per key)
+    band_counts = ",\n               ".join(
+        f"count(*) OVER (PARTITION BY b{b}) AS n{b}" for b in range(bands)
+    )
+    band_match = " OR ".join(
+        f"(a.b{b} = b.b{b} AND a.n{b} <= {max_band_size})" for b in range(bands)
+    )
     jac = (
         "len(list_intersect(a.grams, b.grams)) / "
         "GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1)"
@@ -845,9 +854,12 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8)
         FROM g WHERE len(grams) > 0),
         banded AS (SELECT doc_id, grams,
                {band_keys}
-        FROM sig)
+        FROM sig),
+        c AS (SELECT *,
+               {band_counts}
+        FROM banded)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, FLOOR(({jac}) * 10000 + 0.5) / 10000 AS jaccard_sim
-        FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+        FROM c a JOIN c b ON a.doc_id < b.doc_id AND ({band_match})
         WHERE {jac} >= {threshold}"""
 
 
@@ -855,13 +867,21 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 2, threshold: float = 0.8)
 def pipe_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs: 8 md5 min-hashes over 3-gram shingles,
     2 bands × 4 rows, exact-Jaccard verify ≥ 0.8. Near-linear at scale
-    (band-key group-join instead of all-pairs); md5 keeps it oracle-portable."""
+    (band-key group-join instead of all-pairs); md5 keeps it oracle-portable.
+    max_band_size caps flood buckets (boilerplate band keys shared by huge
+    doc sets) so no single band bucket can serialize the self-join into one
+    quadratic task — the oracle mirrors the cap as a per-key window count.
+    256 is far above any real bucket at test SFs (max observed: 4) so output
+    is unchanged; at 100 TB it bounds a task at ~256^2/2 pairs."""
     return D.minhash_lsh_candidates(
-        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3,
+        verify_threshold=0.8, max_band_size=256,
     )
 
 
-def _simhash_oracle(nibbles: int = 32, band_chars: int = 16, max_hamming: int = 3) -> str:
+def _simhash_oracle(
+    nibbles: int = 32, band_chars: int = 16, max_hamming: int = 3, max_band_size: int = 256
+) -> str:
     # bit i votes +1 per token whose md5 nibble i has its top bit set (hex
     # char >= '8'); mirrors dedup.simhash_bits_from_digests exactly
     votes = ",\n                ".join(
@@ -874,7 +894,12 @@ def _simhash_oracle(nibbles: int = 32, band_chars: int = 16, max_hamming: int = 
         f"concat('{b}|', substr(sig, {b * band_chars + 1}, {band_chars})) AS b{b}"
         for b in range(n_bands)
     )
-    band_match = " OR ".join(f"a.b{b} = b.b{b}" for b in range(n_bands))
+    band_counts = ", ".join(
+        f"count(*) OVER (PARTITION BY b{b}) AS n{b}" for b in range(n_bands)
+    )
+    band_match = " OR ".join(
+        f"(a.b{b} = b.b{b} AND a.n{b} <= {max_band_size})" for b in range(n_bands)
+    )
     ham = (
         f"CAST(len(list_filter(range(1, {nibbles + 1}), "
         "i -> substr(a.sig, i, 1) != substr(b.sig, i, 1))) AS INT)"
@@ -884,10 +909,11 @@ def _simhash_oracle(nibbles: int = 32, band_chars: int = 16, max_hamming: int = 
         h AS (SELECT doc_id, list_transform(grams, t -> md5(t)) AS hs
               FROM g WHERE len(grams) > 0),
         s AS (SELECT doc_id, concat({votes}) AS sig FROM h),
-        banded AS (SELECT doc_id, sig, {band_keys} FROM s)
+        banded AS (SELECT doc_id, sig, {band_keys} FROM s),
+        c AS (SELECT *, {band_counts} FROM banded)
         SELECT * FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, {ham} AS hamming
-          FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+          FROM c a JOIN c b ON a.doc_id < b.doc_id AND ({band_match})
         ) WHERE hamming <= {max_hamming}"""
 
 
@@ -896,8 +922,11 @@ def pipe_simhash(spark, sf_dir):
     """SimHash-banded near-dup pairs (Hamming blocking + cut), md5-nibble
     construction so the DuckDB oracle reproduces the bits exactly. The
     xxhash64 fast path (``dedup.simhash_candidates``) computes the same
-    shape ~2x faster and is validated in pytest against a Python reference."""
-    return D.simhash_md5_candidates(t(spark, sf_dir, "documents"))
+    shape ~2x faster and is validated in pytest against a Python reference.
+    max_band_size=256 caps flood band buckets exactly as in
+    pipe_minhash_lsh (oracle mirrors it via per-key window counts);
+    output-neutral at test SFs, skew-safe at scale."""
+    return D.simhash_md5_candidates(t(spark, sf_dir, "documents"), max_band_size=256)
 
 
 def _cosine_sql(a: str, b: str) -> str:

@@ -171,3 +171,36 @@ def test_curation_single_plan_no_text_after_scan(spark, sf_dir):
     for frag in formatted.split("Exchange hashpartitioning")[1:]:
         first_line = frag.split("\n", 1)[0]
         assert "text" not in first_line, f"text shuffled: {first_line}"
+
+
+@pytest.mark.parametrize("name", ["pipe_minhash_lsh", "pipe_simhash"])
+def test_lsh_flagships_cap_band_size(spark, sf_dir, name):
+    """The registered MinHash/SimHash plans must include the band-size cap
+    join (dedup._cap_band_size): a flood band key would otherwise serialize
+    the candidate self-join into one quadratic task."""
+    df = QUERIES[name].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "_band_n" in simple, f"{name}: band-size cap missing from plan"
+
+
+def test_bm25_single_token_cache(spark, sf_dir):
+    """BM25's explode-all-tokens subtree feeds three consumers (dl, tf, df);
+    it must be served from ONE persisted frame, not recomputed per consumer:
+    every consumption site reads an InMemoryTableScan (the r2 dead
+    persist()/unpersist() pair released the cache before execution)."""
+    df = QUERIES["pipe_bm25"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("InMemoryTableScan") >= 3
+
+
+def test_inverted_index_salted_two_phase(spark, sf_dir):
+    """Retrieval-family skew shape: the posting-head build must run the
+    salted two-phase aggregate (partial heads per (term, salt), bounded
+    merge per term) — never a row_number window over PARTITION BY term,
+    which funnels every posting of a hot term through one task. Catalyst
+    rewrites the salt alias to _groupingexpression, so assert the two
+    term-keyed exchanges (phase 1: (term, salt); phase 2: (term))."""
+    df = QUERIES["pipe_inverted_index"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "Window" not in simple
+    assert simple.count("hashpartitioning(term") >= 2
