@@ -2491,11 +2491,81 @@ def ext_tpch_q22(spark, sf_dir):
     )
 
 
-@register("pipe_ann_ivf", None)  # approximate by construction: rows-only gate
+def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 64) -> str:
+    """Full-pipeline DuckDB mirror of similarity.ivf_topk: md5-sampled seed
+    codebook, one Lloyd iteration, nprobe-cell probe, rounded cosine rank.
+    Dot/norm folds are written as the SAME left fold Spark's aggregate()
+    runs (0.0 + x1 + x2 + ...), so assignment argmaxes agree; the only
+    cross-engine float divergence left is the per-dim avg partial-sum order,
+    ~1e-16 against assignment margins of ~1e-2."""
+
+    def _dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+        )
+
+    def _norm(a: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (acc, x) -> acc + x))"
+        )
+
+    def _cos(a: str, b: str) -> str:
+        return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+    return f"""WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS centroid_id,
+                 embedding AS c
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}),
+        assign0 AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, s.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 's.c')} DESC, s.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN seeds s) a WHERE rn = 1),
+        dims AS (
+          SELECT a.centroid_id, i.i AS pos, AVG(CAST(e.embedding[i.i] AS DOUBLE)) AS m
+          FROM assign0 a JOIN embeddings e USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) i
+          GROUP BY a.centroid_id, i.i),
+        cents AS (
+          SELECT centroid_id, list(m ORDER BY pos) AS c FROM dims GROUP BY centroid_id),
+        corpus_cells AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, s.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 's.c')} DESC, s.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cents s) a WHERE rn = 1),
+        query_cells AS (
+          SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT e.vec_id, s.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 's.c')} DESC, s.centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cents s WHERE e.vec_id < 5) a WHERE rn <= {nprobe}),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 FLOOR(({_cos('qe.embedding', 'ce.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+          FROM corpus_cells c
+          JOIN query_cells q USING (centroid_id)
+          JOIN embeddings qe ON qe.vec_id = q.query_id
+          JOIN embeddings ce ON ce.vec_id = c.vec_id
+          WHERE c.vec_id != q.query_id)
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+          FROM scored) r
+        WHERE rank <= {k}"""
+
+
+@register("pipe_ann_ivf", _ivf_oracle())
 def pipe_ann_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors — the cell-partitioned scale path
     (codebook from a deterministic md5 sample + 1 Lloyd iteration; queries
-    probe nprobe cells). Recall vs brute force is asserted in pytest."""
+    probe nprobe cells). The codebook build is fully deterministic, so the
+    DuckDB oracle replays the entire pipeline (seeds, Lloyd step, cell
+    assignment, probe, rounded rank) and the driver hash-checks it like any
+    exact query; recall vs brute force is additionally asserted in pytest."""
     emb = t(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=3
