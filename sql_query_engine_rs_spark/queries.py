@@ -1637,11 +1637,11 @@ def stream_windowed_counts(spark, sf_dir):
     ext_events_window — the unified batch/streaming contract, verified by
     the driver itself.
 
-    Conf note: nanosAsLong is restored after the drain (the scan is done);
-    the session timezone stays pinned to UTC because the returned frame
-    casts the window timestamp to string LAZILY, at the driver's collect —
-    restoring tz here would change that rendering. Every events query in
-    this module sets the same UTC value, so it is session-consistent."""
+    Conf note: nanosAsLong is restored after the drain (the scan is done).
+    The result is materialized eagerly (localCheckpoint) while the UTC tz
+    is in effect, locking in the string rendering of the window timestamp,
+    and the memory-sink view is dropped so drained results don't accumulate
+    in driver memory across a long session."""
     import uuid
 
     prior = _set_confs(spark, {
@@ -1668,14 +1668,25 @@ def stream_windowed_counts(spark, sf_dir):
             .start()
             .awaitTermination()
         )
+        # Materialize the drained result off the memory sink, then drop the
+        # sink view: in a long session each drain would otherwise stay
+        # pinned in driver memory under its stream_sink_<uuid> name. The
+        # eager localCheckpoint also locks in the UTC string rendering of
+        # the window timestamp while the scoped tz conf is still set.
+        result = (
+            spark.table(sink)
+            .select(
+                F.col("window_start").cast("string").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(sink)
+        return result
     finally:
         _restore_confs(spark, prior)
-    return spark.table(sink).select(
-        F.col("window_start").cast("string").alias("window_start"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
 
 
 # =====================================================================
@@ -2656,7 +2667,10 @@ def stream_interval_join(spark, sf_dir):
             .start()
             .awaitTermination()
         )
-        return spark.table(sink)
+        # materialize + drop the sink view (see stream_windowed_counts)
+        result = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
     finally:
         _restore_confs(spark, prior)
 
@@ -2705,7 +2719,10 @@ def stream_dedup(spark, sf_dir):
             .start()
             .awaitTermination()
         )
-        return spark.table(sink)
+        # materialize + drop the sink view (see stream_windowed_counts)
+        result = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
     finally:
         _restore_confs(spark, prior)
 
@@ -3760,31 +3777,36 @@ def pipe_chunk_dedup_ratio(spark, sf_dir):
     )
 
 
-@register("ext_approx_distinct", None)
+@register(
+    "ext_approx_distinct",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS approx_within_5pct
+       FROM events GROUP BY event_type""",
+)
 def ext_approx_distinct(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) beside the exact count, with
-    the relative error surfaced — the mergeable-sketch cardinality path
-    that replaces exact COUNT(DISTINCT) at 100 TB (HLL sketches merge
-    across partitions in constant memory; exact distinct shuffles every
-    key). No SQL oracle: DuckDB's approx_count_distinct uses a different
-    sketch, so equality is not defined — the driver records the weaker
-    rows-only check (one row per event_type, deterministic), and the
-    pytest suite asserts rel_err < 5% against the exact count."""
+    """approx_count_distinct (HyperLogLog++) beside the exact count — the
+    mergeable-sketch cardinality path that replaces exact COUNT(DISTINCT)
+    at 100 TB (HLL sketches merge across partitions in constant memory;
+    exact distinct shuffles every key). DuckDB's sketch differs from
+    Spark's, so the approx VALUE is not cross-engine comparable; what IS
+    hashable is the accuracy contract: the plan emits the exact count and
+    a boolean asserting the sketch landed within its 5% error budget, and
+    the oracle expects that boolean to be uniformly true. A sketch
+    regression (wrong rsd wiring, broken merge) flips the hash."""
     e = events_table(spark, sf_dir)
     return (
         e.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
         )
-        .withColumn(
-            "rel_err_pct",
-            pround(
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                * 100.0
-                / F.greatest(F.col("exact_users"), F.lit(1)),
-                2,
-            ),
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.greatest(F.col("exact_users"), F.lit(1))
+            ).alias("approx_within_5pct"),
         )
     )
 

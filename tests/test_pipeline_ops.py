@@ -456,7 +456,7 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:
         assert r.exact_users > 0
-        assert r.rel_err_pct < 5.0, (r.event_type, r.approx_users, r.exact_users)
+        assert r.approx_within_5pct, (r.event_type, r.exact_users)
 
 
 def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
