@@ -1186,7 +1186,8 @@ _ROUND4_WINDOW = [
     "pipe_group_normalize",
     "ext_tpch_q1", "ext_tpch_q3", "ext_tpch_q9", "ext_tpch_q18",
     "ext_order_by_limit", "ext_left_join", "ext_correlated_subquery",
-    "ext_grouping_sets", "ext_window_battery", "v0_hash_agg",
+    # -- new this round ------------------------------------------------
+    "stream_custom_state", "pipe_tfidf_topterms", "pipe_token_histogram",
 ]
 
 
@@ -2727,6 +2728,66 @@ def stream_dedup(spark, sf_dir):
         _restore_confs(spark, prior)
 
 
+@register(
+    "stream_custom_state",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
+       FROM events GROUP BY user_id""",
+)
+def stream_custom_state(spark, sf_dir):
+    """Custom stateful streaming operator executed as a REAL stream:
+    readStream over events -> ``running_totals_stateful``
+    (``applyInPandasWithState``: per-key running count + value sum held in
+    the state store, idle keys expired by timeout) -> update-mode
+    availableNow drain. The sink receives one emission per (key, batch the
+    key appeared in); the final per-key state is recovered by keeping the
+    emission with the highest running count (monotone), which makes the
+    result independent of how the source happens to split into
+    micro-batches. The oracle is the batch twin: plain groupBy totals —
+    the unified batch/streaming contract for custom state."""
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import running_totals_stateful
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # state partitions sized to the bounded drain (see stream_interval_join)
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_cs_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        totals = running_totals_stateful(stream, key_col="user_id", value_col="value")
+        sink = f"stream_cs_{uuid.uuid4().hex[:8]}"
+        (
+            totals.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total", "n_events").alias("_total"),
+            )
+            .select("user_id", "n_events", pround(F.col("_total"), 2).alias("total"))
+        )
+        # materialize + drop the sink view (see stream_windowed_counts)
+        result = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
 def _single_batch_stream_dir(sf_dir: str, prefix: str) -> str:
     """Materialize events.parquet as a 1-file stream source directory.
 
@@ -3611,6 +3672,105 @@ def pipe_inverted_index(spark, sf_dir):
         ),
     )
     return top_k(out, 25, F.col("df").desc(), F.col("term"))
+
+
+@register(
+    "pipe_tfidf_topterms",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+              WHERE doc_id < 20 GROUP BY doc_id, term),
+       dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok GROUP BY term),
+       n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok)
+       SELECT doc_id, term, tfidf, rank FROM (
+         SELECT doc_id, term,
+                FLOOR((tf * ln(n_docs / df)) * 1000000 + 0.5) / 1000000 AS tfidf,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY FLOOR((tf * ln(n_docs / df)) * 1000000 + 0.5) / 1000000 DESC, term) AS INT) AS rank
+         FROM tf JOIN dfq USING (term) CROSS JOIN n) r
+       WHERE rank <= 3""",
+)
+def pipe_tfidf_topterms(spark, sf_dir):
+    """Per-document TF-IDF feature extraction: top-3 terms for the probe
+    docs (doc_id < 20), idf from the WHOLE corpus — the doc-side feature
+    twin of pipe_bm25's query-side scorer.
+
+    Scale shape: one explode pass (persisted, as in pipe_bm25) feeds the
+    corpus df/n_docs stats and the probe tf; the probe filter is applied
+    BEFORE the (doc, term) shuffle so only probe postings shuffle wide.
+    The per-doc top-3 window partitions on doc_id — a unique key, so no
+    skew by construction. Corpus stats are data-proportional in vocab only;
+    the 1-row n_docs frame broadcasts."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    docs = docs_parallel(spark, sf_dir)
+    tok = persist_tracked(
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    )
+    tok.count()
+    tf = (
+        tok.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            pround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@register(
+    "pipe_token_histogram",
+    """WITH t AS (
+         SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+         FROM documents)
+       SELECT CAST(length(bin(GREATEST(n_tok, 1))) AS INT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(min(n_tok) AS BIGINT) AS min_tok,
+              CAST(max(n_tok) AS BIGINT) AS max_tok,
+              CAST(sum(n_tok) AS BIGINT) AS total_tok
+       FROM t GROUP BY 1""",
+)
+def pipe_token_histogram(spark, sf_dir):
+    """Corpus length distribution: doc counts per floor-log2 token-count
+    bucket (the first statistic a training-data pipeline reports, and the
+    basis for length-based curation cuts). Map-only tokenize + count, then
+    a bounded aggregation: the shuffle carries one row per (bucket) per
+    partition — ~64 rows total regardless of corpus size. The bucket is
+    length(bin(n)) = floor(log2(n)) + 1, the same engine-portable integer
+    log the ngram-Jaccard size blocking uses."""
+    d = docs_parallel(spark, sf_dir)
+    n_tok = F.size(T.tokens(F.col("text")))
+    return (
+        d.select(n_tok.alias("n_tok"))
+        .groupBy(
+            F.length(F.bin(F.greatest(F.col("n_tok"), F.lit(1)).cast("bigint")))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").cast("bigint").alias("min_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+            F.sum("n_tok").cast("bigint").alias("total_tok"),
+        )
+    )
 
 
 # =====================================================================

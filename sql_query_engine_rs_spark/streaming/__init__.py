@@ -105,7 +105,7 @@ def running_totals_stateful(
     events: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
-    timeout_minutes: int = 60,
+    timeout_minutes: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running event count + value sum, emitted on every update.
@@ -113,9 +113,16 @@ def running_totals_stateful(
     This is the template for operators Spark's built-ins can't express
     (custom session logic, pattern detection, online aggregates): state is a
     per-key tuple persisted by the state store; each micro-batch's rows for
-    a key arrive as pandas DataFrames; ``GroupStateTimeout`` expires idle
-    keys so state stays bounded — the property that keeps an always-on
-    pipeline's memory finite.
+    a key arrive as pandas DataFrames.
+
+    ``timeout_minutes`` expires idle keys so state stays bounded — the
+    property that keeps an always-on pipeline's memory finite; an always-on
+    deployment MUST set it. It defaults to None (GroupStateTimeout.NoTimeout)
+    because (a) bounded availableNow drains don't need expiry — state dies
+    with the query — and (b) the ProcessingTimeTimeout path in this
+    environment's PySpark 4.1.2 crashes the Python worker at O(1000)-key
+    scale and schedules pathological extra timeout batches under
+    availableNow.
 
     On a batch frame, falls back to the equivalent groupBy (same schema).
     """
@@ -144,7 +151,8 @@ def running_totals_stateful(
             n += len(pdf)
             total += float(pdf[value_col].sum())
         state.update((n, total))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
 
     return events.groupBy(key_col).applyInPandasWithState(
@@ -152,7 +160,11 @@ def running_totals_stateful(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
