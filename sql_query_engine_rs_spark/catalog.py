@@ -101,6 +101,13 @@ class Catalog:
         df = self.spark.read.json(path)
         return self.register(name, df)
 
+    def create_orc_table(self, name: str, path: str) -> DataFrame:
+        """ORC source — the other columnar warehouse format (Hive
+        ecosystems). Same pushdown/pruning properties as parquet: the
+        schema rides in the footer and filters reach the stripe reader."""
+        df = self.spark.read.orc(path)
+        return self.register(name, df)
+
     def create_memory_table(self, name: str, data, schema=None) -> DataFrame:
         """In-memory table (reference: src/storage/memory.rs:11-83)."""
         df = self.spark.createDataFrame(data, schema=schema)

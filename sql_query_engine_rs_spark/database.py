@@ -86,14 +86,19 @@ class Database:
         if parts[0] == "dt":
             return self.catalog.show_tables()
         if parts[0] == "load":
-            if len(parts) != 4 or parts[1] not in ("csv", "parquet", "json"):
-                raise MetaCommandError(f"usage: \\load csv|parquet|json <name> <path>, got: {cmd}")
+            if len(parts) != 4 or parts[1] not in ("csv", "parquet", "json", "orc"):
+                raise MetaCommandError(
+                    f"usage: \\load csv|parquet|json|orc <name> <path>, got: {cmd}"
+                )
             _, fmt, name, path = parts
             if fmt == "csv":
                 self.catalog.create_csv_table(name, path)
             elif fmt == "json":
                 # json-lines: training corpora's interchange format
                 self.catalog.create_json_table(name, path)
+            elif fmt == "orc":
+                # orc: the other columnar warehouse format (Hive ecosystems)
+                self.catalog.create_orc_table(name, path)
             else:
                 # parquet: the scale-path format (extension beyond the
                 # reference's csv-only \load, src/cli.rs:111-129)

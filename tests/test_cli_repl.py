@@ -43,6 +43,16 @@ def test_repl_scripted_session(db):
     assert out.strip().endswith("Exited")
 
 
+def test_repl_load_orc(db, spark, tmp_path):
+    """\\load orc: write an ORC copy of a testdata table, load it through
+    the REPL, and query it — the Hive-ecosystem columnar source."""
+    path = str(tmp_path / "region_orc")
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.orc(path)
+    out = run_script(db, f"\\load orc region_orc {path}\nselect count(*) as n from region_orc\n")
+    assert "region_orc" in out
+    assert "5" in out
+
+
 def test_repl_error_recovery(db):
     """Errors print and the loop continues (cli.rs run_sql behavior)."""
     out = run_script(db, "select * from no_such_table\n\\bogus\nselect 1 as one\n")
