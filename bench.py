@@ -64,6 +64,15 @@ BENCH_QUERIES = [
     "pipe_bm25",
     "pipe_label_centroids",
     "pipe_corpus_curation",
+    # round-4 additions: the capped SimHash flagship, the bucketed embedding
+    # near-dup (now the registered path), the salted inverted index, the
+    # applyInPandasWithState drain, and the new TF-IDF / histogram ops
+    "pipe_simhash",
+    "pipe_embedding_near_dup",
+    "pipe_inverted_index",
+    "stream_custom_state",
+    "pipe_tfidf_topterms",
+    "pipe_token_histogram",
 ]
 
 

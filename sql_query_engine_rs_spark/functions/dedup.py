@@ -324,6 +324,13 @@ def minhash_lsh_candidates(
             ])
         ).alias("_band_key"),
     )
+    # The banded frame is consumed up to 4x (band-size counts, the capped
+    # join-back, and both sides of the candidate self-join); without a cache
+    # each consumer recomputes the md5 signature build. The frame is slim —
+    # (_id, short band key) — so persist it eagerly and compute signatures
+    # exactly once. Cache lifetime: tracked (release_caches()).
+    banded = persist_tracked(banded)
+    banded.count()
     banded = _cap_band_size(banded, "_band_key", max_band_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
