@@ -1185,9 +1185,10 @@ _ROUND4_WINDOW = [
     "pipe_sequence_packing", "pipe_multimodal_features",
     "pipe_group_normalize",
     "ext_tpch_q1", "ext_tpch_q3", "ext_tpch_q9", "ext_tpch_q18",
-    "ext_order_by_limit", "ext_left_join", "ext_correlated_subquery",
+    "ext_order_by_limit",
     # -- new this round ------------------------------------------------
     "stream_custom_state", "pipe_tfidf_topterms", "pipe_token_histogram",
+    "pipe_unigram_logprob", "pipe_source_quality_rollup",
 ]
 
 
@@ -3770,6 +3771,90 @@ def pipe_token_histogram(spark, sf_dir):
             F.max("n_tok").cast("bigint").alias("max_tok"),
             F.sum("n_tok").cast("bigint").alias("total_tok"),
         )
+    )
+
+
+@register(
+    "pipe_unigram_logprob",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              FLOOR(AVG(-ln(c / total)) * 10000 + 0.5) / 10000 AS avg_neg_logprob
+       FROM tok JOIN freq USING (term) CROSS JOIN tot
+       WHERE doc_id < 50
+       GROUP BY doc_id""",
+)
+def pipe_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality proxy: per-token average negative log
+    probability under the corpus's own unigram distribution — the cheapest
+    member of the perplexity-scoring family used for data selection (docs
+    scoring far above the corpus norm are gibberish/rare-token soup; far
+    below are boilerplate). Probe docs (doc_id < 50) are scored against
+    whole-corpus statistics.
+
+    Scale shape: one persisted explode pass feeds the frequency table, the
+    total count, and the probe postings; the probe filter lands before the
+    wide (doc, term) shuffle; the frequency join shuffles by term
+    (vocab-bounded on the build side) and the 1-row total broadcasts."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    docs = docs_parallel(spark, sf_dir)
+    tok = persist_tracked(
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    )
+    tok.count()
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        tok.filter(F.col("doc_id") < 50)
+        .join(freq, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            pround(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@register(
+    "pipe_source_quality_rollup",
+    f"""SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN quality >= 0.7 AND lang_detected = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              FLOOR((SUM(CASE WHEN quality >= 0.7 AND lang_detected = 'en' THEN 1 ELSE 0 END) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS pass_rate,
+              FLOOR(AVG(quality) * 10000 + 0.5) / 10000 AS avg_quality
+       FROM (
+         SELECT source, {_QUALITY_EXPR_SQL} AS quality, {_lang_case_sql()} AS lang_detected
+         FROM (SELECT source, text,
+                      len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks,
+                      len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                          x -> x IN ({_STOP_SQL}))) AS stop_hits
+               FROM documents) s) q
+       GROUP BY source""",
+)
+def pipe_source_quality_rollup(spark, sf_dir):
+    """Per-source curation dashboard: doc counts, quality-gate pass counts
+    and rates, and mean quality per source/domain — the rollup that decides
+    which crawl sources are worth keeping before any per-doc work runs at
+    full scale. One tokenize pass feeds score + lang-ID; the shuffle
+    carries only (source, two scalars) — text never moves."""
+    d = docs_parallel(spark, sf_dir)
+    toked = d.select("source", "text", T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    scored = toked.select(
+        "source",
+        T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+        T.lang_id_from(F.col("_toks")).alias("lang_detected"),
+    )
+    gate = (F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(gate.cast("bigint")).alias("n_pass"),
+        pround(F.sum(gate.cast("double")) / F.count(F.lit(1)), 4).alias("pass_rate"),
+        pround(F.avg("quality"), 4).alias("avg_quality"),
     )
 
 
