@@ -193,6 +193,25 @@ def test_bm25_single_token_cache(spark, sf_dir):
     assert simple.count("InMemoryTableScan") >= 3
 
 
+def test_source_rollup_prunes_and_no_text_shuffle(spark, sf_dir):
+    """Per-source rollup must prune the scan to (text, source) and never
+    move text through a shuffle — only (source, scalar) rows exchange."""
+    df = QUERIES["pipe_source_quality_rollup"].build(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    assert "ReadSchema: struct<text:string,source:string>" in formatted
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        first_line = frag.split("\n", 1)[0]
+        assert "text" not in first_line, f"text shuffled: {first_line}"
+
+
+def test_unigram_logprob_single_token_cache(spark, sf_dir):
+    """The unigram-LM scorer's explode pass feeds freq, total, and the
+    probe postings; all three must read the one persisted token frame."""
+    df = QUERIES["pipe_unigram_logprob"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("InMemoryTableScan") >= 3
+
+
 def test_inverted_index_salted_two_phase(spark, sf_dir):
     """Retrieval-family skew shape: the posting-head build must run the
     salted two-phase aggregate (partial heads per (term, salt), bounded
