@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "stream_custom_state",
     "pipe_tfidf_topterms",
     "pipe_token_histogram",
+    "pipe_unigram_logprob",
+    "pipe_source_quality_rollup",
 ]
 
 
