@@ -1154,6 +1154,43 @@ def pipe_multimodal_features(spark, sf_dir):
     return image_features(d).select("item_id", "width", "height", "n_bytes")
 
 
+@register(
+    "pipe_video_frames",
+    """WITH d AS (SELECT doc_id AS item_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS n
+                  FROM documents WHERE doc_id < 50),
+        f AS (SELECT item_id, hx,
+                     GREATEST(1, LEAST(n // 100, 32)) AS n_frames FROM d),
+        e AS (SELECT item_id, unnest(range(0, n_frames)) AS i, hx FROM f)
+        SELECT item_id, CAST(i AS INT) AS frame_idx,
+               CAST(i * 100 AS BIGINT) AS frame_ts_ms,
+               CASE WHEN substr(hx, CAST(i * 32 + 1 AS INT), 32) = '' THEN '00'
+                    ELSE substr(hx, CAST(i * 32 + 1 AS INT), 32) END AS frame_hex
+        FROM e""",
+)
+def pipe_video_frames(spark, sf_dir):
+    """Video frame sampling plumbing: probe documents' bytes as stand-in
+    video payloads → Arrow-batched mapInPandas frame demux (stub kernel:
+    1 fake frame per 100 payload bytes, capped at 32, 16-byte slices) →
+    one row per (item, frame). The 1→N fan-out inside mapInPandas is the
+    real shape a production av/ffmpeg kernel slots into. Frame payloads
+    are surfaced as hex so the deterministic stub sits under the full
+    value-hash oracle (binary columns don't compare portably)."""
+    from sql_query_engine_rs_spark.functions.multimodal import frame_sample
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(F.col("doc_id").alias("item_id"), F.encode("text", "utf-8").alias("payload"))
+    )
+    return frame_sample(d, every_ms=100).select(
+        "item_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.hex(F.col("frame_payload")).alias("frame_hex"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
 # dict order. Rounds 1-3 verified 98 of 120 registry entries cumulatively;
 # this round's window leads with the 22 entries that have never had a driver
@@ -1184,11 +1221,11 @@ _ROUND4_WINDOW = [
     "pipe_ngram_jaccard", "pipe_embedding_dedup_lsh",
     "pipe_sequence_packing", "pipe_multimodal_features",
     "pipe_group_normalize",
-    "ext_tpch_q1", "ext_tpch_q3", "ext_tpch_q9", "ext_tpch_q18",
+    "ext_tpch_q1", "ext_tpch_q3", "ext_tpch_q18",
     "ext_order_by_limit",
     # -- new this round ------------------------------------------------
     "stream_custom_state", "pipe_tfidf_topterms", "pipe_token_histogram",
-    "pipe_unigram_logprob", "pipe_source_quality_rollup",
+    "pipe_unigram_logprob", "pipe_source_quality_rollup", "pipe_video_frames",
 ]
 
 
