@@ -193,6 +193,26 @@ def test_bm25_single_token_cache(spark, sf_dir):
     assert simple.count("InMemoryTableScan") >= 3
 
 
+# Deliberate cross join of two bounded 5-row dimensions — the one place a
+# cartesian product is the intended plan.
+_CARTESIAN_WHITELIST = {"ext_cross_join"}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in QUERIES if n not in _CARTESIAN_WHITELIST]
+)
+def test_no_cartesian_product_registry_wide(spark, sf_dir, name):
+    """Scale lint over the whole registry: no registered query may plan a
+    CartesianProduct — an all-pairs join is never a plan that survives
+    100x data. (1-row stats broadcasts legitimately appear as
+    BroadcastNestedLoopJoin and are allowed; the unbroadcastable cartesian
+    shape is what this guards against.)"""
+    df = QUERIES[name].build(spark, sf_dir)
+    assert "CartesianProduct" not in explain_str(df, "simple"), (
+        f"{name}: CartesianProduct in plan"
+    )
+
+
 def test_source_rollup_prunes_and_no_text_shuffle(spark, sf_dir):
     """Per-source rollup must prune the scan to (text, source) and never
     move text through a shuffle — only (source, scalar) rows exchange."""
