@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pipe_token_histogram",
     "pipe_unigram_logprob",
     "pipe_source_quality_rollup",
+    "pipe_video_frames",
 ]
 
 
