@@ -1221,11 +1221,12 @@ _ROUND4_WINDOW = [
     "pipe_ngram_jaccard", "pipe_embedding_dedup_lsh",
     "pipe_sequence_packing", "pipe_multimodal_features",
     "pipe_group_normalize",
-    "ext_tpch_q1", "ext_tpch_q3", "ext_tpch_q18",
+    "ext_tpch_q1", "ext_tpch_q18",
     "ext_order_by_limit",
     # -- new this round ------------------------------------------------
-    "stream_custom_state", "pipe_tfidf_topterms", "pipe_token_histogram",
-    "pipe_unigram_logprob", "pipe_source_quality_rollup", "pipe_video_frames",
+    "stream_custom_state", "stream_session_windows", "pipe_tfidf_topterms",
+    "pipe_token_histogram", "pipe_unigram_logprob",
+    "pipe_source_quality_rollup", "pipe_video_frames",
 ]
 
 
@@ -2817,6 +2818,75 @@ def stream_custom_state(spark, sf_dir):
                 F.max_by("total", "n_events").alias("_total"),
             )
             .select("user_id", "n_events", pround(F.col("_total"), 2).alias("total"))
+        )
+        # materialize + drop the sink view (see stream_windowed_counts)
+        result = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
+    "stream_session_windows",
+    """WITH m AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+       SELECT CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS session_start_es,
+              CAST(FLOOR(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS session_end_es,
+              user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
+       FROM s GROUP BY user_id, sid""",
+)
+def stream_session_windows(spark, sf_dir):
+    """Native session windows executed as a REAL stream: readStream ->
+    ``session_window`` (gap-merged state managed by the engine) ->
+    availableNow drain in complete mode. The DuckDB oracle is the
+    gaps-and-islands formulation with Spark's exact merge rule — a new
+    session starts when ts >= previous ts + gap (session windows are
+    half-open [ts, ts+gap) intervals; touching does not merge) — and
+    session_end = last event + gap. Boundaries are emitted as epoch
+    seconds, sidestepping cross-engine timestamp rendering. Complements
+    ext_sessionize (the batch lag/cumsum formulation over window
+    functions) with the engine-managed stateful path."""
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import session_windows
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # state partitions sized to the bounded drain (see stream_interval_join)
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_sw_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        out = session_windows(stream, gap="30 minutes", watermark="2 hours")
+        sink = f"stream_sw_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = spark.table(sink).select(
+            F.col("session_start").cast("long").alias("session_start_es"),
+            F.col("session_end").cast("long").alias("session_end_es"),
+            "user_id",
+            "n_events",
+            "sum_value",
         )
         # materialize + drop the sink view (see stream_windowed_counts)
         result = final.localCheckpoint(eager=True)
