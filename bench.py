@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "pipe_embedding_near_dup",
     "pipe_inverted_index",
     "stream_custom_state",
+    "stream_session_windows",
     "pipe_tfidf_topterms",
     "pipe_token_histogram",
     "pipe_unigram_logprob",
