@@ -80,12 +80,31 @@ BENCH_QUERIES = [
 ]
 
 
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+def _read_trials() -> int:
+    """SPARK_GRAFT_BENCH_TRIALS, validated: a clear error beats an int()
+    traceback at import, and values < 2 are rejected rather than silently
+    coerced (min-of-warm needs at least one warm trial)."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")
+    try:
+        n = int(raw)
+    except ValueError:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_TRIALS must be an integer >= 2, got {raw!r}"
+        ) from None
+    if n < 2:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_TRIALS must be >= 2, got {n}")
+    return n
 
 
-def run_one(spark, name: str) -> tuple[float, float]:
-    """(cold_sec, steady_sec): TRIALS full build+execute trials; steady is
-    the MIN of the warm trials (2..N), cold is trial 1.
+TRIALS = _read_trials()
+
+
+def run_one(spark, name: str) -> list[float]:
+    """All TRIALS full build+execute trial times, in order. The headline
+    steady number is the MIN of the warm trials (2..N); trial 1 is cold.
+    The raw list is also emitted in the JSON so medians/variance stay
+    inspectable — min-of-warm alone can mask intermittent data-path costs
+    (occasional spill/skew) that show up as warm-trial spread.
 
     Each trial rebuilds the DataFrame and executes it to a noop sink (full
     pipeline JVM-side, no Python row transfer), with operator caches
@@ -107,7 +126,7 @@ def run_one(spark, name: str) -> tuple[float, float]:
 
     spec = QUERIES[name]
     times = []
-    for _ in range(max(TRIALS, 2)):
+    for _ in range(TRIALS):
         t0 = time.time()
         df = spec.build(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
@@ -116,7 +135,7 @@ def run_one(spark, name: str) -> tuple[float, float]:
         # are only live within one query's plan; release so storage memory
         # doesn't accumulate stale blocks across the 100+ query run
         release_caches()
-    return times[0], min(times[1:])
+    return times
 
 
 def main() -> None:
@@ -171,10 +190,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        c, s = run_one(spark, name)
-        cold[name] = round(c, 3)
-        times[name] = round(s, 3)
+        ts = run_one(spark, name)
+        trials[name] = [round(x, 3) for x in ts]
+        cold[name] = round(ts[0], 3)
+        times[name] = round(min(ts[1:]), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -186,7 +207,8 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "cold_value": round(sum(cold.values()), 3),
-                "note": f"per-query sec is the MIN of the {max(TRIALS, 2) - 1} warm trials out of {max(TRIALS, 2)} full build+execute trials (contention-proof); cold_value sums the 1st trials (includes per-plan codegen compile)",
+                "trials": trials,
+                "note": f"per-query sec is the MIN of the {TRIALS - 1} warm trials out of {TRIALS} full build+execute trials (contention-proof); cold_value sums the 1st trials (includes per-plan codegen compile); 'trials' holds every raw trial in order",
             }
         )
     )

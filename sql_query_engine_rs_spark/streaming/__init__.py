@@ -144,12 +144,21 @@ def running_totals_stateful(
     state_schema = "n_events long, total double"
 
     def update(key, pdfs, state: GroupState):
+        import math
+
         import pandas as pd
 
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
+            # math.fsum, not Series.sum(): pandas uses numpy pairwise
+            # summation whose grouping depends on batch splits, while the
+            # DuckDB oracle sums sequentially — near a rounding boundary the
+            # orders can disagree in the last ulp and flip the rounded
+            # digit. fsum is exactly rounded (order-independent), so the
+            # accumulated total is deterministic across any micro-batch
+            # partitioning.
+            total = math.fsum([total, *(float(v) for v in pdf[value_col])])
         state.update((n, total))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
