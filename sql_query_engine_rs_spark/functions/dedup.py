@@ -625,27 +625,55 @@ def embedding_cosine_dups_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 2,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Scale path for ``embedding_cosine_dups``: candidate pairs form only
-    within sign-LSH buckets (2^num_planes-fold smaller join), then exact
-    cosine verifies. Trades recall (pairs split across buckets are missed)
-    for a bucket-local join; raise recall with fewer planes or multiple
-    bucket tables. Output: (id_a, id_b, cos_sim)."""
+    within sign-LSH buckets, then exact cosine verifies candidates.
+    Output: (id_a, id_b, cos_sim).
+
+    OR-amplification (``num_tables`` > 1): each table hashes with an
+    INDEPENDENT plane set (plane_offset = t * num_planes), candidates are
+    the UNION of per-table bucket joins, deduplicated before verification.
+    A true pair is missed only if split in EVERY table: with per-plane
+    collision probability p = 1 - θ/π, recall = 1 - (1 - p^planes)^tables —
+    tables raise recall, planes cut per-table join cost 2^planes-fold. For
+    genuine near-dups (cos ≥ 0.95, p ≈ 0.90) the default registered setting
+    (3 planes × 4 tables) recalls ≥ 99%; at looser thresholds recall falls
+    (measured against the exact all-pairs reference in pytest).
+
+    Shuffle discipline: candidate generation joins SKINNY (id, bucket)
+    frames — vectors never enter the per-bucket self-join — and the full
+    vectors are joined back exactly once for the candidate pairs. The
+    per-bucket join is still quadratic WITHIN a bucket (~(N/2^planes)² pairs
+    per bucket per table): at production scale, planes must grow with
+    log2(N / target_bucket_size) so bucket populations stay bounded, with
+    tables restoring the recall the extra planes cost.
+    """
     from sql_query_engine_rs_spark.functions.similarity import random_hyperplane_buckets
 
-    v = random_hyperplane_buckets(
-        _ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        vec_col="_v",
-        num_planes=num_planes,
-    )
-    a, b = v.alias("a"), v.alias("b")
+    v = _ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cand = None
+    for t in range(num_tables):
+        bkt = random_hyperplane_buckets(
+            v, vec_col="_v", num_planes=num_planes, plane_offset=t * num_planes
+        ).select("_id", "bucket")
+        a, b = bkt.alias("a"), bkt.alias("b")
+        pairs_t = (
+            a.join(b, on="bucket")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
     return (
-        a.join(b, on="bucket")
-        .filter(F.col("a._id") < F.col("b._id"))
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            portable_round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            portable_round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -73,7 +73,7 @@ def brute_force_topk(
 
 # ------------------------------------------------------------ LSH scale path
 
-def hyperplane_coeffs(num_planes: int, dim: int) -> list[list[float]]:
+def hyperplane_coeffs(num_planes: int, dim: int, plane_offset: int = 0) -> list[list[float]]:
     """±1 hyperplane coefficient matrix: coefficient (p, i) is +1 iff the
     top bit of md5("p:i")'s first hex nibble is set.
 
@@ -82,17 +82,23 @@ def hyperplane_coeffs(num_planes: int, dim: int) -> list[list[float]]:
     arrays — zero per-row hashing, and nothing to broadcast or store. Any
     engine reproduces them from the same public construction (the DuckDB
     oracle embeds the identical literals), unlike a Murmur3-seeded variant.
+
+    ``plane_offset`` shifts the plane indices (planes offset..offset+n-1),
+    giving OR-amplified multi-table LSH an independent plane set per table
+    from the same stateless construction.
     """
     return [
         [
             1.0 if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) >= 8 else -1.0
             for i in range(dim)
         ]
-        for p in range(num_planes)
+        for p in range(plane_offset, plane_offset + num_planes)
     ]
 
 
-def random_hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64) -> Column:
+def random_hyperplane_signature(
+    vec: Column, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Sign-LSH signature: bit b = sign(vec · plane_b) with ±1-coefficient
     hyperplanes (literal matrix, see ``hyperplane_coeffs``). ``dim`` must
     equal the vector length. Returns an int bucket id in [0, 2^num_planes).
@@ -122,7 +128,7 @@ def random_hyperplane_signature(vec: Column, num_planes: int = 8, dim: int = 64)
         return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
 
     sig = F.lit(0)
-    for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim)):
+    for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim, plane_offset)):
         sig = sig + plane_sign(p, coeffs)
     # assert_true returns NULL on success; adding its int cast (coalesced to
     # 0) fuses the guard into the same projection without changing the value
@@ -135,9 +141,12 @@ def random_hyperplane_buckets(
     num_planes: int = 8,
     bucket_col: str = "bucket",
     dim: int = 64,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Attach the sign-LSH bucket id (map-only)."""
-    return df.withColumn(bucket_col, random_hyperplane_signature(F.col(vec_col), num_planes, dim))
+    return df.withColumn(
+        bucket_col, random_hyperplane_signature(F.col(vec_col), num_planes, dim, plane_offset)
+    )
 
 
 def lsh_topk(

@@ -958,15 +958,16 @@ def pipe_embedding_topk(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-def _lsh_bucket_sql(col: str, num_planes: int, dim: int = 64) -> str:
+def _lsh_bucket_sql(col: str, num_planes: int, dim: int = 64, plane_offset: int = 0) -> str:
     """Sign-LSH bucket id in SQL with the SAME literal ±1 plane matrix the
     Spark side compiles in (similarity.hyperplane_coeffs). list_reduce folds
     the products left-to-right exactly like Spark's aggregate(0.0, +), so
-    the projection — and therefore the bucket — matches bit for bit."""
+    the projection — and therefore the bucket — matches bit for bit.
+    ``plane_offset`` selects the per-table plane set for multi-table LSH."""
     from sql_query_engine_rs_spark.functions.similarity import hyperplane_coeffs
 
     terms = []
-    for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim)):
+    for p, coeffs in enumerate(hyperplane_coeffs(num_planes, dim, plane_offset)):
         lst = "[" + ", ".join(("1.0" if c > 0 else "-1.0") for c in coeffs) + "]"
         proj = (
             f"list_reduce(list_transform(range(1, {dim + 1}), "
@@ -1000,26 +1001,53 @@ def pipe_ann_lsh(spark, sf_dir):
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
 
 
+_NEARDUP_PLANES, _NEARDUP_TABLES = 3, 4
+
+
+def _multi_table_lsh_neardup_sql(num_planes: int, num_tables: int, threshold: float) -> str:
+    """OR-amplified near-dup oracle: per-table bucket-join candidate sets
+    unioned (UNION deduplicates), vectors joined back once, exact cosine
+    verify — mirroring dedup.embedding_cosine_dups_lsh table for table."""
+    per_table = []
+    for t_ in range(num_tables):
+        b = f"SELECT vec_id, {_lsh_bucket_sql('embedding', num_planes, plane_offset=t_ * num_planes)} AS bucket FROM embeddings"
+        per_table.append(
+            f"SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM ({b}) x JOIN ({b}) y"
+            " ON x.bucket = y.bucket AND x.vec_id < y.vec_id"
+        )
+    cand = " UNION ".join(per_table)
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    return f"""WITH cand AS ({cand})
+        SELECT c.id_a, c.id_b,
+               FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS cos_sim
+        FROM cand c
+        JOIN embeddings a ON c.id_a = a.vec_id
+        JOIN embeddings b ON c.id_b = b.vec_id
+        WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= {threshold}"""
+
+
 @register(
     "pipe_embedding_near_dup",
-    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 1)} AS bucket
-                     FROM embeddings)
-        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-               FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
-        FROM bkt x JOIN bkt y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-        WHERE FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 >= 0.45""",
+    _multi_table_lsh_neardup_sql(_NEARDUP_PLANES, _NEARDUP_TABLES, 0.45),
 )
 def pipe_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.45 for this corpus),
-    via the sign-LSH bucketed join: candidate pairs only form inside a
-    bucket, so there is no all-pairs cross join anywhere in the plan. One
-    plane (2 buckets) is the high-recall setting; pipe_embedding_dedup_lsh
-    is the cheaper 2-plane variant. The exact all-pairs form
-    (dedup.embedding_cosine_dups) is retained as a validation helper and
-    recall reference in pytest only — a cartesian product is not a plan
-    that survives 100x data."""
+    """Embedding-cosine near-dup pairs (threshold 0.45 for this corpus) via
+    OR-amplified multi-table sign-LSH: 4 independent bucket tables of 3
+    planes each. Candidates form only inside a bucket of SOME table —
+    recall = 1 - (1 - p^3)^4 per pair (p = 1 - θ/π), ≥ 99% for genuine
+    near-dups (cos ≥ 0.95) and ~72% at this corpus's deliberately loose
+    0.45 threshold (measured against the exact all-pairs reference in
+    tests/test_pipeline_ops.py). Candidate generation joins skinny
+    (id, bucket) frames — 8 buckets per table bound each join at
+    ~(N/8)²/2 pairs per bucket, and at production scale planes grow with
+    log2(N) to keep bucket populations fixed. The exact all-pairs form
+    (dedup.embedding_cosine_dups) remains a pytest-only recall reference —
+    a cartesian product is not a plan that survives 100x data."""
     return D.embedding_cosine_dups_lsh(
-        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=1
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        num_planes=_NEARDUP_PLANES,
+        num_tables=_NEARDUP_TABLES,
     )
 
 

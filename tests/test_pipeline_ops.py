@@ -235,6 +235,39 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
         assert len(lsh & exact) / len(exact) > 0.3
 
 
+def test_embedding_multi_table_lsh_recall(spark, sf_dir):
+    """OR-amplification contract: the registered 4-table × 3-plane setting
+    must (a) emit only true near-dup pairs (verification subset), (b) recall
+    at least as many exact pairs as the old single-table 1-plane
+    registration, and (c) recall every pair a single 3-plane table finds
+    (union can only add candidates)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in D.embedding_cosine_dups(emb, threshold=0.4).collect()}
+    multi = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dups_lsh(
+            emb, threshold=0.4, num_planes=3, num_tables=4
+        ).collect()
+    }
+    one_plane = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dups_lsh(
+            emb, threshold=0.4, num_planes=1, num_tables=1
+        ).collect()
+    }
+    single_table = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_dups_lsh(
+            emb, threshold=0.4, num_planes=3, num_tables=1
+        ).collect()
+    }
+    assert multi <= exact
+    assert single_table <= multi
+    assert len(multi) >= len(one_plane)
+    if exact:
+        assert len(multi) / len(exact) > 0.5
+
+
 def test_decontaminate_planted_overlap(spark):
     """A corpus doc embedding a verbatim benchmark sentence must be flagged
     with the exact shared-shingle count; clean docs must not appear."""
