@@ -5,11 +5,13 @@ md5-prefix hash sample in queries.py (`pipe_hash_sample`): that one is O(1)
 per row but gives only approximate per-stratum sizes; `stratified_sample`
 here gives EXACT per-stratum sizes at the cost of a per-stratum sort.
 
-Scale notes: the window sorts each stratum by md5 — per-stratum shuffle+sort.
-Fine when strata are many and balanced (the partition key spreads);
-a single giant stratum would bottleneck its one partition — for that shape,
-fall back to hash-threshold sampling (approximate sizes, no sort) or
-salt + two-phase top-k. Deterministic: same data → same sample, any cluster.
+Scale notes: the plain window sorts each stratum by md5 — per-stratum
+shuffle+sort, fine when strata are many and balanced. Both exact operators
+carry a ``salted=True`` two-phase variant for the single-giant-stratum shape:
+phase 1 ranks within (stratum, salt) so no task ever sorts more than the
+stratum's 1/n_salts share, and the superset argument (below, per operator)
+makes phase 2's exact re-rank run over a bounded survivor set. Deterministic:
+same data → same sample, any cluster, either path.
 """
 
 from __future__ import annotations
@@ -23,19 +25,58 @@ def stratified_sample(
     stratum_col: str,
     fraction: float,
     id_col: str = "doc_id",
+    salted: bool = False,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Exactly ceil(fraction * |stratum|) rows per stratum, chosen as the
     rows with the smallest md5(id) — a deterministic, engine-portable
-    pseudorandom order (ties broken by id; md5 collisions are immaterial)."""
-    w_rank = Window.partitionBy(stratum_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    pseudorandom order (ties broken by id; md5 collisions are immaterial).
+
+    ``salted=False``: one count window + one rank window per stratum — a
+    giant stratum serializes onto the single task that sorts it.
+
+    ``salted=True`` (the 100 TB path): per-stratum takes come from a skinny
+    broadcast count frame (one row per stratum), then two bounded phases.
+    Phase 1 ranks within (stratum, salt) where salt = pmod(hash(id),
+    n_salts) and keeps rank <= take_s: any row among the stratum's true
+    first take_s has at most take_s - 1 predecessors overall, hence at most
+    take_s - 1 in its own salt, so phase 1 keeps a SUPERSET of the answer
+    (exactness preserved) while no task sorts more than the stratum's salt
+    share; survivors are <= take_s * n_salts per stratum. Phase 2 re-ranks
+    the bounded survivor set exactly. Same result as the single-window
+    form by construction; pinned by tests/test_pipeline_ops.py.
+
+    The broadcast count frame holds one (stratum, take) row per stratum —
+    fine to millions of strata; the giant-stratum shape this path exists
+    for has few strata by definition.
+    """
+    order = (F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    if not salted:
+        w_rank = Window.partitionBy(stratum_col).orderBy(*order)
+        w_all = Window.partitionBy(stratum_col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w_rank))
+            .withColumn("_take", F.ceil(F.count(F.lit(1)).over(w_all) * fraction))
+            .filter(F.col("_rn") <= F.col("_take"))
+            .drop("_rn", "_take")
+        )
+    takes = df.groupBy(stratum_col).agg(
+        F.ceil(F.count(F.lit(1)) * F.lit(fraction)).alias("_take")
     )
-    w_all = Window.partitionBy(stratum_col)
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+    phase1_w = Window.partitionBy(F.col(stratum_col), salt).orderBy(*order)
+    survivors = (
+        df.join(F.broadcast(takes), stratum_col)
+        .withColumn("_rn1", F.row_number().over(phase1_w))
+        .filter(F.col("_rn1") <= F.col("_take"))
+        .drop("_rn1")
+    )
+    final_w = Window.partitionBy(stratum_col).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w_rank))
-        .withColumn("_take", F.ceil(F.count(F.lit(1)).over(w_all) * fraction))
+        survivors.withColumn("_rn", F.row_number().over(final_w))
         .filter(F.col("_rn") <= F.col("_take"))
         .drop("_rn", "_take")
+        .select(*df.columns)
     )
 
 

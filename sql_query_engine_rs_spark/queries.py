@@ -2958,11 +2958,14 @@ def _single_batch_stream_dir(sf_dir: str, prefix: str) -> str:
 def pipe_stratified_sample(spark, sf_dir):
     """Exact-size stratified sampling: ceil(20%) of every source, rows chosen
     by smallest md5(doc_id) — deterministic and engine-portable (same sample
-    from DuckDB, any Spark cluster, any run)."""
+    from DuckDB, any Spark cluster, any run). Registered on the SALTED
+    two-phase path (the 100 TB shape: no task sorts more than a stratum's
+    1/n_salts share); identical to the single-window form by construction,
+    so the plain-window SQL remains the oracle."""
     from sql_query_engine_rs_spark.functions.sampling import stratified_sample
 
     return stratified_sample(
-        t(spark, sf_dir, "documents"), "source", 0.2
+        t(spark, sf_dir, "documents"), "source", 0.2, salted=True
     ).select("doc_id", "source")
 
 

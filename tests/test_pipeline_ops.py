@@ -504,6 +504,32 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     assert mean_sampled > mean_all
 
 
+def test_stratified_sample_salted_equals_exact_with_mega_stratum(spark):
+    """One mega-stratum (5000 rows) + two small ones: the salted two-phase
+    path must return EXACTLY the rows of the single-window form — same ids,
+    same exact per-stratum sizes."""
+    import math
+
+    from sql_query_engine_rs_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "mega") for i in range(5000)]
+    rows += [(10_000 + i, "small_a") for i in range(10)]
+    rows += [(20_000 + i, "small_b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").repartition(8)
+    exact = {
+        (r.doc_id, r.source)
+        for r in stratified_sample(df, "source", 0.1, salted=False).collect()
+    }
+    salted = {
+        (r.doc_id, r.source)
+        for r in stratified_sample(df, "source", 0.1, salted=True, n_salts=7).collect()
+    }
+    assert salted == exact
+    by_stratum = {"mega": 5000, "small_a": 10, "small_b": 40}
+    for s, n in by_stratum.items():
+        assert len([1 for _, src in salted if src == s]) == math.ceil(n * 0.1)
+
+
 def test_domain_cap_salted_equals_exact_with_mega_domain(spark):
     from pyspark.sql import functions as F
     from sql_query_engine_rs_spark.functions.sampling import domain_cap

@@ -163,6 +163,17 @@ def test_domain_cap_salted_two_phase(spark, sf_dir):
     assert "pmod" in simple or "hash" in simple
 
 
+def test_stratified_sample_salted_two_phase(spark, sf_dir):
+    """The registered stratified sample runs the salted variant: two Window
+    operators (salted pre-rank + exact re-rank), the first keyed by
+    (stratum, salt), with the per-stratum take frame broadcast."""
+    df = QUERIES["pipe_stratified_sample"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("Window") >= 2
+    assert "pmod" in simple or "hash" in simple
+    assert "BroadcastHashJoin" in simple
+
+
 def test_curation_single_plan_no_text_after_scan(spark, sf_dir):
     """The composed curation pipeline must not carry document text past
     the scoring projection: no shuffle exchanges a 'text' column."""
