@@ -2856,6 +2856,68 @@ def stream_custom_state(spark, sf_dir):
 
 
 @register(
+    "stream_custom_state_expiry",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
+       FROM events GROUP BY user_id""",
+)
+def stream_custom_state_expiry(spark, sf_dir):
+    """The ALWAYS-ON variant of stream_custom_state: the same
+    ``applyInPandasWithState`` running totals, but with event-time idle
+    expiry armed (idle_gap_minutes=120): every update sets an event-time
+    timer at the key's last event + gap, and once the watermark passes it
+    the timed-out invocation removes the key's state — the property that
+    keeps an always-on 100 TB/day deployment's state finite. Expired keys
+    emit nothing, so the bounded single-batch drain still equals the batch
+    groupBy oracle; actual cross-batch state REMOVAL is pinned by the
+    multi-batch test in tests/test_streaming.py (a key going idle past the
+    gap restarts from zero when it reappears)."""
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import running_totals_stateful
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # state partitions sized to the bounded drain (see stream_interval_join)
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_ce_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        totals = running_totals_stateful(
+            stream, key_col="user_id", value_col="value", idle_gap_minutes=120
+        )
+        sink = f"stream_ce_{uuid.uuid4().hex[:8]}"
+        (
+            totals.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("total", "n_events").alias("_total"),
+            )
+            .select("user_id", "n_events", pround(F.col("_total"), 2).alias("total"))
+        )
+        # materialize + drop the sink view (see stream_windowed_counts)
+        result = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
     "stream_session_windows",
     """WITH m AS (
          SELECT user_id, ts, value,

@@ -105,7 +105,9 @@ def running_totals_stateful(
     events: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
-    timeout_minutes: int | None = None,
+    idle_gap_minutes: int | None = None,
+    ts_col: str = "ts",
+    watermark: str = "5 minutes",
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running event count + value sum, emitted on every update.
@@ -115,14 +117,23 @@ def running_totals_stateful(
     per-key tuple persisted by the state store; each micro-batch's rows for
     a key arrive as pandas DataFrames.
 
-    ``timeout_minutes`` expires idle keys so state stays bounded — the
-    property that keeps an always-on pipeline's memory finite; an always-on
-    deployment MUST set it. It defaults to None (GroupStateTimeout.NoTimeout)
-    because (a) bounded availableNow drains don't need expiry — state dies
-    with the query — and (b) the ProcessingTimeTimeout path in this
-    environment's PySpark 4.1.2 crashes the Python worker at O(1000)-key
-    scale and schedules pathological extra timeout batches under
-    availableNow.
+    ``idle_gap_minutes`` is the always-on state-expiry path: each update
+    arms an EVENT-TIME timer at (key's max event time + gap); once the
+    watermark passes it with no new data for the key, the timed-out
+    invocation removes the key's state — so an always-on deployment's state
+    holds only keys seen within the idle gap of the event-time frontier,
+    exactly the horizon the built-in stateful ops (windows, dedup, session)
+    expire on. Event-time expiry is deterministic and replayable (same data
+    → same expiries, no wall-clock dependence), and is pinned by a
+    multi-batch removal test (tests/test_streaming.py).
+
+    Why not wall-clock expiry: in this environment's PySpark 4.1.2,
+    GroupStateTimeout.ProcessingTimeTimeout never quiesces the micro-batch
+    loop (processAllAvailable hangs; O(1000)-key drains crash the Python
+    worker), and the newer transformWithStateInPandas API — whose timers
+    would be the canonical fix — requires google.protobuf for its state
+    server protocol, which this container does not ship. Event-time timers
+    avoid both and are the semantics a data pipeline usually wants anyway.
 
     On a batch frame, falls back to the equivalent groupBy (same schema).
     """
@@ -142,13 +153,20 @@ def running_totals_stateful(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     state_schema = "n_events long, total double"
+    gap_ms = None if idle_gap_minutes is None else idle_gap_minutes * 60 * 1000
 
     def update(key, pdfs, state: GroupState):
         import math
 
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle longer than the gap at the event-time frontier: drop the
+            # key's state; emit nothing (expiry is bookkeeping, not output)
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
+        max_ts_ms = None
         for pdf in pdfs:
             n += len(pdf)
             # math.fsum, not Series.sum(): pandas uses numpy pairwise
@@ -159,20 +177,27 @@ def running_totals_stateful(
             # accumulated total is deterministic across any micro-batch
             # partitioning.
             total = math.fsum([total, *(float(v) for v in pdf[value_col])])
+            if gap_ms is not None:
+                batch_max = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
+                max_ts_ms = batch_max if max_ts_ms is None else max(max_ts_ms, batch_max)
         state.update((n, total))
-        if timeout_minutes is not None:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if gap_ms is not None and max_ts_ms is not None:
+            state.setTimeoutTimestamp(max_ts_ms + gap_ms)
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    src = events
+    if gap_ms is not None:
+        # EventTimeTimeout requires a watermark on the stream
+        src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.NoTimeout
-            if timeout_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
+            if gap_ms is None
+            else GroupStateTimeout.EventTimeTimeout
         ),
     )
 

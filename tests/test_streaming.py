@@ -116,3 +116,71 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     assert stream_rows == batch_rows
     # the 10:20 click -> 11:05 view pair for user 1 (the 10:00 click is >1h away)
     assert (2, 3, 1) in stream_rows and len(stream_rows) == 1
+
+
+def test_custom_state_event_time_expiry(spark, tmp_path):
+    """Idle-key state REMOVAL across micro-batches: a key idle past the
+    event-time gap must restart from zero when it reappears — the always-on
+    bounded-state contract of running_totals_stateful(idle_gap_minutes=...).
+
+    Four single-file batches (maxFilesPerTrigger=1, availableNow):
+      f1: key 1 and key 2 at 10:00         -> both keys get state + timers
+      f2: key 2 at 12:00                   -> advances watermark to 11:55
+      f3: key 2 at 12:10 (no key-1 data)   -> watermark 11:55 > key 1's
+                                              timeout (10:30): timer fires,
+                                              key 1's state removed
+      f4: key 1 at 12:30                   -> fresh state: n_events=1
+    Without expiry, key 1's second emission would be (2, 17.0)."""
+    from sql_query_engine_rs_spark.streaming import running_totals_stateful
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src_dir)
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, value double")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        import glob as g
+        import shutil
+
+        shutil.copy(g.glob(tmp + "/part-*.parquet")[0], os.path.join(src_dir, name))
+
+    add_file([(1, "2026-01-01 10:00:00", 10.0), (2, "2026-01-01 10:00:00", 3.0)], "f1.parquet")
+    add_file([(2, "2026-01-01 12:00:00", 4.0)], "f2.parquet")
+    add_file([(2, "2026-01-01 12:10:00", 1.0)], "f3.parquet")
+    add_file([(1, "2026-01-01 12:30:00", 7.0)], "f4.parquet")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = running_totals_stateful(
+        stream, key_col="user_id", value_col="value", idle_gap_minutes=30,
+        watermark="5 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("expiry_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(r.user_id, r.n_events, r.total) for r in spark.table("expiry_sink").collect()}
+    spark.catalog.dropTempView("expiry_sink")
+    # key 1 restarted after expiry...
+    assert (1, 1, 10.0) in rows and (1, 1, 7.0) in rows
+    assert (1, 2, 17.0) not in rows, f"state NOT expired: {sorted(rows)}"
+    # ...while key 2 (never idle past the gap... 10:00->12:00 IS past the
+    # gap, but its own batches re-arm before any batch runs without it) kept
+    # accumulating monotonically
+    assert (2, 3, 8.0) in rows
