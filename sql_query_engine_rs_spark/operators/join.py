@@ -90,6 +90,114 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Hot-key-hardened as-of join: identical results to ``asof_join``, but
+    the data-bearing window partitions by (key, coarse time bucket) instead
+    of key alone, so a single pathologically hot key's rows split across its
+    time buckets — every task's sort is bounded by one bucket's density
+    instead of the key's full history.
+
+    Shape: (1) the union-ordering window of ``asof_join``, re-keyed on
+    (key, bucket), resolves matches WITHIN a bucket; (2) cross-bucket
+    matches come from a per-(key, bucket) max aggregate (one skinny row per
+    bucket — this is the pre-aggregation that collapses right-side density)
+    run through a second union-ordering window per key over BUCKET rows, so
+    its input is #buckets rows, not #rows; (3) each left row takes
+    coalesce(within-bucket match, best-of-earlier-buckets), joined back on
+    (key, bucket) — co-partitioned, skinny build side.
+
+    Timestamps are compared through their epoch-seconds double image
+    (microsecond-exact to 2^53; ``direction='forward'`` negates it so the
+    same "greatest signed value at-or-before" logic serves both
+    directions). Pick ``bucket_seconds`` ~ the hot key's event density
+    horizon: tasks then carry O(density × bucket_seconds) rows.
+
+    Output: all left columns + ``_asof_ts`` — same contract as
+    ``asof_join``; equivalence is pinned by a planted-hot-key test.
+    """
+    from pyspark.sql import Window
+
+    sign = 1 if direction == "backward" else -1
+    ts_type = right.schema[right_ts].dataType
+
+    def signed_epoch(c: Column) -> Column:
+        return c.cast("timestamp").cast("double") * sign
+
+    lb = (
+        left.withColumn("_tn", signed_epoch(F.col(left_ts)))
+        .withColumn("_b", F.floor(F.col("_tn") / bucket_seconds))
+    )
+    rb = (
+        right.select(F.col(key), F.col(right_ts).alias("_rt"))
+        .withColumn("_tn", signed_epoch(F.col("_rt")))
+        .withColumn("_b", F.floor(F.col("_tn") / bucket_seconds))
+    )
+
+    # (1) within-bucket union-window: right rows sort before left rows at
+    # equal instants so <= / >= semantics match asof_join exactly
+    l_u = lb.withColumn("_r_ts", F.lit(None).cast(ts_type)).withColumn("_side", F.lit(1))
+    r_u = (
+        rb.select(F.col(key), F.col("_tn"), F.col("_b"), F.col("_rt").alias("_r_ts"))
+        .withColumn("_side", F.lit(0))
+    )
+    merged = l_u.unionByName(r_u, allowMissingColumns=True)
+    w_in = (
+        Window.partitionBy(key, "_b")
+        .orderBy(F.col("_tn").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = merged.withColumn("_within", F.last("_r_ts", ignorenulls=True).over(w_in)).filter(
+        F.col("_side") == 1
+    )
+
+    # (2) skinny per-bucket bests + inclusive prefix per key (struct max
+    # orders by _btn; _btn -> _bts is injective, so the pick is exact)
+    rbb = rb.groupBy(key, "_b").agg(
+        F.max(F.struct(F.col("_tn").alias("_btn"), F.col("_rt").alias("_bts"))).alias("_best")
+    )
+    w_pre = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    upto = rbb.withColumn("_upto", F.max("_best").over(w_pre)).select(key, "_b", "_upto")
+
+    # strictly-earlier-bucket best for EVERY left bucket (including buckets
+    # with no right rows): union-window over skinny bucket rows, left bucket
+    # rows sorting BEFORE prefix rows at equal bucket so same-bucket bests
+    # do not leak in
+    ld = lb.select(F.col(key), F.col("_b")).distinct().withColumn("_bs", F.lit(0))
+    pu = upto.withColumn("_bs", F.lit(1))
+    w_gap = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_b").asc(), F.col("_bs").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (
+        ld.unionByName(pu, allowMissingColumns=True)
+        .withColumn("_before", F.last("_upto", ignorenulls=True).over(w_gap))
+        .filter(F.col("_bs") == 0)
+        .select(F.col(key), F.col("_b"), F.col("_before._bts").alias("_before_ts"))
+    )
+
+    # (3) combine: within-bucket match wins (it is >= any earlier bucket's)
+    out = (
+        within.join(before, on=[key, "_b"], how="left")
+        .withColumn("_asof_ts", F.coalesce(F.col("_within"), F.col("_before_ts")))
+        .filter(F.col("_asof_ts").isNotNull())
+        .select(*left.columns, "_asof_ts")
+    )
+    return out
+
+
 def range_join(facts: DataFrame, bands: DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
     """Band/range join: match each fact row to the band whose
     [lo, hi) interval contains ``value_col``. The bands table is small by

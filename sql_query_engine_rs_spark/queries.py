@@ -1435,6 +1435,31 @@ def ext_asof_join(spark, sf_dir):
 
 
 @register(
+    "ext_asof_join_bucketed",
+    """SELECT e.event_id, CAST(o.o_orderdate AS VARCHAR) AS asof_orderdate
+       FROM events e ASOF JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def ext_asof_join_bucketed(spark, sf_dir):
+    """Hot-key-hardened as-of join: same semantics (and same DuckDB ASOF
+    oracle) as ext_asof_join, but the data-bearing window partitions on
+    (user, week bucket) so one user with millions of events never serializes
+    into a single task's sort — the 100 TB shape for skewed as-of joins.
+    Cross-bucket matches flow through skinny per-bucket prefix frames."""
+    from sql_query_engine_rs_spark.operators.join import asof_join_bucketed
+
+    e = events_table(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+    out = asof_join_bucketed(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        bucket_seconds=7 * 86400,
+    )
+    return out.select("event_id", F.col("_asof_ts").cast("string").alias("asof_orderdate"))
+
+
+@register(
     "ext_range_join",
     """WITH bands(band, lo, hi) AS (VALUES
          ('small', 0.0, 100000.0), ('medium', 100000.0, 300000.0), ('large', 300000.0, 1000000.0))

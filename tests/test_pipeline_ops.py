@@ -143,6 +143,70 @@ def test_asof_join_preserves_duplicate_left_rows(spark):
     assert len(out) == 2 and all(r._asof_ts == 90 for r in out)
 
 
+def test_asof_join_bucketed_equals_plain_with_hot_key(spark):
+    """Planted hot key: one key holds 5000 dense right rows + 500 left rows
+    (plus a sparse second key and a no-match key). The bucketed variant must
+    return EXACTLY the plain asof_join's rows while its data-bearing window
+    partitions on (key, bucket) — the property that bounds any one task by a
+    bucket's density, not the key's full history."""
+    from sql_query_engine_rs_spark.operators.join import asof_join, asof_join_bucketed
+
+    # hot key 1: right every 10s over ~14h, left every 100s (offset 7)
+    left_rows = [(i, 1, 7 + 100 * i) for i in range(500)]
+    right_rows = [(1, 10 * j) for j in range(5000)]
+    # sparse key 2 + left-only key 3 (drops: no right row at-or-before)
+    left_rows += [(9001, 2, 1000), (9002, 3, 1000)]
+    right_rows += [(2, 900), (2, 2000)]
+    left = spark.createDataFrame(left_rows, "event_id long, k long, ts long").repartition(8)
+    right = spark.createDataFrame(right_rows, "k long, rts long").repartition(8)
+
+    for direction in ("backward", "forward"):
+        plain = {
+            (r.event_id, r._asof_ts)
+            for r in asof_join(left, right, "k", "ts", "rts", direction=direction).collect()
+        }
+        bucketed_df = asof_join_bucketed(
+            left, right, "k", "ts", "rts", direction=direction, bucket_seconds=3600
+        )
+        bucketed = {(r.event_id, r._asof_ts) for r in bucketed_df.collect()}
+        assert bucketed == plain, f"{direction}: {len(bucketed)} vs {len(plain)}"
+    assert (9002, 1000) not in {(e, t) for e, t in plain}
+
+    # plan shape: the big union-window shuffles on (k, _b), never k alone
+    from sql_query_engine_rs_spark.plans import explain_str
+
+    simple = explain_str(
+        asof_join_bucketed(left, right, "k", "ts", "rts", bucket_seconds=3600), "simple"
+    )
+    assert "hashpartitioning(k" in simple and "_b" in simple
+
+
+def test_asof_join_bucketed_subsecond_and_cross_bucket(spark):
+    """Timestamps differing only in sub-second must resolve exactly (the
+    epoch image is double, not truncated seconds), and a left bucket with
+    no right rows must reach back to earlier buckets."""
+    from pyspark.sql import functions as F
+    from sql_query_engine_rs_spark.operators.join import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 1, "2026-01-01 10:00:00.700"), (2, 1, "2026-01-05 23:00:00")],
+        "event_id long, k long, ts_s string",
+    ).select("event_id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00.500"), (1, "2026-01-01 10:00:00.900")],
+        "k long, rts_s string",
+    ).select("k", F.col("rts_s").cast("timestamp").alias("rts"))
+    out = {
+        r.event_id: str(r._asof_ts)
+        for r in asof_join_bucketed(left, right, "k", "ts", "rts", bucket_seconds=3600).collect()
+    }
+    # event 1: .500 matches (not .900); event 2 is 4 days of empty buckets later
+    assert out == {
+        1: "2026-01-01 10:00:00.500000",
+        2: "2026-01-01 10:00:00.900000",
+    }
+
+
 # ---------------------------------------------------------------- band-size cap (skew)
 
 def test_minhash_band_cap_drops_flood_keeps_real_pairs(spark):
