@@ -10,15 +10,27 @@ style) work on Spark: batches arrive as pandas Series of bytes, the UDF is
 called once per ~10k rows, and the stage is map-only (no shuffle).
 
 The actual codecs (PIL, soundfile, av) are NOT in this container, so the
-decode kernels are STUBBED behind ``_decode_*`` with a deterministic fake
-keyed on the payload bytes; the Spark-side plumbing — schemas, batch
-iteration, partitioning — is real and tested. Swap the kernel body for the
-real library in production.
+decode kernels are STUBBED with a deterministic fake keyed on the payload
+bytes; the Spark-side plumbing — schemas, batch iteration, partitioning —
+is real and tested.
+
+Codec injection seam: every plumbing operator resolves its kernel through
+the CODEC REGISTRY (``register_codec`` / ``get_codec`` / ``reset_codec``)
+at plan-build time, so production swaps a real kernel in — e.g.
+``register_codec("image_decode", pil_decode)`` — without touching any
+Spark plumbing. The callable is captured into the mapInPandas closure and
+cloudpickle-shipped to executors like any other UDF body; the deterministic
+stubs remain the default (and the test fixture). Kernel contracts:
+
+- ``image_decode``:  (payload: bytes) -> (width, height, feature list)
+- ``video_frames``:  (payload: bytes, every_ms: int)
+                     -> iterable of (frame_idx, frame_ts_ms, frame_bytes)
+- ``audio_pcm``:     (payload: bytes) -> int64 numpy array of PCM samples
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
@@ -73,6 +85,58 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _video_frames_stub(payload: bytes, every_ms: int) -> list[tuple[int, int, bytes]]:
+    """STUB demux kernel: fake duration = len(bytes) ms, frame = 16-byte
+    slice, capped at 32 frames. Real deployment: av/ffmpeg demux."""
+    n_frames = max(1, min(len(payload) // max(every_ms, 1), 32))
+    return [
+        (i, i * every_ms, payload[i * 16 : i * 16 + 16] or b"\0")
+        for i in range(n_frames)
+    ]
+
+
+def _audio_pcm_stub(payload: bytes):
+    """STUB audio decode: payload IS signed 8-bit PCM mono. Real
+    deployment: soundfile/librosa decode to the same int64 contract."""
+    import numpy as np
+
+    return np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+
+
+# ------------------------------------------------------------ codec registry
+
+_DEFAULT_CODECS: dict[str, Callable] = {
+    "image_decode": _decode_image_stub,
+    "video_frames": _video_frames_stub,
+    "audio_pcm": _audio_pcm_stub,
+}
+_CODECS: dict[str, Callable] = dict(_DEFAULT_CODECS)
+
+
+def register_codec(kind: str, fn: Callable) -> None:
+    """Swap a production kernel in for ``kind`` (see module docstring for
+    the per-kind contract). Takes effect for plans built AFTER the call —
+    the callable is resolved at plan-build time and cloudpickled into the
+    mapInPandas closure, so it needs no cluster-side installation beyond
+    its own imports being available on executors."""
+    if kind not in _DEFAULT_CODECS:
+        raise KeyError(f"unknown codec kind {kind!r}; valid: {sorted(_DEFAULT_CODECS)}")
+    _CODECS[kind] = fn
+
+
+def get_codec(kind: str) -> Callable:
+    return _CODECS[kind]
+
+
+def reset_codec(kind: str | None = None) -> None:
+    """Restore the deterministic stub for ``kind`` (or all kinds)."""
+    if kind is None:
+        _CODECS.clear()
+        _CODECS.update(_DEFAULT_CODECS)
+    else:
+        _CODECS[kind] = _DEFAULT_CODECS[kind]
+
+
 def attach_media_meta(df: DataFrame, payload_col: str, media_type: str, fmt: str) -> DataFrame:
     """Wrap a binary column with the typed metadata struct (map-only)."""
     return df.withColumn(
@@ -92,13 +156,15 @@ def image_features(df: DataFrame, id_col: str = "item_id", payload_col: str = "p
 
     ``mapInPandas``: Arrow-batched, map-only; each batch decodes in one
     Python call. Partitioning of the input carries through untouched.
+    Kernel resolved through the codec registry ("image_decode").
     """
+    decode = get_codec("image_decode")
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            decoded = [_decode_image_stub(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "item_id": pdf[id_col].astype("int64"),
@@ -116,8 +182,9 @@ def frame_sample(df: DataFrame, id_col: str = "item_id", payload_col: str = "pay
     """Video frame sampling — STUB kernel, real batch plumbing.
 
     Emits one row per sampled frame: (item_id, frame_idx, frame_ts_ms,
-    frame_payload). Real deployment replaces the kernel with ``av``/ffmpeg
-    demuxing; the fan-out (1 video -> N frames) shape is what matters here.
+    frame_payload). Real deployment registers an ``av``/ffmpeg demuxer as
+    the "video_frames" codec; the fan-out (1 video -> N frames) shape is
+    what matters here.
     """
     out_schema = StructType(
         [
@@ -127,6 +194,7 @@ def frame_sample(df: DataFrame, id_col: str = "item_id", payload_col: str = "pay
             StructField("frame_payload", BinaryType()),
         ]
     )
+    demux = get_codec("video_frames")
 
     def sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -134,13 +202,8 @@ def frame_sample(df: DataFrame, id_col: str = "item_id", payload_col: str = "pay
         for pdf in batches:
             rows = []
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                data = bytes(payload)
-                # STUB: fake duration = len(bytes) ms, frame = 16-byte slice.
-                n_frames = max(1, min(len(data) // max(every_ms, 1), 32))
-                for i in range(n_frames):
-                    rows.append(
-                        (int(item_id), i, i * every_ms, data[i * 16 : i * 16 + 16] or b"\0")
-                    )
+                for idx, ts_ms, frame in demux(bytes(payload), every_ms):
+                    rows.append((int(item_id), int(idx), int(ts_ms), frame))
             yield pd.DataFrame(rows, columns=["item_id", "frame_idx", "frame_ts_ms", "frame_payload"])
 
     return df.mapInPandas(sample_batches, out_schema)
@@ -179,6 +242,7 @@ def audio_features(
         ]
     )
     spw = max(1, sample_rate * window_ms // 1000)  # samples per window
+    decode_pcm = get_codec("audio_pcm")
 
     def feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import math
@@ -189,7 +253,7 @@ def audio_features(
         for pdf in batches:
             out = {k: [] for k in ("item_id", "window_idx", "start_ms", "rms", "zero_crossings")}
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                pcm = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.int64)
+                pcm = decode_pcm(bytes(payload))
                 n_win = max(1, len(pcm) // spw)
                 for w in range(n_win):
                     seg = pcm[w * spw : (w + 1) * spw]

@@ -112,6 +112,43 @@ def test_frame_sample_fanout(spark):
     assert all(f.item_id == 7 for f in frames)
 
 
+def test_codec_registry_injection(spark):
+    """Production-codec seam: a 'real' kernel registered through the public
+    registry must flow into NEW plans (closure capture at build time)
+    without touching the plumbing, and reset_codec must restore the stub."""
+    from sql_query_engine_rs_spark.functions import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789abcdef" * 20))], "item_id long, payload binary"
+    )
+
+    def fake_real_decode(payload: bytes):
+        return 1920, 1080, [0.5] * 4  # pretend-PIL: fixed dims, tiny feature
+
+    def fake_real_demux(payload: bytes, every_ms: int):
+        return [(0, 0, b"KEYFRAME")]  # pretend-ffmpeg: single keyframe
+
+    try:
+        M.register_codec("image_decode", fake_real_decode)
+        M.register_codec("video_frames", fake_real_demux)
+        img = M.image_features(df).collect()[0]
+        assert (img.width, img.height) == (1920, 1080)
+        assert img.feature == [0.5] * 4
+        frames = M.frame_sample(df).collect()
+        assert len(frames) == 1 and bytes(frames[0].frame_payload) == b"KEYFRAME"
+    finally:
+        M.reset_codec()
+    # stub restored: deterministic fake dims, multi-frame fan-out
+    img = M.image_features(df).collect()[0]
+    assert (img.width, img.height) != (1920, 1080)
+    assert len(M.frame_sample(df, every_ms=100).collect()) > 1
+    # unknown kinds are rejected at the seam
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        M.register_codec("nope", fake_real_decode)
+
+
 # ---------------------------------------------------------------- as-of join
 
 def test_asof_join_picks_latest_at_or_before(spark):
