@@ -265,6 +265,83 @@ def ivf_assign(
     )
 
 
+def ivf_write_bucketed(
+    corpus: DataFrame,
+    table_name: str,
+    path: str,
+    num_centroids: int = 16,
+    iterations: int = 1,
+    num_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF-assigned corpus as a table BUCKETED on
+    ``centroid_id`` — the ahead-of-time layout that makes every later probe
+    join shuffle-free on the corpus side (the promise in ``ivf_topk``'s
+    docstring, demonstrated here).
+
+    One assignment pass writes (id, vec, centroid_id) bucketed+sorted by
+    cell; Spark's bucketed scan then satisfies the join's distribution
+    requirement from the file layout, so batch-ANN probe joins (the
+    million-query shape where broadcasting the queries stops being free)
+    plan an Exchange ONLY on the probe side — pinned by
+    tests/test_pipeline_ops.py. Returns the centroid codebook for reuse by
+    ``ivf_topk_bucketed``.
+    """
+    cents = ivf_centroids(
+        corpus, num_centroids=num_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = ivf_assign(
+        _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
+        nprobe=1, id_col=id_col, vec_col=vec_col,
+    )
+    (
+        cells.write.bucketBy(num_buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+    return cents
+
+
+def ivf_topk_bucketed(
+    spark,
+    table_name: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k over a pre-bucketed corpus (see ``ivf_write_bucketed``):
+    sort-merge probe join on ``centroid_id`` where the corpus side's
+    distribution comes from the bucket layout — no corpus-side Exchange;
+    only the query×nprobe frame (and the final per-query rank) shuffles.
+    Same output contract and same results as ``ivf_topk`` given the same
+    codebook (both deterministic)."""
+    corpus_cells = spark.table(table_name)
+    query_cells = ivf_assign(
+        queries.select(id_col, vec_col), centroids,
+        nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"), "centroid_id")
+    scored = (
+        corpus_cells.hint("merge")
+        .join(query_cells, on="centroid_id")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            portable_round(cosine(F.col("_qv"), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -448,6 +448,46 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() == 1000
 
 
+def test_ivf_bucketed_corpus_probe_join_no_corpus_exchange(spark, sf_dir, tmp_path):
+    """The IVF bucketed-storage contract: with the corpus written bucketed
+    by centroid_id, the batch probe join plans an Exchange ONLY on the
+    query side — the corpus's distribution comes from the file layout. And
+    the results equal the self-contained ivf_topk on the same codebook."""
+    import uuid
+
+    from sql_query_engine_rs_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_bucketed,
+        ivf_write_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    table = f"ivf_corpus_{uuid.uuid4().hex[:6]}"
+    try:
+        cents = ivf_write_bucketed(
+            emb, table, str(tmp_path / "ivf"), num_centroids=8, num_buckets=8
+        )
+        out = ivf_topk_bucketed(spark, table, cents, queries, k=5, nprobe=4)
+        plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "simple")
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan, "corpus scan not bucketed"
+        # the corpus branch of the SortMergeJoin (between the join node and
+        # the bucketed FileScan) must hold NO Exchange: its distribution
+        # comes from the bucket layout. Exchanges remain only on the probe
+        # pipeline (query assignment window + join probe side + final rank).
+        corpus_branch = plan.split("SortMergeJoin", 1)[1].split("FileScan", 1)[0]
+        assert "Exchange" not in corpus_branch, corpus_branch
+        got = {(r.query_id, r.vec_id, r.cos_sim, r.rank) for r in out.collect()}
+        want = {
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=4).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 # ---------------------------------------------------------------- approx aggs
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
