@@ -77,6 +77,14 @@ BENCH_QUERIES = [
     "pipe_unigram_logprob",
     "pipe_source_quality_rollup",
     "pipe_video_frames",
+    # round-5 additions: the OR-amplified embedding near-dup (new registered
+    # plan), the hot-key-hardened as-of join, the salted stratified sample,
+    # the expiry-armed custom stateful drain, and the sketch rollups
+    "ext_asof_join_bucketed",
+    "pipe_stratified_sample",
+    "stream_custom_state_expiry",
+    "pipe_sketch_rollup",
+    "pipe_quantile_rollup",
 ]
 
 

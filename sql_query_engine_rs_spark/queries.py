@@ -4282,6 +4282,108 @@ def ext_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "pipe_sketch_rollup",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS merged_within_5pct
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT '__ALL__' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              TRUE AS merged_within_5pct
+       FROM events""",
+)
+def pipe_sketch_rollup(spark, sf_dir):
+    """Two-level mergeable-sketch rollup (DataSketches HLL): per-(type,
+    shard) sketches built in one pass are UNION-merged to per-type
+    estimates, and the per-type sketches union again into a grand-total
+    '__ALL__' row — the dashboard shape of a 100 TB curation run, where
+    daily/shard sketches are precomputed once and every rollup level is a
+    constant-memory merge instead of a re-scan (re-counting distinct at
+    each level would shuffle every key again; sketch rows are ~2^lgK bytes
+    regardless of data size). Like ext_approx_distinct, the sketch VALUE
+    is not cross-engine comparable, so the plan emits the exact count and
+    a boolean asserting the TWICE-MERGED estimate landed within 5% —
+    a broken merge (the typical sketch-pipeline bug) flips the hash."""
+    e = events_table(spark, sf_dir)
+    shard = F.pmod(F.hash("user_id"), F.lit(16)).alias("_shard")
+    l1 = e.groupBy("event_type", shard).agg(
+        F.hll_sketch_agg("user_id", 12).alias("_sk")
+    )
+    per_type = l1.groupBy("event_type").agg(F.hll_union_agg("_sk").alias("_sk"))
+    total = per_type.agg(F.hll_union_agg("_sk").alias("_sk")).select(
+        F.lit("__ALL__").alias("event_type"), "_sk"
+    )
+    merged = per_type.unionByName(total).select(
+        "event_type", F.hll_sketch_estimate("_sk").alias("_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    ).unionByName(
+        e.agg(F.countDistinct("user_id").alias("exact_users")).select(
+            F.lit("__ALL__").alias("event_type"), "exact_users"
+        )
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.greatest(F.col("exact_users"), F.lit(1))
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
+    "pipe_quantile_rollup",
+    """SELECT source,
+              FLOOR(quantile_cont(n_chars, 0.5) * 10000 + 0.5) / 10000 AS p50_chars,
+              FLOOR(quantile_cont(n_chars, 0.9) * 10000 + 0.5) / 10000 AS p90_chars,
+              TRUE AS approx_p50_ok, TRUE AS approx_p90_ok
+       FROM documents GROUP BY source""",
+)
+def pipe_quantile_rollup(spark, sf_dir):
+    """Per-source quality-quantile rollup: exact interpolated p50/p90 of
+    document length beside the mergeable approx_percentile sketch — the
+    other half of the 100 TB curation dashboard (HLL covers cardinality,
+    quantile sketches cover distributions). Exact percentiles ARE
+    cross-engine hashable: Spark and DuckDB both interpolate as
+    lower + (upper - lower) * frac on int64 inputs, giving identical
+    doubles. The sketch value is not portable, so it ships as booleans
+    pinning the sketch's ACTUAL guarantee — rank error, not value error:
+    the approx value (an observed data value at rank within epsilon of p)
+    must lie between the exact quantiles at p±0.05. A value-relative bound
+    would false-alarm on any long-tailed group where one rank step moves
+    the value more than 5%."""
+    d = t(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def pct(p):
+        return F.percentile("n_chars", F.lit(p))
+
+    return (
+        d.groupBy("source")
+        .agg(
+            pct(0.5).alias("_p50"),
+            pct(0.9).alias("_p90"),
+            pct(0.45).alias("_p45"),
+            pct(0.55).alias("_p55"),
+            pct(0.85).alias("_p85"),
+            pct(0.95).alias("_p95"),
+            F.percentile_approx("n_chars", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)).alias("_ap"),
+        )
+        .select(
+            "source",
+            pround(F.col("_p50"), 4).alias("p50_chars"),
+            pround(F.col("_p90"), 4).alias("p90_chars"),
+            (
+                (F.col("_ap")[0] >= F.col("_p45")) & (F.col("_ap")[0] <= F.col("_p55"))
+            ).alias("approx_p50_ok"),
+            (
+                (F.col("_ap")[1] >= F.col("_p85")) & (F.col("_ap")[1] <= F.col("_p95"))
+            ).alias("approx_p90_ok"),
+        )
+    )
+
+
+@register(
     "pipe_label_centroids",
     """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
               CAST(count(*) AS BIGINT) AS n_vecs,
