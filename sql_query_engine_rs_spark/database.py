@@ -85,6 +85,43 @@ class Database:
         parts = shlex.split(cmd[1:])
         if parts[0] == "dt":
             return self.catalog.show_tables()
+        if parts[0] == "bench":
+            # \bench <registered-query> [trials] — one-query min-of-warm
+            # micro-bench with the same method as bench.py: full
+            # build+execute to a noop sink per trial, operator caches
+            # released between trials, steady = min of the warm trials.
+            if len(parts) not in (2, 3):
+                raise MetaCommandError(f"usage: \\bench <query-name> [trials>=2], got: {cmd}")
+            import os
+            import time
+
+            from sql_query_engine_rs_spark.functions.caching import release_caches
+            from sql_query_engine_rs_spark.queries import QUERIES
+
+            name = parts[1]
+            if name not in QUERIES:
+                raise MetaCommandError(
+                    f"unknown query {name!r}; registered: {len(QUERIES)} (see queries.py)"
+                )
+            try:
+                trials = int(parts[2]) if len(parts) == 3 else 3
+            except ValueError:
+                raise MetaCommandError(f"trials must be an integer, got: {parts[2]}") from None
+            if trials < 2:
+                raise MetaCommandError("trials must be >= 2 (min-of-warm needs a warm trial)")
+            sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            times = []
+            for _ in range(trials):
+                t0 = time.time()
+                QUERIES[name].build(self.spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.time() - t0)
+                release_caches()
+            return self.spark.createDataFrame(
+                [(name, sf_dir, trials, round(times[0], 3), round(min(times[1:]), 3))],
+                "query string, sf_dir string, trials int, cold_sec double, steady_sec double",
+            )
         if parts[0] == "load":
             if len(parts) != 4 or parts[1] not in ("csv", "parquet", "json", "orc"):
                 raise MetaCommandError(

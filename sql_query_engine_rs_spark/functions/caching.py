@@ -17,6 +17,8 @@ the caches that are actually live.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _LIVE_CACHES: list[DataFrame] = []
@@ -39,3 +41,29 @@ def release_caches() -> int:
             pass  # session already stopped; nothing to release
     _LIVE_CACHES.clear()
     return n
+
+
+@contextmanager
+def tracked_caches():
+    """Scoped release for non-bench callers: caches registered INSIDE the
+    block are unpersisted when it closes, without touching caches that were
+    already live. Materialize results before the block exits:
+
+        with tracked_caches():
+            rows = QUERIES["pipe_bm25"].build(spark, sf).collect()
+        # BM25's internal token cache is released here
+
+    Nesting works (inner scopes release only their own registrations), and
+    a global ``release_caches()`` remains correct inside or outside a scope
+    (already-released frames are skipped harmlessly).
+    """
+    mark = len(_LIVE_CACHES)
+    try:
+        yield
+    finally:
+        for df in _LIVE_CACHES[mark:]:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        del _LIVE_CACHES[mark:]

@@ -69,3 +69,37 @@ def test_repl_null_and_empty_rendering(db):
 def test_repl_exit_command(db):
     out = run_script(db, "exit\nselect 1\n")
     assert out.count("sql>") == 1 and "Exited" in out
+
+
+def test_bench_meta_command(db, monkeypatch, sf_dir):
+    """\\bench runs a registered query with the min-of-warm method and
+    renders one row; bad inputs get usage errors, not tracebacks."""
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    out = run_script(db, "\\bench v0_simple_agg 2\n")
+    assert "query sf_dir trials cold_sec steady_sec" in out
+    assert "v0_simple_agg" in out and "Run Error" not in out
+    assert "unknown query" in run_script(db, "\\bench nope_not_registered\n")
+    assert "usage" in run_script(db, "\\bench\n")
+    assert "trials must be" in run_script(db, "\\bench v0_simple_agg 1\n")
+
+
+def test_tracked_caches_scope(spark):
+    """The context manager releases only caches registered inside it."""
+    from sql_query_engine_rs_spark.functions.caching import (
+        _LIVE_CACHES,
+        persist_tracked,
+        release_caches,
+        tracked_caches,
+    )
+
+    release_caches()
+    outer = persist_tracked(spark.range(10))
+    outer.count()
+    with tracked_caches():
+        inner = persist_tracked(spark.range(20))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory, "inner cache survived its scope"
+    assert outer.storageLevel.useMemory, "outer cache wrongly released"
+    assert len(_LIVE_CACHES) == 1
+    release_caches()
