@@ -1431,6 +1431,29 @@ def ext_asof_join(spark, sf_dir):
 
 
 @register(
+    "ext_asof_join_forward",
+    """SELECT e.event_id, CAST(o.o_orderdate AS VARCHAR) AS asof_orderdate
+       FROM events e ASOF JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate""",
+)
+def ext_asof_join_forward(spark, sf_dir):
+    """Forward as-of join: the EARLIEST order at or after each event's
+    timestamp per user (the lookahead twin of ext_asof_join — label
+    attachment, next-action joins). Same union-ordering window shape with
+    the sort direction flipped; DuckDB's native forward ASOF validates."""
+    from sql_query_engine_rs_spark.operators.join import asof_join
+
+    e = events_table(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+    out = asof_join(
+        e, o, key="user_id", left_ts="ts", right_ts="o_orderdate", direction="forward"
+    )
+    return out.select("event_id", F.col("_asof_ts").cast("string").alias("asof_orderdate"))
+
+
+@register(
     "ext_asof_join_bucketed",
     """SELECT e.event_id, CAST(o.o_orderdate AS VARCHAR) AS asof_orderdate
        FROM events e ASOF JOIN orders o
