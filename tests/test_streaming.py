@@ -231,3 +231,65 @@ def test_stream_parquet_sink_exactly_once_restart(spark, tmp_path):
     add_file([(3, 3.0)], "f2.parquet")
     drain_once()
     assert sorted(r.event_id for r in spark.read.parquet(sink_dir).collect()) == [1, 2, 3]
+
+
+def test_windowed_counts_append_drops_late_data(spark, tmp_path):
+    """Watermark semantics under append mode: an event arriving after the
+    watermark passed its window must be DROPPED (state for that window is
+    gone — the bound that keeps an always-on aggregation's memory finite),
+    and each finalized window is emitted exactly once with the on-time
+    count."""
+    import glob as g
+    import os
+    import shutil
+
+    from sql_query_engine_rs_spark.streaming import windowed_counts
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    def add_file(rows, name):
+        stage = str(tmp_path / ("stage_" + name))
+        (
+            spark.createDataFrame(rows, "event_id long, ts_s string, user_id long, event_type string, value double")
+            .select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        shutil.copy(g.glob(stage + "/part-*.parquet")[0], os.path.join(src_dir, name))
+
+    # batch1: 10:10 (win 10:00) + 11:40 -> watermark 11:10 computed at batch
+    # end (takes effect one batch later)
+    add_file([(1, "2026-01-01 10:10:00", 1, "click", 1.0),
+              (2, "2026-01-01 11:40:00", 1, "click", 1.0)], "f1.parquet")
+    # batch2: on-time event; the 11:10 watermark commits into effect
+    add_file([(6, "2026-01-01 12:00:00", 1, "click", 1.0)], "f2.parquet")
+    # batch3: a LATE 10:20 event — the in-effect watermark (>= 11:10) is
+    # past win 10:00's end, so it is dropped; 12:50 keeps advancing time
+    add_file([(3, "2026-01-01 10:20:00", 1, "click", 1.0),
+              (4, "2026-01-01 12:50:00", 1, "click", 1.0)], "f3.parquet")
+    # batch4: flush batch so win 11:00 emits
+    add_file([(5, "2026-01-01 13:40:00", 1, "click", 1.0)], "f4.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = windowed_counts(stream, "1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {str(r.window_start): r.n_events for r in spark.table("late_sink").collect()}
+    spark.catalog.dropTempView("late_sink")
+    # win 10:00 emitted ONCE with count 1 — the late event 3 was dropped
+    # (count 2 would mean watermark state survived past finalization)
+    assert rows.get("2026-01-01 10:00:00") == 1, rows
+    assert rows.get("2026-01-01 11:00:00") == 1, rows
