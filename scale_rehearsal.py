@@ -54,7 +54,9 @@ HEAVY = [
     "pipe_decontaminate",
     "pipe_ann_ivf",
     "stream_interval_join",
+    "stream_custom_state_expiry",
     "pipe_bm25",
+    "pipe_inverted_index",
     "ext_tpch_q1",
 ]
 
