@@ -2219,6 +2219,51 @@ def pipe_dup_clusters(spark, sf_dir):
     )
 
 
+def _dup_keeplist_oracle() -> str:
+    """Keep-list = docs outside any near-dup cluster + each cluster's head
+    (cluster_id == min member == the kept representative)."""
+    pair_sql = _minhash_oracle()
+    return f"""WITH RECURSIVE pairs AS ({pair_sql}),
+        undirected AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT a, b FROM undirected
+          UNION
+          SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a
+        ),
+        clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+        SELECT d.doc_id, (c.doc_id IS NOT NULL) AS had_dups
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"""
+
+
+@register("pipe_dedup_keeplist", _dup_keeplist_oracle())
+def pipe_dedup_keeplist(spark, sf_dir):
+    """The dedup pipeline's actual DELIVERABLE: the list of documents to
+    keep — every doc not in a near-dup cluster, plus one canonical
+    representative per cluster (the min-id head, which IS the cluster_id by
+    construction of min-label propagation, so no extra per-cluster argmin
+    pass is needed). ``had_dups`` marks kept docs that had near-duplicates
+    removed. Composes MinHash-LSH -> connected components -> anti/semi
+    filter; the left join against the (doc_id, cluster_id) frame is
+    co-partitioned skinny pairs, never text."""
+    from sql_query_engine_rs_spark.functions.dedup import duplicate_clusters
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    clusters = duplicate_clusters(
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+    )
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id", F.col("cluster_id").isNotNull().alias("had_dups"))
+    )
+
+
 # =====================================================================
 # TPC-H adaptations, second wave (schema lacks partsupp; queries adapted)
 # =====================================================================
