@@ -1234,6 +1234,7 @@ _ROUND5_WINDOW = [
     # -- new this round -------------------------------------------------
     "ext_asof_join_bucketed", "stream_custom_state_expiry",
     "pipe_sketch_rollup", "pipe_quantile_rollup",
+    "pipe_table_profile", "ext_asof_join_forward", "pipe_dedup_keeplist",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1249,8 +1250,11 @@ _ROUND5_WINDOW = [
     "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
     "pipe_embedding_topk", "pipe_ann_lsh", "pipe_lang_id",
     "pipe_quality_score", "pipe_token_count", "pipe_text_stats",
-    "ext_left_join", "ext_anti_join", "ext_semi_exists", "ext_cube",
-    "ext_pivot",
+    "ext_left_join", "ext_anti_join",
+    # (ext_semi_exists / ext_cube / ext_pivot stay r01-era one more round —
+    # displaced by the three late round-5 entries above, which would
+    # otherwise have NO driver row at all; all three remain under the
+    # local full-registry DuckDB oracle)
 ]
 
 
