@@ -1235,6 +1235,7 @@ _ROUND5_WINDOW = [
     "ext_asof_join_bucketed", "stream_custom_state_expiry",
     "pipe_sketch_rollup", "pipe_quantile_rollup",
     "pipe_table_profile", "ext_asof_join_forward", "pipe_dedup_keeplist",
+    "pipe_ann_ivf_bucketed",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1249,12 +1250,12 @@ _ROUND5_WINDOW = [
     "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
     "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
     "pipe_embedding_topk", "pipe_ann_lsh", "pipe_lang_id",
-    "pipe_quality_score", "pipe_token_count", "pipe_text_stats",
+    "pipe_quality_score", "pipe_token_count",
     "ext_left_join", "ext_anti_join",
-    # (ext_semi_exists / ext_cube / ext_pivot stay r01-era one more round —
-    # displaced by the three late round-5 entries above, which would
-    # otherwise have NO driver row at all; all three remain under the
-    # local full-registry DuckDB oracle)
+    # (pipe_text_stats / ext_semi_exists / ext_cube / ext_pivot stay
+    # r01-era one more round — displaced by the four late round-5 entries
+    # above, which would otherwise have NO driver row at all; all four
+    # remain under the local full-registry DuckDB oracle)
 ]
 
 
@@ -2742,6 +2743,39 @@ def pipe_ann_ivf(spark, sf_dir):
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, num_centroids=8, nprobe=3
     )
+
+
+@register("pipe_ann_ivf_bucketed", _ivf_oracle())
+def pipe_ann_ivf_bucketed(spark, sf_dir):
+    """The bucketed-storage twin of pipe_ann_ivf: the IVF-assigned corpus
+    is materialized as a table bucketed by centroid_id, and the probe is a
+    sort-merge join whose corpus side takes its distribution from the file
+    layout — NO corpus-side Exchange (plan-pinned in pytest). Same
+    deterministic codebook, same results, same DuckDB oracle as
+    pipe_ann_ivf; this entry puts the batch-ANN storage path (the shape for
+    probe sets too large to broadcast) under the driver hash gate."""
+    import uuid
+
+    from sql_query_engine_rs_spark.functions.similarity import (
+        ivf_topk_bucketed,
+        ivf_write_bucketed,
+    )
+
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    table = f"ivf_corpus_{uuid.uuid4().hex[:8]}"
+    path = tempfile.mkdtemp(prefix="ivf_bucketed_")
+    cents = ivf_write_bucketed(
+        emb, table, path, num_centroids=8, num_buckets=8
+    )
+    try:
+        result = ivf_topk_bucketed(
+            spark, table, cents, emb.filter(F.col("vec_id") < 5), k=5, nprobe=3
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return result
 
 
 @register(
