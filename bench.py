@@ -85,6 +85,13 @@ BENCH_QUERIES = [
     "stream_custom_state_expiry",
     "pipe_sketch_rollup",
     "pipe_quantile_rollup",
+    # round-5 second wave: semantic dedup (IVF codebook + within-cell pair
+    # scan), the corpus-frequency boilerplate join, the zero-shuffle
+    # classifier pass, and the mixture-weighted take
+    "pipe_semdedup",
+    "pipe_boilerplate_ngrams",
+    "pipe_quality_classifier",
+    "pipe_mixture_sample",
 ]
 
 

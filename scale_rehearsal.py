@@ -15,8 +15,12 @@ Corpus construction (10 salted copies of sf0.1, remapped ids):
   twins, which would measure a 45x-heavier dedup workload, not 10x data.
 - events: event_id/user_id offset per copy — 10x users at constant per-user
   density, so watermark state and join fan-in scale linearly.
-- embeddings: vec_id offset per copy (vectors repeat; ANN cell populations
-  scale 10x).
+- embeddings: vec_id offset per copy, vector cyclically ROTATED by the copy
+  index (rotation preserves norms and the within-copy cosine structure
+  while decorrelating cross-copy pairs) — the dup rate stays that of the
+  base corpus instead of every vector gaining copies-1 exact cos=1 twins,
+  which would measure a quadratically heavier SemDeDup/near-dup workload,
+  not 10x data. ANN cell populations still scale 10x.
 - lineitem: l_orderkey offset per copy (scan/agg family).
 Other tables copy through unchanged so every registered query still runs.
 
@@ -107,7 +111,16 @@ def build_data(spark, copies: int) -> None:
             "props",
         ),
         "embeddings": lambda df, c: df.select(
-            (F.col("vec_id") + F.lit(c * OFFSET)).alias("vec_id"), "embedding", "label"
+            (F.col("vec_id") + F.lit(c * OFFSET)).alias("vec_id"),
+            (
+                F.col("embedding")
+                if c == 0
+                else F.concat(
+                    F.slice("embedding", c % 64 + 1, 64 - c % 64),
+                    F.slice("embedding", 1, c % 64),
+                ).alias("embedding")
+            ),
+            "label",
         ),
         "lineitem": lambda df, c: df.withColumn(
             "l_orderkey", F.col("l_orderkey") + F.lit(c * OFFSET)

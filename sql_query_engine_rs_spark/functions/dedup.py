@@ -745,6 +745,65 @@ def connected_components(
     return labels
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    num_centroids: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering the embedding space, then dropping near-duplicates
+    WITHIN each cluster — the pairwise work that is quadratic globally
+    becomes per-cell bounded, which is the whole trick.
+
+    Uses the deterministic IVF codebook (md5-sampled seeds + Lloyd steps,
+    ``similarity.ivf_centroids``) so the operator is stateless and
+    engine-replayable. Keep rule: a vector is REMOVED iff some smaller-id
+    vector in the SAME cell has cosine >= threshold with it (greedy
+    keep-min-id — deterministic, one pass, SQL-expressible; the paper keeps
+    the member farthest from the centroid, an arbitrary-but-fixed choice).
+
+    Output: (id, centroid_id, kept boolean) — one row per input vector.
+
+    Scale shape: assignment is the nprobe=1 skinny max_by path; the
+    within-cell self-join pairs ~(N/k)^2 rows per cell, so k must grow
+    linearly with N to keep cell populations (hence per-task pair counts)
+    bounded — a parameter, not a plan change. Cells frame is checkpointed
+    once and feeds both join sides plus the final keep-list join.
+    """
+    from sql_query_engine_rs_spark.functions.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(
+        corpus, num_centroids=num_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cells = ivf_assign(
+        _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
+        nprobe=1, id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint(eager=True)
+    a = cells.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "centroid_id")
+    b = cells.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "centroid_id")
+    removed = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(portable_round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        cells.select(id_col, "centroid_id")
+        .join(removed, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.col("_rm").isNull().alias("kept"),
+        )
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     id_col: str = "doc_id",

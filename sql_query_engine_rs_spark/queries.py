@@ -1236,10 +1236,13 @@ _ROUND5_WINDOW = [
     "pipe_sketch_rollup", "pipe_quantile_rollup",
     "pipe_table_profile", "ext_asof_join_forward", "pipe_dedup_keeplist",
     "pipe_ann_ivf_bucketed",
+    "pipe_semdedup", "pipe_mixture_sample", "pipe_boilerplate_ngrams",
+    "pipe_quality_classifier", "ext_regr_agg", "ext_median_mode",
+    "ext_lateral_join",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
-    # -- the 42 round-1-era entries (stalest cohort) --------------------
+    # -- round-1-era entries (stalest cohort), filling the 50 -----------
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
     "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
     "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
@@ -1249,13 +1252,12 @@ _ROUND5_WINDOW = [
     "ext_window_rank", "ext_window_running", "ext_rollup", "ext_case_when",
     "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
     "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
-    "pipe_embedding_topk", "pipe_ann_lsh", "pipe_lang_id",
-    "pipe_quality_score", "pipe_token_count",
-    "ext_left_join", "ext_anti_join",
-    # (pipe_text_stats / ext_semi_exists / ext_cube / ext_pivot stay
-    # r01-era one more round — displaced by the four late round-5 entries
-    # above, which would otherwise have NO driver row at all; all four
-    # remain under the local full-registry DuckDB oracle)
+    # (pipe_embedding_topk / pipe_ann_lsh / pipe_lang_id /
+    # pipe_quality_score / pipe_token_count / ext_left_join /
+    # ext_anti_join / pipe_text_stats / ext_semi_exists / ext_cube /
+    # ext_pivot stay r01-era one more round — displaced by the seven
+    # late round-5 entries above, which would otherwise have NO driver
+    # row at all; all remain under the local full-registry DuckDB oracle)
 ]
 
 
@@ -2664,30 +2666,38 @@ def ext_tpch_q22(spark, sf_dir):
     )
 
 
-def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 64) -> str:
-    """Full-pipeline DuckDB mirror of similarity.ivf_topk: md5-sampled seed
-    codebook, one Lloyd iteration, nprobe-cell probe, rounded cosine rank.
-    Dot/norm folds are written as the SAME left fold Spark's aggregate()
-    runs (0.0 + x1 + x2 + ...), so assignment argmaxes agree; the only
-    cross-engine float divergence left is the per-dim avg partial-sum order,
-    ~1e-16 against assignment margins of ~1e-2."""
+def _duck_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
 
-    def _dot(a: str, b: str) -> str:
-        return (
-            f"list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (acc, x) -> acc + x)"
-        )
 
-    def _norm(a: str) -> str:
-        return (
-            f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (acc, x) -> acc + x))"
-        )
+def _duck_norm(a: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (acc, x) -> acc + x))"
+    )
+
+
+def _duck_cos(a: str, b: str, dim: int) -> str:
+    return f"({_duck_dot(a, b, dim)} / ({_duck_norm(a, dim)} * {_duck_norm(b, dim)}))"
+
+
+def _ivf_codebook_ctes(num_centroids: int, dim: int) -> str:
+    """Shared DuckDB CTE chain replaying similarity.ivf_centroids +
+    corpus assignment (md5-sampled seeds, one Lloyd iteration, nprobe=1
+    cell assignment) — the deterministic codebook every IVF-family oracle
+    (ANN top-k, bucketed ANN, SemDeDup) builds on. Dot/norm folds are
+    written as the SAME left fold Spark's aggregate() runs
+    (0.0 + x1 + x2 + ...), so assignment argmaxes agree; the only
+    cross-engine float divergence left is the per-dim avg partial-sum
+    order, ~1e-16 against assignment margins of ~1e-2."""
 
     def _cos(a: str, b: str) -> str:
-        return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+        return _duck_cos(a, b, dim)
 
-    return f"""WITH seeds AS (
+    return f"""seeds AS (
           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS centroid_id,
                  embedding AS c
           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}),
@@ -2709,7 +2719,18 @@ def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 
             SELECT e.vec_id, s.centroid_id,
                    row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {_cos('e.embedding', 's.c')} DESC, s.centroid_id) AS rn
-            FROM embeddings e CROSS JOIN cents s) a WHERE rn = 1),
+            FROM embeddings e CROSS JOIN cents s) a WHERE rn = 1)"""
+
+
+def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 64) -> str:
+    """Full-pipeline DuckDB mirror of similarity.ivf_topk: the shared
+    codebook CTEs (``_ivf_codebook_ctes``) + nprobe-cell probe + rounded
+    cosine rank."""
+
+    def _cos(a: str, b: str) -> str:
+        return _duck_cos(a, b, dim)
+
+    return f"""WITH {_ivf_codebook_ctes(num_centroids, dim)},
         query_cells AS (
           SELECT vec_id AS query_id, centroid_id FROM (
             SELECT e.vec_id, s.centroid_id,
@@ -2776,6 +2797,40 @@ def pipe_ann_ivf_bucketed(spark, sf_dir):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return result
+
+
+def _semdedup_oracle(num_centroids: int = 8, threshold: float = 0.4, dim: int = 64) -> str:
+    """DuckDB mirror of dedup.semdedup: shared IVF codebook CTEs, then the
+    within-cell pair scan with the greedy keep-min-id rule. The cosine is
+    rounded to 6 decimals on both sides BEFORE the threshold compare, so the
+    cut is taken on identical doubles."""
+    cos = _duck_cos("ea.embedding", "eb.embedding", dim)
+    return f"""WITH {_ivf_codebook_ctes(num_centroids, dim)},
+        rm AS (
+          SELECT DISTINCT b.vec_id
+          FROM corpus_cells a
+          JOIN corpus_cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= {threshold})
+        SELECT c.vec_id, CAST(c.centroid_id AS INT) AS centroid_id,
+               (rm.vec_id IS NULL) AS kept
+        FROM corpus_cells c LEFT JOIN rm ON rm.vec_id = c.vec_id"""
+
+
+@register("pipe_semdedup", _semdedup_oracle())
+def pipe_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means-cluster the
+    embeddings with the deterministic IVF codebook, then drop all but the
+    smallest-id member of each within-cell cosine-near-dup pair. The
+    clustering is what makes semantic dedup tractable at 100 TB — pairwise
+    cosine runs per cell (k grows with N to bound cell populations), never
+    globally. Fully deterministic, so the DuckDB oracle replays codebook,
+    assignment, pair scan, and keep rule under the driver hash gate.
+    Output: one row per vector (vec_id, centroid_id, kept)."""
+    return D.semdedup(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, num_centroids=8
+    )
 
 
 @register(
@@ -3258,6 +3313,105 @@ def ext_stats_agg(spark, sf_dir):
         pround(F.covar_samp("c_acctbal", "n_orders"), 4).alias("covar_bal_orders"),
         pround(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
         pround(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+    )
+
+
+@register(
+    "ext_regr_agg",
+    """SELECT l_returnflag,
+              CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+              FLOOR((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS slope,
+              FLOOR((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS intercept,
+              FLOOR((regr_r2(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS r2
+       FROM lineitem
+       GROUP BY l_returnflag""",
+)
+def ext_regr_agg(spark, sf_dir):
+    """Linear-regression aggregates (regr_slope/intercept/r2/count): the
+    one-pass OLS family both engines implement with the same sample-moment
+    formulas in float64 (price-per-unit trend per return flag). Partial
+    aggregation applies — the shuffle carries one moment tuple per group
+    per partition."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        pround(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        pround(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        pround(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@register(
+    "ext_median_mode",
+    """WITH med AS (
+         SELECT l_returnflag, FLOOR(median(l_quantity) * 100 + 0.5) / 100 AS med_qty
+         FROM lineitem GROUP BY l_returnflag),
+       cnts AS (
+         SELECT l_returnflag, l_quantity, count(*) AS c
+         FROM lineitem GROUP BY l_returnflag, l_quantity),
+       md AS (
+         SELECT l_returnflag, l_quantity AS mode_qty FROM (
+           SELECT l_returnflag, l_quantity,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, l_quantity) AS rn
+           FROM cnts) r WHERE rn = 1)
+       SELECT l_returnflag, med_qty, mode_qty
+       FROM med JOIN md USING (l_returnflag)""",
+)
+def ext_median_mode(spark, sf_dir):
+    """Exact median + deterministic mode per group. Spark's builtin mode()
+    breaks ties arbitrarily, so the mode here is the two-level aggregate
+    (count per value, then max_by with a lowest-value tie-break) — the
+    engine-portable definition, and also the scalable one: the first
+    aggregation combines map-side, the second reduces one row per distinct
+    value. The median is Spark's exact interpolated median — fine per-group
+    at any scale IF group cardinalities are modest; for the giant-group
+    case use percentile_approx (see ext_percentiles / pipe_quantile_rollup
+    for the sketch path with its true rank-error guarantee)."""
+    li = t(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        pround(F.median("l_quantity"), 2).alias("med_qty")
+    )
+    md = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max_by(
+                "l_quantity", F.struct(F.col("c"), (-F.col("l_quantity")).alias("nq"))
+            ).alias("mode_qty")
+        )
+    )
+    return med.join(md, "l_returnflag")
+
+
+@register(
+    "ext_lateral_join",
+    """SELECT r.r_name, l.n_name, l.top_cust_bal
+       FROM region r, LATERAL (
+         SELECT n_name,
+                (SELECT FLOOR(max(c_acctbal) * 100 + 0.5) / 100 FROM customer
+                 WHERE c_nationkey = n_nationkey) AS top_cust_bal
+         FROM nation WHERE n_regionkey = r.r_regionkey
+         ORDER BY n_name LIMIT 2) l""",
+)
+def ext_lateral_join(spark, sf_dir):
+    """Correlated LATERAL subquery join (top-2 nations per region, each with
+    its richest customer's balance). Spark supports lateral correlated
+    subqueries with ORDER BY/LIMIT natively (SPARK-34382); Catalyst
+    decorrelates the per-region limit into a ranked window join — the same
+    physical shape per_group_top_k builds by hand, so there is no
+    driver-side iteration and the plan scales like any window top-k."""
+    for name in ("region", "nation", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"_lat_{name}")
+    return spark.sql(
+        """SELECT r.r_name, l.n_name, l.top_cust_bal
+           FROM _lat_region r, LATERAL (
+             SELECT n_name,
+                    (SELECT FLOOR(max(c_acctbal) * 100 + 0.5) / 100 FROM _lat_customer
+                     WHERE c_nationkey = n_nationkey) AS top_cust_bal
+             FROM _lat_nation WHERE n_regionkey = r.r_regionkey
+             ORDER BY n_name LIMIT 2) l"""
     )
 
 
@@ -4198,6 +4352,117 @@ def pipe_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "pipe_boilerplate_ngrams",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       g AS (
+         SELECT DISTINCT doc_id, md5(array_to_string(toks[(i+1):(i+3)], ' ')) AS h
+         FROM tk, UNNEST(range(len(toks) - 2)) AS u(i)
+         WHERE len(toks) >= 3),
+       f AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+       b AS (SELECT h FROM f WHERE df >= 5)
+       SELECT g.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              FLOOR(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1000000 + 0.5) / 1000000 AS boiler_ratio
+       FROM g LEFT JOIN b USING (h)
+       GROUP BY g.doc_id""",
+)
+def pipe_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-internal boilerplate detection (the CCNet/RefinedWeb dedup-
+    coverage filter): distinct word 3-grams per document, document frequency
+    per gram across the corpus, then each document's coverage by "boilerplate"
+    grams (df >= 5) — documents dominated by corpus-frequent phrases are
+    template/spam candidates. Output: (doc_id, n_grams, n_boiler,
+    boiler_ratio).
+
+    Scale shape: shingling is map-only (zip_with, one tokenize pass); only
+    (doc_id, md5) pairs shuffle — 16-byte hashes, never text. The frequent
+    set is df-thresholded — a tiny fraction of the gram space — and joins
+    back broadcast (AQE-planned); the per-doc rollup keys on doc_id, so no
+    skew. The df table itself is the same vocab-bounded shape as the
+    inverted index."""
+    d = docs_parallel(spark, sf_dir)
+    g = (
+        d.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(D.shingles_from_tokens(F.col("_toks"), 3)).alias("_gram"),
+        )
+        .select("doc_id", F.md5(F.col("_gram")).alias("h"))
+    )
+    f = g.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    b = f.filter(F.col("df") >= 5).select("h").withColumn("_b", F.lit(1))
+    return (
+        g.join(b, on="h", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_boiler"),
+            pround(
+                F.sum(F.coalesce(F.col("_b"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+@register(
+    "pipe_quality_classifier",
+    """WITH tk AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+                list_reduce(list_prepend(0.0, list_transform(toks, t ->
+                  (((ascii(substr(md5(t), 1, 1)) - 48 -
+                     CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 +
+                    (ascii(substr(md5(t), 2, 1)) - 48 -
+                     CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97 THEN 39 ELSE 0 END))
+                   / 255.0 - 0.5))), (acc, x) -> acc + x) AS raw
+         FROM tk)
+       SELECT doc_id, n_tok,
+              FLOOR((raw / GREATEST(n_tok, 1)) * 1000000 + 0.5) / 1000000 AS score,
+              (FLOOR((raw / GREATEST(n_tok, 1)) * 1000000 + 0.5) / 1000000 > 0.0) AS keep
+       FROM s""",
+)
+def pipe_quality_classifier(spark, sf_dir):
+    """Hashed-feature linear classifier scoring (the fastText-style quality
+    gate every crawl pipeline runs): each token maps to a hash bucket whose
+    weight is a pure function of the bucket (here a deterministic stand-in
+    — first-2-hex-digit bucket of md5(token), weight = bucket/255 - 0.5;
+    production swaps a broadcast learned weight table into the same plan);
+    a document's score is the mean token weight and `keep` is the
+    sign-threshold decision.
+
+    Entirely map-side: the per-token weights fold INSIDE the token array
+    (F.aggregate — no explode, no shuffle at all before the result), so at
+    100 TB the operator is a single pass with zero exchanges. The fold runs
+    in array order starting at 0.0 on both engines, so the score is
+    bit-identical before its 6-decimal round."""
+    d = docs_parallel(spark, sf_dir)
+
+    def w(tok):
+        bucket = F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("double")
+        return bucket / 255.0 - 0.5
+
+    toked = d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    raw = F.aggregate(F.col("_toks"), F.lit(0.0), lambda acc, tk: acc + w(tk))
+    n = F.size(F.col("_toks"))
+    score = pround(raw / F.greatest(n, F.lit(1)), 6)
+    return toked.select(
+        "doc_id",
+        n.alias("n_tok"),
+        score.alias("score"),
+        (score > 0.0).alias("keep"),
+    )
+
+
+@register(
     "pipe_source_quality_rollup",
     f"""SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,
@@ -4345,6 +4610,73 @@ def pipe_weighted_sample(spark, sf_dir):
     key = pround(F.pow(u, 1.0 / F.greatest(F.col("n_chars"), F.lit(1))), 9)
     scored = t(spark, sf_dir, "documents").select("doc_id", "n_chars", key.alias("key"))
     return top_k(scored, 200, F.col("key").desc(), F.col("doc_id"))
+
+
+@register(
+    "pipe_mixture_sample",
+    """WITH sz AS (
+         SELECT source, sqrt(CAST(sum(n_chars) AS DOUBLE)) AS w
+         FROM documents GROUP BY source),
+       tot AS (
+         SELECT list_reduce(list_prepend(0.0, list(w ORDER BY w, source)),
+                            (acc, x) -> acc + x) AS total
+         FROM sz),
+       tgt AS (
+         SELECT source,
+                GREATEST(1, CAST(FLOOR(w / total * 200 + 0.5) AS BIGINT)) AS take_s
+         FROM sz CROSS JOIN tot),
+       r AS (
+         SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+         FROM documents)
+       SELECT doc_id, source, rk
+       FROM r JOIN tgt USING (source) WHERE rk <= take_s""",
+)
+def pipe_mixture_sample(spark, sf_dir):
+    """Temperature-weighted source mixing (the Pile / PaLM data-mixture
+    shape): per-source sampling budgets proportional to size^alpha
+    (alpha=0.5 — upweights small sources, tempers giant crawls), then an
+    exact deterministic take of each source's budget by md5(doc_id) rank.
+
+    Cross-engine determinism: the weight normalizer is a LEFT FOLD over the
+    per-source weights in (w, source) order starting at 0.0 — Spark folds a
+    sorted collect_list, DuckDB list_reduce's an ORDER BY'd list — so the
+    total, hence every floor(w/total*budget) target, is bit-identical.
+
+    Scale shape: the budget frame is one row per source (broadcast); the
+    per-source rank is the stratified-take window — for a giant-stratum
+    source mix, swap in sampling.stratified_sample's salted two-phase rank
+    (same contract, pinned equivalent in pytest)."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    sz = d.groupBy("source").agg(
+        F.sqrt(F.sum("n_chars").cast("double")).alias("_w")
+    )
+    tot = sz.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_w").alias("w"), F.col("source").alias("s")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("_total")
+    )
+    tgt = sz.join(F.broadcast(tot)).select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.col("_w") / F.col("_total") * 200 + 0.5),
+        ).alias("_take"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.join(F.broadcast(tgt), "source")
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= F.col("_take"))
+        .select("doc_id", "source", "rk")
+    )
 
 
 _CHUNKS_SQL = """

@@ -692,3 +692,106 @@ def test_domain_cap_salted_equals_exact_with_mega_domain(spark):
     assert salted == exact
     assert len([1 for _, s, _ in exact if s == "mega"]) == 25
     assert len([1 for _, s, _ in exact if s == "small_a"]) == 10
+
+
+# ----------------------------------------------------------- round-5 additions
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """Every vector appears exactly once; the smallest id in each cell is
+    always kept; every removed vector has a smaller-id same-cell neighbor
+    with rounded cosine >= threshold (the greedy rule, re-verified from the
+    result itself)."""
+    from pyspark.sql import functions as F
+    from sql_query_engine_rs_spark.functions.dedup import semdedup
+    from sql_query_engine_rs_spark.functions.expressions import portable_round
+    from sql_query_engine_rs_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = semdedup(emb, threshold=0.4, num_centroids=8)
+    rows = res.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.centroid_id, []).append(r)
+    removed = [r for r in rows if not r.kept]
+    assert removed, "threshold 0.4 should remove at least one vector"
+    for cell, members in by_cell.items():
+        assert min(members, key=lambda r: r.vec_id).kept, f"cell {cell} min id removed"
+
+    # each removed id must have a qualifying smaller-id neighbor in-cell
+    cells = res.select("vec_id", "centroid_id").join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    a = cells.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), "centroid_id"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), "centroid_id"
+    )
+    witnesses = {
+        r.idb
+        for r in a.join(b, "centroid_id")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(portable_round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select("idb")
+        .distinct()
+        .collect()
+    }
+    assert {r.vec_id for r in removed} == witnesses
+
+
+def test_mixture_sample_budgets(spark, sf_dir):
+    """Selected count per source equals the temperature-weighted target
+    computed independently (sqrt weights, left-fold normalizer, floor+0.5)."""
+    import math
+
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    res = QUERIES["pipe_mixture_sample"].build(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {
+        r.source: r.s for r in docs.groupBy("source").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    ws = {s: math.sqrt(float(n)) for s, n in sizes.items()}
+    total = 0.0
+    for w, _s in sorted((w, s) for s, w in ws.items()):
+        total += w
+    targets = {s: max(1, int(math.floor(w / total * 200 + 0.5))) for s, w in ws.items()}
+    got = {}
+    for r in res:
+        got[r.source] = got.get(r.source, 0) + 1
+    assert got == targets
+    # ranks are exactly 1..take_s per source
+    for s, n in targets.items():
+        assert sorted(r.rk for r in res if r.source == s) == list(range(1, n + 1))
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """The classifier scoring plan must contain no hash-partitioned shuffle —
+    the whole operator is one map-side pass (fold inside the token array).
+    The only allowed Exchange is docs_parallel's round-robin repartition, a
+    local-mode parallelism shim over the single-file testdata scan."""
+    from sql_query_engine_rs_spark.plans import explain_str
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    df = QUERIES["pipe_quality_classifier"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "Exchange hashpartitioning" not in simple
+    assert "Exchange rangepartitioning" not in simple
+    rows = df.collect()
+    assert all(-0.5 <= r.score <= 0.5 for r in rows)
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+
+
+def test_boilerplate_ngrams_bounds(spark, sf_dir):
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_boilerplate_ngrams"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_grams
+        assert 0.0 <= r.boiler_ratio <= 1.0
+    assert any(r.n_boiler > 0 for r in rows), "corpus should contain frequent 3-grams"
