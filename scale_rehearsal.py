@@ -75,7 +75,25 @@ HEAVY = [
     "pipe_bm25",
     "pipe_inverted_index",
     "ext_tpch_q1",
+    "pipe_semdedup_kscaled",
 ]
+
+
+def _semdedup_kscaled(spark, sf_dir: str, copies: int):
+    """SemDeDup with num_centroids scaled by the corpus multiple — the
+    documented production discipline (cells stay bounded as N grows; the
+    per-cell pair scan is quadratic within a cell, so holding k fixed under
+    a growing corpus would measure that quadratic, not the operator's
+    scale behavior). threshold matches the registered pipe_semdedup."""
+    from sql_query_engine_rs_spark.functions.dedup import semdedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semdedup(emb, threshold=0.4, num_centroids=8 * copies)
+
+
+# entries benched through a (spark, sf_dir, copies) builder instead of the
+# registry — operators whose scale parameters must track the corpus multiple
+SCALED_BUILDERS = {"pipe_semdedup_kscaled": _semdedup_kscaled}
 
 
 def _write_single_file(df, dst: str) -> None:
@@ -143,7 +161,7 @@ def build_data(spark, copies: int) -> None:
             shutil.copy(f, dst)
 
 
-def bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def bench(spark, sf_dir: str, names: list[str], copies: int = 1) -> dict[str, float]:
     from sql_query_engine_rs_spark.functions.caching import release_caches
 
     out = {}
@@ -151,7 +169,11 @@ def bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         times = []
         for _ in range(TRIALS):
             t0 = time.time()
-            QUERIES[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if name in SCALED_BUILDERS:
+                df = SCALED_BUILDERS[name](spark, sf_dir, copies)
+            else:
+                df = QUERIES[name].build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
             release_caches()
         out[name] = round(min(times[1:]), 3)
@@ -166,9 +188,9 @@ def main() -> None:
         build_data(spark, copies)
     # same warmups as bench.py so all scales measure the data path
     QUERIES["v0_simple_agg"].build(spark, BASE).collect()
-    results = {"sf0.1": bench(spark, BASE, HEAVY)}
+    results = {"sf0.1": bench(spark, BASE, HEAVY, copies=1)}
     for copies in COPIES_LIST:
-        results[f"x{copies}"] = bench(spark, out_dir(copies), HEAVY)
+        results[f"x{copies}"] = bench(spark, out_dir(copies), HEAVY, copies=copies)
     scales = list(results)
     per_query = {}
     for n in HEAVY:

