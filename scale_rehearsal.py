@@ -84,7 +84,15 @@ def _semdedup_kscaled(spark, sf_dir: str, copies: int):
     documented production discipline (cells stay bounded as N grows; the
     per-cell pair scan is quadratic within a cell, so holding k fixed under
     a growing corpus would measure that quadratic, not the operator's
-    scale behavior). threshold matches the registered pipe_semdedup."""
+    scale behavior). The first rehearsal of this entry read 7.8x for 3x
+    data — root cause was NOT the N·k assignment math but the codebook's
+    Lloyd pass inheriting the parquet scan's 1-2 partitions (fixed:
+    ivf_centroids now re-parallelizes; 202 s -> 20 s at x30). The N·k
+    term IS still quadratic when k ∝ N: beyond ~10^7 vectors switch
+    ``hierarchical_assign=True`` (N·2·sqrt(k), see ivf_assign_two_level) —
+    at rehearsal sizes its extra joins cost more than the cosines it
+    saves (measured 10.7 s vs 5.8 s at x10), so the rehearsal benches the
+    registered brute path. threshold matches the registered pipe_semdedup."""
     from sql_query_engine_rs_spark.functions.dedup import semdedup
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

@@ -795,6 +795,7 @@ def semdedup(
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hierarchical_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering the embedding space, then dropping near-duplicates
@@ -813,12 +814,18 @@ def semdedup(
     Scale shape: assignment is the nprobe=1 skinny max_by path; the
     within-cell self-join pairs ~(N/k)^2 rows per cell, so k must grow
     linearly with N to keep cell populations (hence per-task pair counts)
-    bounded — a parameter, not a plan change. Cells frame is checkpointed
-    once and feeds both join sides plus the final keep-list join.
+    bounded — a parameter, not a plan change. But k ∝ N makes BRUTE-FORCE
+    assignment O(N·k) = O(N²) (measured: a 7.8x step for 3x data in the
+    scale rehearsal) — at production scale set ``hierarchical_assign=True``
+    to route assignment through ``ivf_assign_two_level`` (N·2·sqrt(k);
+    slightly approximate routing, exactness/agreement pinned in pytest).
+    Cells frame is checkpointed once and feeds both join sides plus the
+    final keep-list join.
     """
     from sql_query_engine_rs_spark.functions.similarity import (
         dot,
         ivf_assign,
+        ivf_assign_two_level,
         ivf_centroids,
         norm,
     )
@@ -831,10 +838,15 @@ def semdedup(
     # within-cell pair scan folds one array per pair (the dot product), not
     # three — bit-identical to per-pair norms (same fold, hoisted), so the
     # DuckDB oracle needs no change
+    assign = ivf_assign_two_level if hierarchical_assign else (
+        lambda df, c, id_col, vec_col: ivf_assign(
+            df, c, nprobe=1, id_col=id_col, vec_col=vec_col
+        )
+    )
     cells = (
-        ivf_assign(
+        assign(
             _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
-            nprobe=1, id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col,
         )
         .withColumn("_n", norm(F.col(vec_col)))
         .localCheckpoint(eager=True)

@@ -1238,7 +1238,8 @@ _ROUND5_WINDOW = [
     "pipe_ann_ivf_bucketed",
     "pipe_semdedup", "pipe_mixture_sample", "pipe_boilerplate_ngrams",
     "pipe_quality_classifier", "ext_regr_agg", "ext_median_mode",
-    "ext_lateral_join",
+    "ext_lateral_join", "pipe_winnow_dups", "pipe_bigram_logprob",
+    "pipe_vocab_coverage",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1251,8 +1252,8 @@ _ROUND5_WINDOW = [
     "ext_scalar_subquery", "ext_union", "ext_intersect", "ext_except",
     "ext_window_rank", "ext_window_running", "ext_rollup", "ext_case_when",
     "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
-    "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
-    # (pipe_embedding_topk / pipe_ann_lsh / pipe_lang_id /
+    # (pipe_dedup_exact / pipe_dedup_groups / pipe_fingerprint_dedup /
+    # pipe_embedding_topk / pipe_ann_lsh / pipe_lang_id /
     # pipe_quality_score / pipe_token_count / ext_left_join /
     # ext_anti_join / pipe_text_stats / ext_semi_exists / ext_cube /
     # ext_pivot stay r01-era one more round — displaced by the seven
@@ -4302,6 +4303,204 @@ def pipe_table_profile(spark, sf_dir):
     )
     return one.select(F.col("_n").alias("n_rows"), F.expr(stack)).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str"
+    )
+
+
+@register(
+    "pipe_bigram_logprob",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       bg AS (
+         SELECT doc_id, toks[i+1] AS w1, toks[i+1] || ' ' || toks[i+2] AS b
+         FROM tk, UNNEST(range(len(toks) - 1)) AS u(i)
+         WHERE len(toks) >= 2),
+       cb AS (SELECT b, CAST(count(*) AS DOUBLE) AS cb FROM bg GROUP BY b),
+       c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY w1)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              FLOOR(AVG(-ln(cb / c1)) * 10000 + 0.5) / 10000 AS avg_neg_logprob
+       FROM bg JOIN cb USING (b) JOIN c1 USING (w1)
+       WHERE doc_id < 50
+       GROUP BY doc_id""",
+)
+def pipe_bigram_logprob(spark, sf_dir):
+    """Bigram conditional language-model scoring — the next rung of the
+    perplexity-for-data-selection family above pipe_unigram_logprob:
+    P(w2 | w1) = c(w1 w2) / c(w1 ·), doc score = mean -ln P over its
+    bigrams, probe docs scored against whole-corpus statistics (every probe
+    bigram exists in the counts because the probe is drawn from the corpus,
+    so no smoothing term is needed).
+
+    Scale shape: one tokenize pass explodes (doc, w1, bigram) ONCE,
+    persisted; the bigram and left-context count tables both aggregate from
+    it (vocab²-bounded and vocab-bounded); the probe filter lands before
+    the count joins, so the wide frames never carry non-probe rows through
+    a join."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    docs = docs_parallel(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    bigrams = F.array_compact(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.size(toks)),
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(),
+                F.struct(a.alias("w1"), F.concat(a, F.lit(" "), b).alias("b")),
+            ),
+        )
+    )
+    bg = persist_tracked(
+        docs.select("doc_id", F.explode(bigrams).alias("_g")).select(
+            "doc_id", F.col("_g.w1").alias("w1"), F.col("_g.b").alias("b")
+        )
+    )
+    bg.count()
+    cb = bg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    return (
+        bg.filter(F.col("doc_id") < 50)
+        .join(cb, "b")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            pround(F.avg(-F.log(F.col("cb") / F.col("c1"))), 4).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@register(
+    "pipe_vocab_coverage",
+    """WITH tok AS (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       f AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+       r AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM f)
+       SELECT CAST(rk AS INT) AS rank, term, CAST(c AS BIGINT) AS cnt,
+              FLOOR((CAST(SUM(c) OVER (ORDER BY rk) AS DOUBLE) / total) * 1000000 + 0.5)
+                  / 1000000 AS coverage
+       FROM r CROSS JOIN tot
+       QUALIFY rk <= 30""",
+)
+def pipe_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: the top-30 corpus terms by frequency with
+    each rank's CUMULATIVE share of all token occurrences — the statistic
+    that sizes a tokenizer vocabulary (how many types cover 90% of the
+    stream) and exposes boilerplate-token domination.
+
+    Scale shape: the explode collapses immediately into a (term, count)
+    aggregate — partial map-side combine, so the shuffle is vocab-bounded
+    regardless of corpus size. The rank/cumsum window runs over the VOCAB
+    frame (not the corpus); its single-partition sort is bounded by
+    distinct-type count, and the one-row total broadcasts. Integer
+    cumulative sums divide by the same double total on both engines —
+    bit-identical coverage values."""
+    from pyspark.sql import Window
+
+    tok = docs_parallel(spark, sf_dir).select(
+        F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    f = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = f.agg(F.sum("c").cast("double").alias("total"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("term"))
+    w_cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        f.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 30)
+        .join(F.broadcast(tot))
+        .withColumn(
+            "coverage",
+            pround(F.sum("c").over(w_cum).cast("double") / F.col("total"), 6),
+        )
+        .select(
+            F.col("rk").alias("rank"),
+            "term",
+            F.col("c").cast("bigint").alias("cnt"),
+            "coverage",
+        )
+    )
+
+
+_WINNOW_K, _WINNOW_W, _WINNOW_CAP, _WINNOW_MIN_SHARED = 16, 8, 8, 3
+
+
+@register(
+    "pipe_winnow_dups",
+    f"""WITH s AS (
+         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+                list_transform(range(1, len(t) - {_WINNOW_K} + 2),
+                               i -> md5(substr(t, i, {_WINNOW_K}))) AS hs
+         FROM s WHERE len(t) >= {_WINNOW_K + _WINNOW_W - 1}),
+       win AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                              i -> list_min(hs[i:i+{_WINNOW_W}-1]))) AS fps
+         FROM h),
+       e AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+       f AS (SELECT fp FROM e GROUP BY fp
+             HAVING count(*) BETWEEN 2 AND {_WINNOW_CAP})
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+       FROM e a JOIN f USING (fp) JOIN e b USING (fp)
+       WHERE a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) >= {_WINNOW_MIN_SHARED}""",
+)
+def pipe_winnow_dups(spark, sf_dir):
+    """Winnowing document fingerprinting (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): md5 every k-char gram of the
+    normalized text, keep each w-window's MINIMUM hash, and report document
+    pairs sharing >= 3 selected fingerprints — the guarantee-bearing
+    substring-level near-dup detector (any shared run of k+w-1 chars yields
+    a shared fingerprint, while only ~2/(w+1) of grams are kept).
+
+    Scale shape: fingerprint selection is entirely map-side array math
+    inside one projection (no explode until the selected set, which is
+    ~2/(w+1) the gram count); only (doc_id, fp) pairs shuffle. Ubiquitous
+    fingerprints (df > 8) are dropped before pairing — the same flood cap
+    as the LSH band caps, bounding any fingerprint's pair fan-out at cap²
+    instead of letting one boilerplate substring emit a quadratic pair
+    list. Pairs aggregate shared-fingerprint counts; the >= 3 floor
+    filters chance collisions."""
+    k, w, cap, min_shared = _WINNOW_K, _WINNOW_W, _WINNOW_CAP, _WINNOW_MIN_SHARED
+    d = docs_parallel(spark, sf_dir)
+    base = d.select("doc_id", T.normalized_text(F.col("text")).alias("_t")).filter(
+        F.length("_t") >= k + w - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("_t") - (k - 1)),
+        lambda i: F.md5(F.col("_t").substr(i, F.lit(k))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_hs") - (w - 1)),
+            lambda i: F.array_min(F.slice(F.col("_hs"), i, w)),
+        )
+    )
+    e = (
+        base.select("doc_id", hs.alias("_hs"))
+        .select("doc_id", fps.alias("_fps"))
+        .select("doc_id", F.explode("_fps").alias("fp"))
+    )
+    f = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df").between(2, cap))
+        .select("fp")
+    )
+    a = e.join(f, "fp").select(F.col("doc_id").alias("id_a"), "fp")
+    b = e.join(f, "fp").select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

@@ -795,3 +795,60 @@ def test_boilerplate_ngrams_bounds(spark, sf_dir):
         assert 0 <= r.n_boiler <= r.n_grams
         assert 0.0 <= r.boiler_ratio <= 1.0
     assert any(r.n_boiler > 0 for r in rows), "corpus should contain frequent 3-grams"
+
+
+def test_ivf_two_level_assignment_agreement(spark, sf_dir):
+    """Hierarchical assignment must (a) assign every vector to a real
+    centroid, (b) be deterministic (same data -> same assignment), and
+    (c) agree with exact brute-force assignment well above the 1/m chance
+    floor. No per-vector score-gap bound is asserted: on THIS corpus the
+    embeddings are near-isotropic, so centroids are near-orthogonal and
+    coarse routing is only weakly informative — the operative production
+    contract is that near-dup RECALL survives rerouting (near-dup pairs
+    route together because they are near each other), which
+    test_semdedup_hierarchical_invariants pins."""
+    from sql_query_engine_rs_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids(emb, num_centroids=16)
+    exact = ivf_assign(emb.select("vec_id", "embedding"), cents, nprobe=1)
+    two = ivf_assign_two_level(emb.select("vec_id", "embedding"), cents)
+    n = emb.count()
+    assert two.count() == n
+    e = {r.vec_id: r.centroid_id for r in exact.collect()}
+    t = {r.vec_id: r.centroid_id for r in two.collect()}
+    assert set(t) == set(e)
+    again = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_two_level(emb.select("vec_id", "embedding"), cents).collect()
+    }
+    assert again == t, "two-level assignment must be deterministic"
+    # m = sqrt(16) = 4 coarse groups -> chance agreement ~ 1/4; require 2x
+    agree = sum(1 for k in e if e[k] == t[k]) / n
+    assert agree >= 0.5, f"two-level agreement {agree:.2f} vs chance 0.25"
+
+
+def test_semdedup_hierarchical_invariants(spark, sf_dir):
+    """The hierarchical-assignment SemDeDup keeps the core output contract:
+    one row per vector, min id per cell kept, and (at matched parameters)
+    a removed-set size in the same ballpark as the exact-assignment path."""
+    from sql_query_engine_rs_spark.functions.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = semdedup(emb, threshold=0.4, num_centroids=16, hierarchical_assign=True)
+    rows = res.collect()
+    assert len(rows) == emb.count()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.centroid_id, []).append(r)
+    for members in by_cell.values():
+        assert min(members, key=lambda r: r.vec_id).kept
+    n_removed_h = sum(1 for r in rows if not r.kept)
+    exact = semdedup(emb, threshold=0.4, num_centroids=16)
+    n_removed_e = sum(1 for r in exact.collect() if not r.kept)
+    assert n_removed_e > 0
+    assert 0.5 * n_removed_e <= n_removed_h <= 2 * n_removed_e
