@@ -5157,3 +5157,288 @@ def pipe_corpus_curation(spark, sf_dir):
         .filter(F.col("rn") <= 50)
         .select("doc_id", "source", "quality")
     )
+
+
+# =====================================================================
+# Round-5 fourth wave: SQL-surface widening (null-safe join, FILTER-
+# clause aggregates, map/struct types, bitwise aggregates, try_*
+# error-tolerant arithmetic) + pipeline additions (token entropy, BPE
+# merge-pair counting, percentile length-trim)
+# =====================================================================
+
+@register(
+    "ext_null_safe_join",
+    """WITH a AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS k,
+                         CAST(count(*) AS BIGINT) AS na FROM orders GROUP BY 1),
+            b AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS k2,
+                         CAST(count(*) AS BIGINT) AS nb FROM orders GROUP BY 1)
+       SELECT COALESCE(k, '<null>') AS k, na, nb
+       FROM a JOIN b ON k IS NOT DISTINCT FROM k2""",
+)
+def ext_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): unlike `=`,
+    NULL keys MATCH each other instead of silently dropping. The binder in
+    the reference has no null-aware comparison at all (src/binder/
+    expression.rs `todo!()` beyond the five basic comparisons); this is the
+    semantics a dedup/merge pipeline needs when the join key is nullable
+    (e.g. optional canonical-url). NULL keys are manufactured via NULLIF on
+    one priority class so the null-match path is actually exercised."""
+    o = t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = o.groupBy(key.alias("k")).agg(F.count("*").alias("na"))
+    b = o.groupBy(key.alias("k2")).agg(F.count("*").alias("nb"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("k2")))
+        .select(F.coalesce(F.col("k"), F.lit("<null>")).alias("k"), "na", "nb")
+    )
+
+
+@register(
+    "ext_filtered_agg",
+    """SELECT o_orderpriority,
+              CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big,
+              FLOOR((COALESCE(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0)) * 10000 + 0.5) / 10000 AS avg_open,
+              FLOOR((COALESCE(sum(o_totalprice) FILTER (WHERE o_orderdate >= DATE '1995-01-01'), 0)) * 100 + 0.5) / 100 AS sum_recent
+       FROM orders GROUP BY o_orderpriority""",
+)
+def ext_filtered_agg(spark, sf_dir):
+    """FILTER-clause aggregates (SQL:2003 T612): per-aggregate predicates in
+    ONE grouped pass — the idiomatic replacement for N self-joins or
+    CASE-WHEN-NULL wrappers. Spark evaluates the FILTER clause inside the
+    same hash-aggregate (one shuffle total); `count_if` is the builtin
+    shorthand for the count case."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        pround(
+            F.coalesce(
+                F.expr("avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O')"), F.lit(0.0)
+            ),
+            4,
+        ).alias("avg_open"),
+        pround(
+            F.coalesce(
+                F.expr("sum(o_totalprice) FILTER (WHERE o_orderdate >= DATE '1995-01-01')"),
+                F.lit(0.0),
+            ),
+            2,
+        ).alias("sum_recent"),
+    )
+
+
+@register(
+    "ext_map_struct_funcs",
+    """WITH per AS (SELECT o_orderpriority, o_orderstatus, count(*) AS c
+                    FROM orders GROUP BY 1, 2)
+       SELECT o_orderpriority,
+              CAST(COALESCE(SUM(c) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS n_open,
+              CAST(COALESCE(SUM(c) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS n_full,
+              CAST(count(*) AS INT) AS n_statuses,
+              (list(o_orderstatus ORDER BY c DESC, o_orderstatus DESC))[1] AS top_status
+       FROM per GROUP BY o_orderpriority""",
+)
+def ext_map_struct_funcs(spark, sf_dir):
+    """Map + struct type surface: per-priority status→count MAP built with
+    map_from_entries(collect_list(struct)), probed with element_at (absent
+    key → NULL → coalesce 0), sized with size(); plus lexicographic
+    struct MAX for the arg-max shape (struct comparison is field-order
+    comparison, so max(struct(c, s)) = highest count, ties to the later
+    status). The reference has no composite types at all (src/types/
+    mod.rs:57 panics on non-scalar Arrow types); these are table stakes for
+    metadata-rich pipeline schemas. The map stays inside one row per group
+    — no extra shuffle beyond the two-level count."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("c"))
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "c")))
+        ).alias("m"),
+        F.max(F.struct("c", "o_orderstatus")).alias("top"),
+    )
+    return m.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).alias("n_open"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_full"),
+        F.size("m").alias("n_statuses"),
+        F.col("top").getField("o_orderstatus").alias("top_status"),
+    )
+
+
+@register(
+    "ext_bitwise_agg",
+    """SELECT o_orderpriority,
+              bit_and(o_orderkey & 255) AS band,
+              bit_or(o_orderkey & 255) AS bor,
+              bit_xor(o_orderkey & 255) AS bxor,
+              CAST(count(DISTINCT o_orderkey & 7) AS BIGINT) AS n_low3
+       FROM orders GROUP BY o_orderpriority""",
+)
+def ext_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) + scalar `&`
+    masking — the flag-column rollup shape (permission masks, bloom-ish
+    presence bits). All three fold map-side (partial aggregation), so the
+    shuffle carries one long per (group, agg)."""
+    o = t(spark, sf_dir, "orders")
+    low = F.col("o_orderkey").bitwiseAND(F.lit(255))
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and(low).alias("band"),
+        F.bit_or(low).alias("bor"),
+        F.bit_xor(low).alias("bxor"),
+        F.count_distinct(F.col("o_orderkey").bitwiseAND(F.lit(7))).alias("n_low3"),
+    )
+
+
+@register(
+    "ext_try_arith",
+    """SELECT o_orderkey,
+              TRY_CAST(o_orderpriority AS INT) AS pri_int,
+              CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_digit,
+              FLOOR((COALESCE(o_totalprice / NULLIF(o_custkey % 3, 0), -1)) * 10000 + 0.5) / 10000 AS ratio
+       FROM orders WHERE o_orderkey < 300""",
+)
+def ext_try_arith(spark, sf_dir):
+    """Error-tolerant arithmetic: try_cast (malformed string → NULL, no
+    job-killing exception) and try_divide (÷0 → NULL). At 100 TB a single
+    dirty row must degrade to NULL, not fail the stage — this is the
+    ingest-hardening idiom. ('1-URGENT' never parses as INT → pri_int is
+    all-NULL by construction; the leading digit parses fine.)"""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("pri_int"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("pri_digit"),
+        pround(
+            F.coalesce(
+                F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), F.lit(-1.0)
+            ),
+            4,
+        ).alias("ratio"),
+    )
+
+
+@register(
+    "pipe_doc_entropy",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents WHERE doc_id < 200),
+       cnt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c
+               FROM tok GROUP BY doc_id, term)
+       SELECT doc_id,
+              CAST(SUM(c) AS BIGINT) AS n_tok,
+              CAST(count(*) AS BIGINT) AS n_types,
+              FLOOR((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) * 10000 + 0.5) / 10000 AS entropy,
+              FLOOR((count(*) / SUM(c)) * 10000 + 0.5) / 10000 AS ttr
+       FROM cnt GROUP BY doc_id""",
+)
+def pipe_doc_entropy(spark, sf_dir):
+    """Per-document token Shannon entropy + type-token ratio — the
+    vocabulary-diversity quality signals (near-zero entropy = repeated-token
+    spam; low TTR = boilerplate). Entropy uses the single-pass algebraic
+    form H = ln(n) − Σc·ln(c)/n, so one (doc, term) count shuffle + one
+    doc-keyed agg computes everything; text itself never shuffles. Probe
+    docs (doc_id < 200) scored; the formula is engine-order-stable at the
+    1e-4 rounding (partial-sum order is the only divergence, ~1e-14)."""
+    d = docs_parallel(spark, sf_dir).filter(F.col("doc_id") < 200)
+    cnt = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count("*").alias("n_types"),
+        pround(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("entropy"),
+        pround(F.count("*") / F.sum("c"), 4).alias("ttr"),
+    )
+
+
+@register(
+    "pipe_bpe_pair_counts",
+    """WITH tok AS (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       freq AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok
+                GROUP BY term HAVING length(term) >= 2),
+       pairs AS (
+         SELECT substr(term, CAST(i AS INT), 2) AS pair, c
+         FROM freq CROSS JOIN (SELECT unnest(range(1, 64)) AS i) r
+         WHERE CAST(i AS INT) < length(term)),
+       agg AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS total FROM pairs GROUP BY pair)
+       SELECT pair, total FROM agg ORDER BY total DESC, pair LIMIT 20""",
+)
+def pipe_bpe_pair_counts(spark, sf_dir):
+    """BPE merge-candidate counting — the inner statistic of byte-pair-
+    encoding tokenizer training: adjacent symbol-pair frequencies weighted
+    by word frequency, top candidates = next merges. The expensive corpus
+    pass reduces to the (vocab-bounded) word-frequency table FIRST; pair
+    explosion then runs over distinct words only (vocab × avg_len rows, not
+    corpus × len), entirely map-side via transform(sequence(...)). Words of
+    length 1 are excluded before the sequence (Spark's sequence(1, 0) would
+    otherwise step DOWNWARD and fabricate pairs). Final top-20 is a
+    TakeOrdered — no global sort."""
+    tok = docs_parallel(spark, sf_dir).select(
+        F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    freq = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("term") >= 2)
+    )
+    pairs = freq.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("total"))
+    return agg.orderBy(F.col("total").desc(), "pair").limit(20)
+
+
+@register(
+    "pipe_length_trim",
+    """WITH b AS (SELECT FLOOR(quantile_cont(n_chars, 0.05) * 10000 + 0.5) / 10000 AS lo0,
+                         FLOOR(quantile_cont(n_chars, 0.95) * 10000 + 0.5) / 10000 AS hi0
+                  FROM documents),
+       g AS (SELECT source, lo0, hi0, CAST(count(*) AS BIGINT) AS n_total,
+                    CAST(count(*) FILTER (WHERE n_chars >= lo0 AND n_chars <= hi0) AS BIGINT) AS n_kept
+             FROM documents CROSS JOIN b GROUP BY source, lo0, hi0)
+       SELECT source, n_total, n_kept,
+              FLOOR((n_kept * 1.0 / n_total) * 10000 + 0.5) / 10000 AS kept_ratio,
+              lo0 AS lo, hi0 AS hi
+       FROM g""",
+)
+def pipe_length_trim(spark, sf_dir):
+    """Percentile-bounded length trimming — the outlier-document filter
+    (drop the shortest 5% / longest 5% corpus-wide, report survival per
+    source). The bounds are ONE 2-value row broadcast against the corpus,
+    so the filter is map-side; the per-source rollup shuffles only (source,
+    counts). Bounds are rounded to 1e-4 on BOTH engines before comparing —
+    interpolated quantiles differ by ~1 ulp across engines, and an integer
+    n_chars sitting exactly on an unrounded bound would otherwise flip.
+    Exact interpolated percentile keeps the oracle replayable; the 100 TB
+    path swaps in approx_percentile (same plan shape, no global sort)."""
+    d = docs_parallel(spark, sf_dir)
+    b = d.agg(
+        pround(F.percentile("n_chars", F.lit(0.05)), 4).alias("lo0"),
+        pround(F.percentile("n_chars", F.lit(0.95)), 4).alias("hi0"),
+    )
+    g = (
+        d.crossJoin(F.broadcast(b))
+        .groupBy("source", "lo0", "hi0")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(
+                (F.col("n_chars") >= F.col("lo0")) & (F.col("n_chars") <= F.col("hi0"))
+            ).alias("n_kept"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_total",
+        "n_kept",
+        pround(F.col("n_kept") / F.col("n_total"), 4).alias("kept_ratio"),
+        F.col("lo0").alias("lo"),
+        F.col("hi0").alias("hi"),
+    )
