@@ -483,3 +483,183 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------ PQ (ADC) scale path
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² as a JVM left fold in double — the PQ distance kernel.
+    Same cross-engine fold contract as ``dot``: 0.0 + x₁ + x₂ + … matches
+    DuckDB's ``list_reduce`` (which starts at x₁; 0.0 + x₁ == x₁ exactly)."""
+    ad, bd = a.cast("array<double>"), b.cast("array<double>")
+    return F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_slices(
+    corpus: DataFrame,
+    num_subspaces: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-form sub-vector view: (id, m, _sv array<double>) — N·M skinny
+    rows, the working frame of every PQ stage."""
+    sub = dim // num_subspaces
+    return _ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.explode(F.expr(f"sequence(0, {num_subspaces - 1})")).alias("m"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(id_col, "m", F.expr(f"slice(_v, m * {sub} + 1, {sub})").alias("_sv"))
+
+
+def _pq_assign(sliced: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per (vector, subspace) argmin-L2² centroid: broadcast-join the
+    codebook, collapse map-side via min_by partial agg (ties → lowest
+    centroid id). Shuffle = ~N·M (id, m, code) triples."""
+    scored = sliced.join(F.broadcast(codebook), on="m").select(
+        id_col, "m", "centroid_id", l2sq(F.col("_sv"), F.col("_centroid")).alias("_d2")
+    )
+    return scored.groupBy(id_col, "m").agg(
+        F.min_by("centroid_id", F.struct(F.col("_d2"), F.col("centroid_id"))).alias("code")
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    num_subspaces: int = 4,
+    num_centroids: int = 8,
+    dim: int = 64,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic product-quantization codebook: the vector is split into
+    ``num_subspaces`` contiguous sub-vectors; each subspace gets
+    ``num_centroids`` centroids = the sub-slices of the corpus vectors with
+    the smallest md5(id) (the same stateless seed-sample construction as
+    ``ivf_centroids``, so any executor/engine rebuilds it bit-identically),
+    optionally refined with ``iterations`` per-subspace Lloyd (k-means)
+    steps — assignment + per-(subspace, code, dim) mean, all DataFrame ops.
+    Refinement matters: on this corpus one step moves ADC recall@5 from
+    ~0.36 to ~0.52 (pinned in tests). A centroid that loses every point
+    drops out of the book (standard k-means contraction); downstream stages
+    only ever join against surviving codes.
+
+    Returns (m int, centroid_id int, _centroid array<double>) —
+    ≤ num_subspaces × num_centroids rows, always broadcastable (a production
+    64-subspace × 256-centroid book is 16k skinny rows). Each Lloyd step
+    costs one N·M·ks scoring pass + one (m, code, dim)-keyed shuffle whose
+    cardinality is M·ks·sub — trivial."""
+    sub = dim // num_subspaces
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(num_centroids)
+    )
+    w = Window.orderBy("_h")
+    seeds = seeds.select((F.row_number().over(w) - 1).alias("centroid_id"), "_v")
+    cb = (
+        seeds.select(
+            F.explode(F.expr(f"sequence(0, {num_subspaces - 1})")).alias("m"),
+            "centroid_id",
+            "_v",
+        )
+        .select("m", "centroid_id", F.expr(f"slice(_v, m * {sub} + 1, {sub})").alias("_centroid"))
+        .localCheckpoint(eager=True)
+    )
+    if iterations:
+        sliced = _pq_slices(corpus, num_subspaces, dim, id_col, vec_col)
+        for _ in range(iterations):
+            assigned = _pq_assign(sliced, cb, id_col=id_col)
+            cb = (
+                sliced.join(assigned, on=[id_col, "m"])
+                .select("m", "code", F.posexplode("_sv"))
+                .groupBy("m", "code", "pos")
+                .agg(F.avg("col").alias("_c"))
+                .groupBy("m", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "_c"))), lambda s: s["_c"]
+                    ).alias("_centroid")
+                )
+                .select("m", F.col("code").alias("centroid_id"), "_centroid")
+                .localCheckpoint(eager=True)
+            )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the id of the nearest subspace
+    centroid by squared L2 — the m·log2(ks)-bit code that replaces the full
+    vector downstream (64 floats → 4 bytes here; ×64 compression is what
+    makes 100 TB ANN corpora RAM-resident).
+
+    Returns the long form (id, m, code). Scoring is a broadcast join
+    (N·M·ks skinny rows); the argmin collapses map-side via ``min_by``
+    partial aggregation, so the shuffle carries ~N·M (id, code) pairs —
+    never the vectors."""
+    sliced = _pq_slices(corpus, num_subspaces, dim, id_col, vec_col)
+    return _pq_assign(sliced, codebook, id_col=id_col)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 4,
+    num_centroids: int = 8,
+    dim: int = 64,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are replaced by
+    their PQ codes; each query precomputes a (num_subspaces × num_centroids)
+    distance table to the codebook, and the approximate distance to ANY
+    corpus vector is M table lookups summed — no corpus vector is ever
+    touched at query time (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011).
+
+    Output: (query_id, id, approx_d2 asc-ranked, rank). The ADC join keys on
+    (m, code) against the broadcast query tables, partial-aggregates the
+    M-term sums map-side, and shuffles ~|queries|·N scalar rows. At 100 TB
+    the codes frame (4-16 bytes/vector) is the only corpus-sized state."""
+    cb = pq_codebook(
+        corpus, num_subspaces=num_subspaces, num_centroids=num_centroids,
+        dim=dim, iterations=iterations, id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(
+        corpus, cb, num_subspaces=num_subspaces, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    qt = (
+        _pq_slices(queries, num_subspaces, dim, id_col, vec_col)
+        .withColumnRenamed(id_col, query_id_col)
+        .join(F.broadcast(cb), on="m")
+        .select(
+            query_id_col, "m", "centroid_id", l2sq(F.col("_sv"), F.col("_centroid")).alias("_qd2")
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qt),
+            (codes["m"] == qt["m"]) & (codes["code"] == qt["centroid_id"]),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(portable_round(F.sum("_qd2"), 6).alias("approx_d2"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("approx_d2").asc(), F.col(id_col))
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -5442,3 +5442,92 @@ def pipe_length_trim(spark, sf_dir):
         F.col("lo0").alias("lo"),
         F.col("hi0").alias("hi"),
     )
+
+
+def _pq_oracle(num_subspaces: int = 16, num_centroids: int = 32, k: int = 5, dim: int = 64) -> str:
+    """DuckDB mirror of similarity.pq_topk with iterations=1: seed codebook
+    (same md5 sample as the IVF family, sub-sliced), ONE per-subspace Lloyd
+    step (argmin assignment + per-(m, code, dim) mean — the same replay
+    pattern as _ivf_codebook_ctes), per-(vector, subspace) argmin codes,
+    query distance tables, ADC sum + asc rank. The L2² folds are the SAME
+    left fold as Spark's aggregate() (see similarity.l2sq); the only float
+    divergence is the Lloyd means' partial-sum order (~1e-16) against
+    assignment margins of ~1e-2."""
+    sub = dim // num_subspaces
+
+    def d2(sv: str, cent: str) -> str:
+        term = f"({sv}[i] - {cent}[i])"
+        return (
+            f"list_reduce(list_transform(range(1, {sub + 1}), "
+            f"i -> {term} * {term}), (acc, x) -> acc + x)"
+        )
+
+    return f"""WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS centroid_id,
+                 embedding AS v
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}),
+        subc0 AS (
+          SELECT CAST(mm.m AS INT) AS m, centroid_id,
+                 list_transform(v[CAST(mm.m AS INT) * {sub} + 1 : CAST(mm.m AS INT) * {sub} + {sub}],
+                                x -> CAST(x AS DOUBLE)) AS c
+          FROM seeds CROSS JOIN (SELECT unnest(range(0, {num_subspaces})) AS m) mm),
+        sl AS (
+          SELECT vec_id, CAST(mm.m AS INT) AS m,
+                 list_transform(embedding[CAST(mm.m AS INT) * {sub} + 1 : CAST(mm.m AS INT) * {sub} + {sub}],
+                                x -> CAST(x AS DOUBLE)) AS sv
+          FROM embeddings CROSS JOIN (SELECT unnest(range(0, {num_subspaces})) AS m) mm),
+        assign0 AS (
+          SELECT vec_id, m, centroid_id AS code FROM (
+            SELECT s.vec_id, s.m, c.centroid_id,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2('s.sv', 'c.c')} ASC, c.centroid_id) AS rn
+            FROM sl s JOIN subc0 c ON c.m = s.m) x WHERE rn = 1),
+        dims AS (
+          SELECT a.m, a.code, CAST(i.i AS INT) AS pos, AVG(s.sv[CAST(i.i AS INT)]) AS mu
+          FROM assign0 a JOIN sl s ON s.vec_id = a.vec_id AND s.m = a.m
+          CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) i
+          GROUP BY a.m, a.code, i.i),
+        cents AS (
+          SELECT m, code AS centroid_id, list(mu ORDER BY pos) AS c
+          FROM dims GROUP BY m, code),
+        codes AS (
+          SELECT vec_id, m, centroid_id AS code FROM (
+            SELECT s.vec_id, s.m, c.centroid_id,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2('s.sv', 'c.c')} ASC, c.centroid_id) AS rn
+            FROM sl s JOIN cents c ON c.m = s.m) x WHERE rn = 1),
+        qt AS (
+          SELECT s.vec_id AS query_id, s.m, c.centroid_id,
+                 {d2('s.sv', 'c.c')} AS qd2
+          FROM sl s JOIN cents c ON c.m = s.m WHERE s.vec_id < 5),
+        adc AS (
+          SELECT q.query_id, c.vec_id,
+                 FLOOR(SUM(q.qd2) * 1000000 + 0.5) / 1000000 AS approx_d2
+          FROM codes c JOIN qt q ON q.m = c.m AND q.centroid_id = c.code
+          WHERE q.query_id != c.vec_id
+          GROUP BY q.query_id, c.vec_id)
+        SELECT query_id, vec_id, approx_d2, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY approx_d2 ASC, vec_id) AS INT) AS rank
+          FROM adc) r
+        WHERE rank <= {k}"""
+
+
+@register("pipe_ann_pq", _pq_oracle())
+def pipe_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011) — the memory-compression
+    scale path beside IVF's partition-pruning path: vectors become M small
+    centroid codes (64 floats → 16 codes here), and query-time distance is
+    M table lookups (ADC), so the corpus-sized state at 100 TB is the codes
+    frame, not the vectors. Codebook = deterministic md5 seed sample
+    (per-subspace slices) + ONE per-subspace Lloyd step, fully replayed by
+    the DuckDB oracle (recall@5 vs exact L2 ≈ 0.52 on this corpus, pinned
+    in pytest); encoding argmin collapses map-side via min_by partial agg
+    (~N·M skinny rows shuffle); the ADC join keys on (m, code) against
+    broadcast query tables. No counterpart in the reference (no array
+    types — src/types/mod.rs:57)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = filter_(e, F.col("vec_id") < 5)
+    return S.pq_topk(
+        e, queries, k=5, num_subspaces=16, num_centroids=32, dim=64, iterations=1
+    )

@@ -852,3 +852,56 @@ def test_semdedup_hierarchical_invariants(spark, sf_dir):
     n_removed_e = sum(1 for r in exact.collect() if not r.kept)
     assert n_removed_e > 0
     assert 0.5 * n_removed_e <= n_removed_h <= 2 * n_removed_e
+
+
+# ---------------------------------------------------------------- PQ ANN
+
+def _exact_l2_topk(spark, emb, k=5):
+    """Exact squared-L2 top-k reference (test-local; the registered exact
+    path is cosine brute force — PQ approximates L2, so recall is measured
+    against the matching metric)."""
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", S.l2sq(F.col("_qv"), F.col("embedding")).alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def test_pq_topk_recall_vs_exact_l2(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in _exact_l2_topk(spark, emb, k=5).collect()}
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.pq_topk(
+            emb, queries, k=5, num_subspaces=16, num_centroids=32, iterations=1
+        ).collect()
+    }
+    assert len(approx) == len(exact)
+    # registered config (16 subspaces x 32 centroids, 1 Lloyd step) measures
+    # recall ~0.52 here; the seed-only 4x8 book reads ~0.04 (chance), so
+    # this also pins that refinement actually happened
+    assert len(approx & exact) / len(exact) > 0.3
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    cb = S.pq_codebook(emb, num_subspaces=4, num_centroids=8)
+    assert cb.count() == 32  # M x ks
+    codes = S.pq_encode(emb, cb, num_subspaces=4).collect()
+    assert len(codes) == 100 * 4
+    assert all(0 <= r.code < 8 and 0 <= r.m < 4 for r in codes)
+
+
+def test_pq_codebook_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r.m, r.centroid_id): tuple(r._centroid) for r in S.pq_codebook(emb).collect()}
+    b = {(r.m, r.centroid_id): tuple(r._centroid) for r in S.pq_codebook(emb).collect()}
+    assert a == b and len(a) == 32
