@@ -3169,6 +3169,44 @@ def stream_session_windows(spark, sf_dir):
         _restore_confs(spark, prior)
 
 
+def _sentineled_stream_dir(sf_dir: str, prefix: str) -> str:
+    """events.parquet as a stream dir PLUS a sentinel file holding one click
+    and one purchase at max(ts) + 2 days (event_id −1/−2, user_id −1).
+
+    A stream-stream OUTER join emits an unmatched row only when the
+    watermark proves no match can still arrive; on a bounded drain the
+    watermark stops at max(ts) − delay, so rows near the end would stay
+    undecided forever. The sentinel pushes the final watermark 2 days past
+    every real row, and Spark's no-data micro-batch then flushes ALL real
+    outer results before availableNow terminates. Sentinel rows are
+    filtered from the registered output (negative ids); the sentinel file
+    is written with the source parquet's EXACT arrow schema so the stream
+    schema (incl. the nanos/micros ts generation) stays uniform.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stream_dir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    tbl = pq.read_table(src)
+    pdf = tbl.slice(0, 2).to_pandas()
+    max_ts = tbl.column("ts").to_pandas().max()
+    pdf["event_id"] = [-1, -2]
+    pdf["user_id"] = [-1, -1]
+    pdf["event_type"] = ["click", "purchase"]
+    pdf["ts"] = [max_ts + pd.Timedelta(days=2)] * 2
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=tbl.schema, preserve_index=False),
+        os.path.join(stream_dir, "zz_sentinel.parquet"),
+    )
+    return stream_dir
+
+
 def _single_batch_stream_dir(sf_dir: str, prefix: str) -> str:
     """Materialize events.parquet as a 1-file stream source directory.
 
@@ -5531,3 +5569,79 @@ def pipe_ann_pq(spark, sf_dir):
     return S.pq_topk(
         e, queries, k=5, num_subspaces=16, num_centroids=32, dim=64, iterations=1
     )
+
+
+@register(
+    "stream_outer_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+              c.user_id AS user_id,
+              CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_sec
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""",
+)
+def stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join as a REAL stream: clicks
+    watermarked 30 min joined to purchases within [ts, ts+10min]; clicks
+    with no purchase emit with NULL purchase columns — the conversion-
+    attribution shape (every click accounted for, matched or not).
+
+    Outer emission needs the watermark to pass a row before its
+    unmatched-ness is decided, and the watermark only advances on new data
+    — so the drain's source dir carries a far-future sentinel row per side
+    (see _sentineled_stream_dir); Spark's no-data micro-batch then flushes
+    every real row's outer result before availableNow terminates, giving
+    EXACT batch-LEFT-JOIN parity under the full DuckDB hash oracle.
+    Sentinels (negative ids) are filtered from the output. State expiry and
+    partition sizing follow stream_interval_join."""
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import interval_join
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _sentineled_stream_dir(sf_dir, "events_oj_")
+
+        def src():
+            return _normalize_events_ts(
+                spark.readStream.schema(static.schema).parquet(stream_dir)
+            )
+
+        clicks = src().filter(F.col("event_type") == "click")
+        purchases = src().filter(F.col("event_type") == "purchase")
+        joined = interval_join(
+            clicks, purchases, key_col="user_id", upper="10 minutes", how="left_outer"
+        )
+        out = joined.select(
+            F.col("l_event_id").alias("click_id"),
+            F.col("r_event_id").alias("purchase_id"),
+            "user_id",
+            (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("lag_sec"),
+        )
+        sink = f"stream_oj_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        # sentinel filter AFTER the drain: filtering l_event_id inside the
+        # streaming plan pushes below the left watermark node, removes the
+        # left sentinel pre-join, and the left watermark then stops at
+        # real-max(ts) - 30min — leaving the last ~30min of clicks'
+        # outer-ness undecided (measured: 1 row short at sf0.001)
+        result = (
+            spark.table(sink).filter(F.col("click_id") >= 0).localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)

@@ -212,15 +212,26 @@ def interval_join(
     right_watermark: str = "30 minutes",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream INNER join on key + event-time interval:
-    right.ts ∈ [left.ts, left.ts + upper].
+    """Stream-stream join on key + event-time interval:
+    right.ts ∈ [left.ts, left.ts + upper]. ``how`` extends to
+    ``left_outer`` — unmatched left rows emit with NULL right columns.
 
     On streams, BOTH sides carry watermarks and the time-range condition is
     what lets Spark expire join state — without it the state store grows
     unboundedly and a 100 TB/day pipeline dies; with it, each side holds at
     most (watermark + upper) of history per key. On batch frames the same
     plan is a plain range-predicate join (batch twin for oracles/backfill).
+
+    Outer-join caveat that matters on BOUNDED drains: an unmatched left row
+    is emitted only once the watermark proves no match can still arrive, and
+    the watermark only advances on new data — so rows near the stream's end
+    stay undecided at termination unless something advances the frontier
+    past them. The registered drain appends a far-future sentinel row to
+    both sides (filtered from output); Spark's no-data micro-batch then
+    flushes every real row's outer result before availableNow terminates
+    (exact batch-LEFT-JOIN parity, pinned by the driver oracle).
 
     Both sides are prefix-renamed so the self-join case (same source twice)
     is unambiguous; output keeps the shared key un-prefixed.
@@ -241,6 +252,6 @@ def interval_join(
         & (F.col(rts) >= F.col(lts))
         & (F.col(rts) <= F.col(lts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond).withColumnRenamed(f"{left_prefix}{key_col}", key_col).drop(
+    return l.join(r, cond, how).withColumnRenamed(f"{left_prefix}{key_col}", key_col).drop(
         f"{right_prefix}{key_col}"
     )

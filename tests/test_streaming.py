@@ -293,3 +293,33 @@ def test_windowed_counts_append_drops_late_data(spark, tmp_path):
     # (count 2 would mean watermark state survived past finalization)
     assert rows.get("2026-01-01 10:00:00") == 1, rows
     assert rows.get("2026-01-01 11:00:00") == 1, rows
+
+
+def test_stream_outer_join_emits_unmatched(spark, sf_dir):
+    """The sentinel-flushed LEFT OUTER drain must contain NULL-purchase rows
+    (silently degrading to inner-join results would still pass a
+    rows-exist check) and exactly the batch left-join row count."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.queries import QUERIES, events_table
+
+    res = QUERIES["stream_outer_join"].build(spark, sf_dir)
+    n_stream = res.count()
+    n_unmatched = res.filter(F.col("purchase_id").isNull()).count()
+    assert n_unmatched > 0
+
+    ev = events_table(spark, sf_dir)
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 10 minutes")),
+        "left_outer",
+    )
+    assert n_stream == batch.count()
