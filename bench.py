@@ -92,6 +92,14 @@ BENCH_QUERIES = [
     "pipe_boilerplate_ngrams",
     "pipe_quality_classifier",
     "pipe_mixture_sample",
+    # round-5 fourth wave: PQ/ADC ANN (Lloyd-refined codebook), the
+    # sentinel-flushed stream-stream outer join, BPE pair counting over the
+    # vocab-reduced word table, per-doc entropy, and the percentile trim
+    "pipe_ann_pq",
+    "stream_outer_join",
+    "pipe_bpe_pair_counts",
+    "pipe_doc_entropy",
+    "pipe_length_trim",
 ]
 
 

@@ -1240,6 +1240,11 @@ _ROUND5_WINDOW = [
     "pipe_quality_classifier", "ext_regr_agg", "ext_median_mode",
     "ext_lateral_join", "pipe_winnow_dups", "pipe_bigram_logprob",
     "pipe_vocab_coverage",
+    # -- fourth round-5 wave (brand-new; no driver row yet) -------------
+    "ext_null_safe_join", "ext_filtered_agg", "ext_map_struct_funcs",
+    "ext_bitwise_agg", "ext_try_arith", "pipe_doc_entropy",
+    "pipe_bpe_pair_counts", "pipe_length_trim", "pipe_ann_pq",
+    "stream_outer_join",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1249,16 +1254,17 @@ _ROUND5_WINDOW = [
     "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
     "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
     "ext_join_fact", "ext_tpch_q3", "ext_having", "ext_subquery_in",
-    "ext_scalar_subquery", "ext_union", "ext_intersect", "ext_except",
-    "ext_window_rank", "ext_window_running", "ext_rollup", "ext_case_when",
-    "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
-    # (pipe_dedup_exact / pipe_dedup_groups / pipe_fingerprint_dedup /
-    # pipe_embedding_topk / pipe_ann_lsh / pipe_lang_id /
-    # pipe_quality_score / pipe_token_count / ext_left_join /
+    "ext_scalar_subquery",
+    # (ext_union / ext_intersect / ext_except / ext_window_rank /
+    # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
+    # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
+    # cohort — pipe_dedup_exact / pipe_dedup_groups /
+    # pipe_fingerprint_dedup / pipe_embedding_topk / pipe_ann_lsh /
+    # pipe_lang_id / pipe_quality_score / pipe_token_count / ext_left_join /
     # ext_anti_join / pipe_text_stats / ext_semi_exists / ext_cube /
-    # ext_pivot stay r01-era one more round — displaced by the seven
-    # late round-5 entries above, which would otherwise have NO driver
-    # row at all; all remain under the local full-registry DuckDB oracle)
+    # ext_pivot — displaced by the ten fourth-wave entries, which would
+    # otherwise have NO driver row at all; every displaced entry remains
+    # under the local full-registry DuckDB oracle)
 ]
 
 
