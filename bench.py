@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     # vocab-reduced word table, per-doc entropy, and the percentile trim
     "pipe_ann_pq",
     "stream_outer_join",
+    "stream_foreachbatch_upsert",
     "pipe_bpe_pair_counts",
     "pipe_doc_entropy",
     "pipe_length_trim",

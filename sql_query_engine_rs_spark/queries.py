@@ -1244,7 +1244,7 @@ _ROUND5_WINDOW = [
     "ext_null_safe_join", "ext_filtered_agg", "ext_map_struct_funcs",
     "ext_bitwise_agg", "ext_try_arith", "pipe_doc_entropy",
     "pipe_bpe_pair_counts", "pipe_length_trim", "pipe_ann_pq",
-    "stream_outer_join",
+    "stream_outer_join", "stream_foreachbatch_upsert",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1254,8 +1254,7 @@ _ROUND5_WINDOW = [
     "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
     "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
     "ext_join_fact", "ext_tpch_q3", "ext_having", "ext_subquery_in",
-    "ext_scalar_subquery",
-    # (ext_union / ext_intersect / ext_except / ext_window_rank /
+    # (ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
     # cohort — pipe_dedup_exact / pipe_dedup_groups /
@@ -5649,5 +5648,61 @@ def stream_outer_join(spark, sf_dir):
         )
         spark.catalog.dropTempView(sink)
         return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total
+       FROM events GROUP BY user_id""",
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """foreachBatch exactly-once keyed upsert: the events stream drains in
+    THREE micro-batches (3 source files, maxFilesPerTrigger=1); each batch
+    merges its per-user partials into a versioned parquet table (write
+    v=<batch_id> from v=<batch_id−1> — a crash-replayed batch rewrites the
+    same version from the same inputs, so the sink is idempotent without
+    transactions; see streaming.foreach_batch_upsert). The final snapshot
+    must equal the one-pass batch GROUP BY — which is the oracle — proving
+    the incremental merge loses nothing across batch boundaries. This is
+    the MERGE-into-serving-table pattern every always-on pipeline ends in;
+    restart-no-reprocess is pinned separately (tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_arrow
+
+    from sql_query_engine_rs_spark.streaming import (
+        _latest_upsert_version,
+        foreach_batch_upsert,
+    )
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        src_dir = tempfile.mkdtemp(prefix="events_fbu_src_")
+        tgt_dir = tempfile.mkdtemp(prefix="events_fbu_tgt_")
+        tbl = pq_arrow.read_table(f"{sf_dir}/events.parquet")
+        step = (tbl.num_rows + 2) // 3
+        for i in range(3):
+            pq_arrow.write_table(
+                tbl.slice(i * step, step), os.path.join(src_dir, f"part{i}.parquet")
+            )
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        foreach_batch_upsert(stream, tgt_dir, key_col="user_id", value_col="value")
+        final = _latest_upsert_version(spark, tgt_dir)
+        return final.select(
+            "user_id", "n_events", r2(F.col("total")).alias("total")
+        ).localCheckpoint(eager=True)
     finally:
         _restore_confs(spark, prior)

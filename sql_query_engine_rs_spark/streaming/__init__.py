@@ -255,3 +255,83 @@ def interval_join(
     return l.join(r, cond, how).withColumnRenamed(f"{left_prefix}{key_col}", key_col).drop(
         f"{right_prefix}{key_col}"
     )
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> None:
+    """foreachBatch keyed upsert into a versioned parquet table — the
+    exactly-once MERGE pattern for sinks with no transactional support.
+
+    Each micro-batch aggregates its rows per key, reads the PREVIOUS
+    version snapshot, full-outer merges, and writes version ``v=<batch_id>``
+    — a pure function of (prior state, batch_id's data). A batch replayed
+    after a crash rewrites the SAME version directory from the SAME inputs,
+    so re-processing is idempotent: that, plus the checkpoint's batch-id
+    tracking, is Spark's end-to-end exactly-once contract for non-
+    transactional sinks. Readers take the highest committed version
+    (snapshot isolation by directory convention — the same versioned-
+    manifest idea Delta/Iceberg formalize).
+
+    Blocks until the availableNow drain finishes.
+    """
+    import os
+
+    spark = stream_df.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bagg = (
+            batch_df.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("_bn"),
+                F.sum(value_col).cast("double").alias("_btotal"),
+            )
+        )
+        prev = _latest_upsert_version(spark, target_dir, below=batch_id)
+        if prev is None:
+            merged = bagg.select(
+                key_col,
+                F.col("_bn").alias("n_events"),
+                F.col("_btotal").alias("total"),
+            )
+        else:
+            merged = (
+                prev.join(bagg, on=key_col, how="full_outer")
+                .select(
+                    key_col,
+                    (F.coalesce(F.col("n_events"), F.lit(0)) + F.coalesce(F.col("_bn"), F.lit(0))).alias("n_events"),
+                    (F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("_btotal"), F.lit(0.0))).alias("total"),
+                )
+            )
+        merged.write.mode("overwrite").parquet(os.path.join(target_dir, f"v={batch_id}"))
+
+    (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(target_dir, "_checkpoint"))
+        .start()
+        .awaitTermination()
+    )
+
+
+def _latest_upsert_version(spark, target_dir: str, below: int | None = None):
+    """Highest committed ``v=<id>`` snapshot (optionally strictly below a
+    batch id — the read path of an idempotent batch replay). None if the
+    table is empty."""
+    import glob
+    import os
+
+    versions = []
+    for p in glob.glob(os.path.join(target_dir, "v=*")):
+        try:
+            v = int(os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if below is None or v < below:
+            versions.append(v)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(target_dir, f"v={max(versions)}"))

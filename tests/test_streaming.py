@@ -323,3 +323,69 @@ def test_stream_outer_join_emits_unmatched(spark, sf_dir):
         "left_outer",
     )
     assert n_stream == batch.count()
+
+
+def test_foreachbatch_upsert_restart_no_reprocess(spark, tmp_path):
+    """Re-draining from the same checkpoint with no new data must create no
+    new versions and leave the snapshot unchanged; new data after restart
+    merges exactly once."""
+    import glob
+    import os
+
+    from sql_query_engine_rs_spark.streaming import (
+        _latest_upsert_version,
+        foreach_batch_upsert,
+    )
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_arrow
+
+    src_dir = str(tmp_path / "src")
+    tgt_dir = str(tmp_path / "tgt")
+    os.makedirs(src_dir)
+    schema = "event_id long, user_id long, value double"
+    arrow_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+
+    def write_file(rows, name):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value"])
+        pq_arrow.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            os.path.join(src_dir, name),
+        )
+
+    write_file([(1, 1, 10.0), (2, 2, 5.0)], "f1.parquet")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        foreach_batch_upsert(stream, tgt_dir, key_col="user_id", value_col="value")
+
+    drain()
+    versions_before = sorted(glob.glob(tgt_dir + "/v=*"))
+    snap_before = {
+        (r.user_id, r.n_events, r.total)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    }
+    assert snap_before == {(1, 1, 10.0), (2, 1, 5.0)}
+
+    # restart, nothing new: no reprocessing, no new versions
+    drain()
+    assert sorted(glob.glob(tgt_dir + "/v=*")) == versions_before
+    assert {
+        (r.user_id, r.n_events, r.total)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    } == snap_before
+
+    # new file lands exactly once: user 1 accumulates, user 3 appears
+    write_file([(3, 1, 2.5), (4, 3, 1.0)], "f2.parquet")
+    drain()
+    assert {
+        (r.user_id, r.n_events, r.total)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    } == {(1, 2, 12.5), (2, 1, 5.0), (3, 1, 1.0)}
