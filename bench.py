@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "pipe_bpe_pair_counts",
     "pipe_doc_entropy",
     "pipe_length_trim",
+    # fifth wave: first-occurrence novelty (gram-keyed min-agg), the
+    # bucketed padding audit, and the per-source KL drift monitor
+    "pipe_ngram_novelty",
+    "pipe_length_bucket_pack",
+    "pipe_kl_source_drift",
 ]
 
 

@@ -76,6 +76,13 @@ HEAVY = [
     "pipe_inverted_index",
     "ext_tpch_q1",
     "pipe_semdedup_kscaled",
+    # round-5 fourth wave: PQ's codebook is fixed-size (quantization quality
+    # tracks the data DISTRIBUTION, not N), so encode/ADC must read linear;
+    # the outer join adds watermark-flush state to the interval-join shape;
+    # BPE pair counting is vocab-bounded after the corpus pass
+    "pipe_ann_pq",
+    "stream_outer_join",
+    "pipe_bpe_pair_counts",
 ]
 
 

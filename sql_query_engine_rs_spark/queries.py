@@ -1245,6 +1245,7 @@ _ROUND5_WINDOW = [
     "ext_bitwise_agg", "ext_try_arith", "pipe_doc_entropy",
     "pipe_bpe_pair_counts", "pipe_length_trim", "pipe_ann_pq",
     "stream_outer_join", "stream_foreachbatch_upsert",
+    "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1253,8 +1254,8 @@ _ROUND5_WINDOW = [
     "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
     "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
     "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
-    "ext_join_fact", "ext_tpch_q3", "ext_having", "ext_subquery_in",
-    # (ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
+    "ext_join_fact",
+    # (ext_tpch_q3 / ext_having / ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
     # cohort — pipe_dedup_exact / pipe_dedup_groups /
@@ -5706,3 +5707,133 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         ).localCheckpoint(eager=True)
     finally:
         _restore_confs(spark, prior)
+
+
+@register(
+    "pipe_ngram_novelty",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       g AS (
+         SELECT DISTINCT doc_id, md5(array_to_string(toks[(i+1):(i+3)], ' ')) AS h
+         FROM tk, UNNEST(range(len(toks) - 2)) AS u(i)
+         WHERE len(toks) >= 3),
+       first AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+       SELECT g.doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              FLOOR(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+       FROM g JOIN first USING (h)
+       GROUP BY g.doc_id""",
+)
+def pipe_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-grams whose FIRST corpus occurrence (by doc_id order) is this doc —
+    the streaming-ingest "how much genuinely new text does this shard add"
+    statistic (novelty ~0 = the doc restates earlier corpus content; the
+    complement of boilerplate coverage, but ordered). Only (doc_id, md5)
+    pairs shuffle; the first-occurrence table is a vocab-bounded min-agg
+    (map-side partial), and the join back keys on the gram hash — same
+    skew profile as the inverted index."""
+    d = docs_parallel(spark, sf_dir)
+    g = d.select(
+        "doc_id",
+        F.explode(D.shingles_from_tokens(T.tokens(F.col("text")), 3)).alias("_gram"),
+    ).select("doc_id", F.md5(F.col("_gram")).alias("h"))
+    first = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        g.join(first, on="h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            pround(novel / F.count(F.lit(1)), 6).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "pipe_length_bucket_pack",
+    """WITH tk AS (
+         SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+         FROM documents)
+       SELECT CAST(CEIL(n_tok / 64.0) AS INT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+              CAST(SUM(CAST(CEIL(n_tok / 64.0) AS INT) * 64 - n_tok) AS BIGINT) AS pad_tokens,
+              FLOOR(SUM(CAST(CEIL(n_tok / 64.0) AS INT) * 64 - n_tok) * 1.0
+                    / SUM(CAST(CEIL(n_tok / 64.0) AS INT) * 64) * 1000000 + 0.5) / 1000000 AS waste_ratio
+       FROM tk WHERE n_tok > 0 GROUP BY bucket""",
+)
+def pipe_length_bucket_pack(spark, sf_dir):
+    """Length-bucketed padding audit — the batch-shape statistic a trainer's
+    dataloader team actually asks for: bucket docs by ceil(len/64), report
+    per-bucket doc counts and the padding waste if each doc pads to its
+    bucket's capacity. (Length-bucketed batching is the standard fix for
+    pad-dominated step time; this measures what it buys.) One tokenize
+    pass, map-only arithmetic, ~#buckets rows shuffle — nothing
+    corpus-sized moves."""
+    d = docs_parallel(spark, sf_dir)
+    tk = (
+        d.select(F.size(T.tokens(F.col("text"))).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket", F.ceil(F.col("n_tok") / 64.0).cast("int"))
+    )
+    pad = F.sum(F.col("bucket") * 64 - F.col("n_tok"))
+    return tk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        pad.alias("pad_tokens"),
+        pround(pad / F.sum(F.col("bucket") * 64), 6).alias("waste_ratio"),
+    )
+
+
+@register(
+    "pipe_kl_source_drift",
+    """WITH tok AS (
+         SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       sc AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY source, term),
+       st AS (SELECT source, SUM(c) AS stot FROM sc GROUP BY source),
+       cc AS (SELECT term, SUM(c) AS cq FROM sc GROUP BY term),
+       ct AS (SELECT SUM(c) AS ctot FROM sc)
+       SELECT sc.source,
+              CAST(st.stot AS BIGINT) AS n_tok,
+              FLOOR(SUM((sc.c / st.stot) * ln((sc.c / st.stot) / (cc.cq / ct.ctot))) * 10000 + 0.5) / 10000 AS kl
+       FROM sc JOIN st USING (source) JOIN cc USING (term) CROSS JOIN ct
+       GROUP BY sc.source, st.stot""",
+)
+def pipe_kl_source_drift(spark, sf_dir):
+    """Per-source KL divergence of the token distribution against the whole
+    corpus — the distribution-drift monitor a multi-source ingest dashboard
+    ships (a source whose KL jumps changed its content mix; KL ~0 =
+    indistinguishable from the corpus blend). No smoothing needed: every
+    source term is by construction in the corpus distribution.
+
+    Scale shape: ONE (source, term) count shuffle feeds everything — the
+    corpus distribution (term-keyed vocab-bounded re-agg), the per-source
+    totals (broadcast), and the KL sum itself; document text never moves
+    after the tokenize pass. Identical p·ln(p/q) expression tree on both
+    engines; partial-sum order (~1e-15) is the only divergence, rounded
+    at 1e-4."""
+    d = docs_parallel(spark, sf_dir)
+    sc = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("stot"))
+    cc = sc.groupBy("term").agg(F.sum("c").alias("cq"))
+    ct = sc.agg(F.sum("c").alias("ctot"))
+    p = F.col("c") / F.col("stot")
+    q = F.col("cq") / F.col("ctot")
+    return (
+        sc.join(F.broadcast(st), on="source")
+        .join(cc, on="term")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source", "stot")
+        .agg(pround(F.sum(p * F.log(p / q)), 4).alias("kl"))
+        .select("source", F.col("stot").cast("bigint").alias("n_tok"), "kl")
+    )
