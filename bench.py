@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "pipe_ngram_novelty",
     "pipe_length_bucket_pack",
     "pipe_kl_source_drift",
+    "pipe_span_corruption",
+    "ext_decimal_agg",
 ]
 
 

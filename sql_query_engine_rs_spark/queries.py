@@ -1246,6 +1246,7 @@ _ROUND5_WINDOW = [
     "pipe_bpe_pair_counts", "pipe_length_trim", "pipe_ann_pq",
     "stream_outer_join", "stream_foreachbatch_upsert",
     "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
+    "pipe_span_corruption", "ext_decimal_agg",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1253,9 +1254,9 @@ _ROUND5_WINDOW = [
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
     "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
     "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
-    "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
-    "ext_join_fact",
-    # (ext_tpch_q3 / ext_having / ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
+    "ext_avg_count_distinct", "ext_distinct",
+    # (ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
     # cohort — pipe_dedup_exact / pipe_dedup_groups /
@@ -5836,4 +5837,110 @@ def pipe_kl_source_drift(spark, sf_dir):
         .groupBy("source", "stot")
         .agg(pround(F.sum(p * F.log(p / q)), 4).alias("kl"))
         .select("source", F.col("stot").cast("bigint").alias("n_tok"), "kl")
+    )
+
+
+@register(
+    "pipe_span_corruption",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents WHERE doc_id < 300),
+       st AS (
+         SELECT doc_id, len(toks) AS n_tok,
+                list_transform(range(1, len(toks) + 1),
+                    p -> CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 1) = '0'
+                              THEN 1 ELSE 0 END) AS starts
+         FROM tk WHERE len(toks) >= 1),
+       mk AS (
+         SELECT doc_id, n_tok,
+                list_sum(starts) AS n_spans,
+                list_sum(list_transform(range(1, n_tok + 1),
+                    p -> GREATEST(starts[CAST(p AS INT)],
+                                  CASE WHEN p > 1 THEN starts[CAST(p AS INT) - 1] ELSE 0 END,
+                                  CASE WHEN p > 2 THEN starts[CAST(p AS INT) - 2] ELSE 0 END))) AS n_masked
+         FROM st)
+       SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(COALESCE(n_masked, 0) AS BIGINT) AS n_masked,
+              FLOOR(COALESCE(n_masked, 0) * 1.0 / n_tok * 1000000 + 0.5) / 1000000 AS mask_ratio
+       FROM mk""",
+)
+def pipe_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask statistics, fully deterministic: a
+    span of 3 tokens starts wherever md5(doc_id:pos) opens with nibble 0
+    (start rate 1/16 → expected mask ratio ≈ 3/16 before overlap), and a
+    position is masked iff any of the last 3 positions started a span
+    (union of overlapping spans). Being hash-driven rather than RNG-driven
+    is what makes the mask REPRODUCIBLE across engines, retries, and
+    re-shards — the property a training-data pipeline needs so example i
+    is identical on every epoch/backfill. Per-doc output: span count,
+    masked-token count, mask ratio.
+
+    Scale shape: entirely map-side array math (one tokenize pass, L md5
+    calls per doc inside a JVM higher-order transform); zero shuffles
+    beyond the scan. The same construction with a length column instead of
+    fixed 3 is the production generalization."""
+    d = docs_parallel(spark, sf_dir).filter(F.col("doc_id") < 300)
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("_toks")).filter(
+        F.size("_toks") >= 1
+    )
+    st = tk.select(
+        "doc_id",
+        F.size("_toks").alias("n_tok"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda p: F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), p.cast("string"))),
+                    1,
+                    1,
+                )
+                == "0",
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).alias("starts"),
+    )
+    isum = lambda arr: F.aggregate(arr, F.lit(0), lambda a, x: a + x)  # noqa: E731
+    masked = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok")),
+        lambda p: F.greatest(
+            F.element_at("starts", p),
+            F.when(p > 1, F.element_at("starts", p - 1)).otherwise(F.lit(0)),
+            F.when(p > 2, F.element_at("starts", p - 2)).otherwise(F.lit(0)),
+        ),
+    )
+    return st.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        isum(F.col("starts")).cast("bigint").alias("n_spans"),
+        isum(masked).cast("bigint").alias("n_masked"),
+        pround(isum(masked) / F.col("n_tok"), 6).alias("mask_ratio"),
+    )
+
+
+@register(
+    "ext_decimal_agg",
+    """SELECT l_returnflag,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price_dec,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty_dec,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def ext_decimal_agg(spark, sf_dir):
+    """Exact DECIMAL aggregation — the money path: doubles are cast to
+    DECIMAL(18,2) at ingest and summed EXACTLY (no float association error,
+    no rounding convention needed — the result is rendered as a string and
+    must match DuckDB digit for digit). This is the semantics a billing /
+    revenue rollup requires, where the float conventions used elsewhere in
+    this registry (portable_round) are inappropriate. Spark widens the
+    accumulator (DECIMAL(28,2) internally) the same way DuckDB does
+    (DECIMAL(38,2)), so overflow behavior is bounded and the string values
+    agree."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("sum_price_dec"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty_dec"),
+        F.count(F.lit(1)).alias("n"),
     )
