@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "pipe_kl_source_drift",
     "pipe_span_corruption",
     "ext_decimal_agg",
+    "ext_funnel_stages",
+    "pipe_chunk_retrieval",
 ]
 
 

@@ -1246,7 +1246,8 @@ _ROUND5_WINDOW = [
     "pipe_bpe_pair_counts", "pipe_length_trim", "pipe_ann_pq",
     "stream_outer_join", "stream_foreachbatch_upsert",
     "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
-    "pipe_span_corruption", "ext_decimal_agg",
+    "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
+    "pipe_chunk_retrieval",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
@@ -1254,8 +1255,7 @@ _ROUND5_WINDOW = [
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
     "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
     "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
-    "ext_avg_count_distinct", "ext_distinct",
-    # (ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    # (ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
@@ -5944,3 +5944,129 @@ def ext_decimal_agg(spark, sf_dir):
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("string").alias("sum_qty_dec"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "ext_funnel_stages",
+    """WITH e AS (SELECT user_id, event_type, ts FROM events),
+       s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'click' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+       st AS (SELECT s1.user_id,
+                     CASE WHEN s3.t3 IS NOT NULL THEN 3
+                          WHEN s2.t2 IS NOT NULL THEN 2
+                          ELSE 1 END AS stage
+              FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+       SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+       FROM st GROUP BY stage""",
+)
+def ext_funnel_stages(spark, sf_dir):
+    """Ordered funnel analysis (click → view → purchase, strictly
+    increasing event time): how many users reach each stage — the product-
+    analytics query every event pipeline serves. Stage k's earliest
+    qualifying time gates stage k+1 (a view BEFORE the first click does not
+    count), which plain per-type counts get wrong.
+
+    Scale shape: three user-keyed min-aggs chained by equi-joins on
+    user_id — each stage's frame shrinks monotonically, partial aggregation
+    collapses map-side, and the final stage histogram is 3 rows. No
+    windows over raw events, no event-time sort."""
+    e = events_table(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    st = (
+        s1.join(s2.select("user_id", "t2"), on="user_id", how="left")
+        .join(s3.select("user_id", "t3"), on="user_id", how="left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage")
+        )
+    )
+    return st.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "pipe_chunk_retrieval",
+    """WITH d AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       c AS (
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, toks[(i*32+1):(i*32+32)] AS ctoks
+         FROM d, UNNEST(range(CAST(CEIL(len(toks) / 32.0) AS BIGINT))) AS u(i)
+         WHERE len(toks) > 0),
+       ct AS (SELECT DISTINCT doc_id, chunk_id, unnest(ctoks) AS term FROM c),
+       q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'window'),
+                                   (1, 'stream'), (2, 'hash'), (2, 'merge')) AS v(query_id, term)),
+       sc AS (SELECT q.query_id, ct.doc_id, ct.chunk_id, CAST(count(*) AS INT) AS n_hit
+              FROM ct JOIN q USING (term) GROUP BY q.query_id, ct.doc_id, ct.chunk_id)
+       SELECT query_id, doc_id, chunk_id, n_hit, rank FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY n_hit DESC, doc_id, chunk_id) AS INT) AS rank
+         FROM sc) r
+       WHERE rank <= 3""",
+)
+def pipe_chunk_retrieval(spark, sf_dir):
+    """Composed RAG retrieval shape: fixed-size token chunking (32-token
+    windows — the pipe_chunk_documents construction) → per-chunk distinct
+    term postings → broadcast query-term probe → per-query top-3 chunks by
+    hit count. The composition is the point: chunker and retriever are the
+    SAME independently-oracled building blocks, fused into one plan with no
+    materialization boundary.
+
+    Scale shape: chunking is map-only (slice arithmetic); only (doc, chunk,
+    term-hash-sized) postings that MATCH a query term survive the broadcast
+    join, so the shuffle to the per-query top-k is query-bounded, not
+    corpus-bounded. The top-k windows on query_id — a handful of
+    partitions, each already reduced to hit counts."""
+    d = docs_parallel(spark, sf_dir)
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, cast(ceil(size(_toks) / 32.0) as int) - 1), "
+                   "i -> struct(i as chunk_id, slice(_toks, i * 32 + 1, 32) as ctoks))")
+        ).alias("_c"),
+    ).select("doc_id", F.col("_c.chunk_id").alias("chunk_id"), F.col("_c.ctoks").alias("ctoks"))
+    postings = chunks.select(
+        "doc_id", "chunk_id", F.explode(F.array_distinct("ctoks")).alias("term")
+    )
+    q = spark.createDataFrame(
+        [(0, "spark"), (0, "join"), (1, "window"), (1, "stream"), (2, "hash"), (2, "merge")],
+        "query_id int, term string",
+    )
+    sc = (
+        postings.join(F.broadcast(q), on="term")
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_hit").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    return sc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
