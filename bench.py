@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "ext_decimal_agg",
     "ext_funnel_stages",
     "pipe_chunk_retrieval",
+    "pipe_hard_negatives",
 ]
 
 

@@ -1247,15 +1247,15 @@ _ROUND5_WINDOW = [
     "stream_outer_join", "stream_foreachbatch_upsert",
     "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
     "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
-    "pipe_chunk_retrieval",
+    "pipe_chunk_retrieval", "pipe_hard_negatives",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
     # -- round-1-era entries (stalest cohort), filling the 50 -----------
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
     "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
-    "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
-    # (ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    "v0_hash_agg_multi", "v0_agg_null_semantics",
+    # (v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
@@ -6070,3 +6070,53 @@ def pipe_chunk_retrieval(spark, sf_dir):
         F.col("n_hit").desc(), F.col("doc_id"), F.col("chunk_id")
     )
     return sc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@register(
+    "pipe_hard_negatives",
+    f"""SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 FLOOR(({_duck_cos('q.embedding', 'c.embedding', 64)}) * 1000000 + 0.5) / 1000000 AS cos_sim,
+                 CAST(row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY FLOOR(({_duck_cos('q.embedding', 'c.embedding', 64)}) * 1000000 + 0.5) / 1000000 DESC,
+                               c.vec_id) AS INT) AS rank
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id != c.vec_id AND q.label != c.label
+          WHERE q.vec_id < 5) r
+        WHERE rank <= 3""",
+)
+def pipe_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the most-similar corpus vectors with a DIFFERENT label — the
+    near-miss examples that sharpen a retriever far more than random
+    negatives (the in-batch-negatives upgrade every dense-retrieval recipe
+    ships). Exact cosine over the label-mismatch set, per-anchor top-3.
+
+    Scale shape: anchors broadcast (contractually small — the training
+    batch); the corpus streams map-side with the label filter fused into
+    the scan projection, and the per-anchor top-k windows on the anchor id
+    (no skew: one partition per anchor). At mining-over-the-full-corpus
+    scale, swap the scoring pass for the IVF/PQ candidate generation
+    (similarity.ivf_topk / pq_topk) and keep the label-mismatch filter —
+    the plan shape is identical."""
+    e = t(spark, sf_dir, "embeddings")
+    anchors = filter_(e, F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_qlabel"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(anchors),
+            (F.col("query_id") != F.col("vec_id")) & (F.col("_qlabel") != F.col("label")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            pround(S.cosine(F.col("_qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
