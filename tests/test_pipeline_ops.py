@@ -905,3 +905,54 @@ def test_pq_codebook_deterministic(spark, sf_dir):
     a = {(r.m, r.centroid_id): tuple(r._centroid) for r in S.pq_codebook(emb).collect()}
     b = {(r.m, r.centroid_id): tuple(r._centroid) for r in S.pq_codebook(emb).collect()}
     assert a == b and len(a) == 32
+
+
+# ------------------------------------------------- fourth/fifth-wave invariants
+
+def test_span_corruption_invariants(spark, sf_dir):
+    """Each span start masks at least its own position (n_masked >= n_spans),
+    a span covers at most 3 positions (n_masked <= 3*n_spans), and the mask
+    never exceeds the doc (n_masked <= n_tok)."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_span_corruption"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_spans <= r.n_tok
+        assert r.n_spans <= r.n_masked <= min(r.n_tok, 3 * r.n_spans)
+        assert abs(r.mask_ratio - r.n_masked / r.n_tok) < 1e-4
+
+
+def test_funnel_stage_monotonicity(spark, sf_dir):
+    """Cumulative funnel counts must be monotone: users reaching stage k+1
+    are a subset of those reaching stage k."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    counts = {r.stage: r.n_users for r in QUERIES["ext_funnel_stages"].build(spark, sf_dir).collect()}
+    c1 = counts.get(1, 0) + counts.get(2, 0) + counts.get(3, 0)
+    c2 = counts.get(2, 0) + counts.get(3, 0)
+    c3 = counts.get(3, 0)
+    assert c1 >= c2 >= c3
+    assert c3 > 0  # data has full-funnel users at every SF
+
+
+def test_hard_negatives_labels_differ(spark, sf_dir):
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = QUERIES["pipe_hard_negatives"].build(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert labels[r.query_id] != labels[r.vec_id]
+        assert r.query_id != r.vec_id
+
+
+def test_kl_source_drift_nonnegative(spark, sf_dir):
+    """KL divergence is >= 0 up to rounding; a source identical to the
+    corpus blend would read ~0."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_kl_source_drift"].build(spark, sf_dir).collect()
+    assert rows
+    assert all(r.kl >= -1e-4 for r in rows)
