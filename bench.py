@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "ext_funnel_stages",
     "pipe_chunk_retrieval",
     "pipe_hard_negatives",
+    "pipe_oov_rate",
+    "pipe_key_skew_report",
 ]
 
 

@@ -1247,15 +1247,15 @@ _ROUND5_WINDOW = [
     "stream_outer_join", "stream_foreachbatch_upsert",
     "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
     "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
-    "pipe_chunk_retrieval", "pipe_hard_negatives",
+    "pipe_chunk_retrieval", "pipe_hard_negatives", "pipe_oov_rate",
+    "ext_explode_outer", "pipe_key_skew_report",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
     # -- round-1-era entries (stalest cohort), filling the 50 -----------
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
-    "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
-    "v0_hash_agg_multi", "v0_agg_null_semantics",
-    # (v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    "v0_project_arithmetic", "v0_simple_agg",
+    # (v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
@@ -6120,3 +6120,114 @@ def pipe_hard_negatives(spark, sf_dir):
 
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@register(
+    "pipe_oov_rate",
+    """WITH tok AS (
+         SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       vocab AS (
+         SELECT term FROM (
+           SELECT term, count(*) AS c FROM tok GROUP BY term
+           ORDER BY c DESC, term LIMIT 20) v),
+       probe AS (SELECT doc_id, term FROM tok WHERE doc_id < 300)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_tok,
+              CAST(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              FLOOR(sum(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) * 1.0
+                    / count(*) * 1000000 + 0.5) / 1000000 AS oov_rate
+       FROM probe LEFT JOIN vocab USING (term)
+       GROUP BY doc_id""",
+)
+def pipe_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate against a frequency-built vocabulary (top-20
+    corpus terms here; top-50k in production) — the tokenizer-fit statistic
+    that decides whether a corpus slice needs vocab extension or gets
+    filtered. The vocab is a TakeOrdered over the (vocab-bounded) frequency
+    table and broadcasts; the probe pass is a map-side left join — per-doc
+    rollup keys on doc_id. Same one-tokenize-pass discipline as the rest of
+    the text family."""
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(20)
+        .select("term")
+        .withColumn("_v", F.lit(1))
+    )
+    probe = tok.filter(F.col("doc_id") < 300)
+    oov = F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+    return (
+        probe.join(F.broadcast(vocab), on="term", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            oov.alias("n_oov"),
+            pround(oov / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "ext_explode_outer",
+    """SELECT o_orderkey, u.x AS part_no
+       FROM (SELECT o_orderkey, list_filter(range(1, 2 + o_orderkey % 3), x -> x > 1) AS arr
+             FROM orders WHERE o_orderkey < 200) t
+       LEFT JOIN LATERAL (SELECT unnest(arr) AS x) u ON TRUE""",
+)
+def ext_explode_outer(spark, sf_dir):
+    """Generator function with OUTER semantics: explode_outer keeps the
+    parent row (NULL element) when the array is empty — the difference
+    between "no attachments" surviving a fan-out and silently vanishing
+    (plain explode drops them; at audit time those missing rows are a data
+    loss bug). Arrays here are constructed so ~2/3 of rows are empty and
+    the outer path is genuinely exercised."""
+    o = filter_(t(spark, sf_dir, "orders"), F.col("o_orderkey") < 200)
+    arr = F.filter(
+        F.sequence(F.lit(1), F.lit(1) + F.col("o_orderkey") % 3), lambda x: x > 1
+    )
+    return o.select("o_orderkey", arr.alias("_arr")).select(
+        "o_orderkey", F.explode_outer("_arr").alias("part_no")
+    )
+
+
+@register(
+    "pipe_key_skew_report",
+    """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+       s AS (SELECT CAST(SUM(c) AS DOUBLE) AS total, CAST(count(*) AS BIGINT) AS n_keys,
+                    CAST(MAX(c) AS BIGINT) AS max_c FROM k)
+       SELECT k.user_id, k.c,
+              FLOOR(k.c / s.total * 1000000 + 0.5) / 1000000 AS share,
+              s.n_keys, s.max_c
+       FROM k CROSS JOIN s
+       ORDER BY k.c DESC, k.user_id LIMIT 10""",
+)
+def pipe_key_skew_report(spark, sf_dir):
+    """Join/agg-key skew diagnostic: the top-10 hottest keys with their
+    share of total rows, plus key-space stats — the report you run BEFORE
+    choosing salting/AQE-skew-join for a 100 TB shuffle (a top key at >1%
+    share is a straggler task waiting to happen). One key-count shuffle
+    (map-side partials), a 1-row stats broadcast, and a TakeOrdered —
+    diagnostics must be cheaper than the problem they diagnose."""
+    e = events_table(spark, sf_dir)
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    s = k.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "c",
+            pround(F.col("c") / F.col("total"), 6).alias("share"),
+            "n_keys",
+            "max_c",
+        )
+        .orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+    )
