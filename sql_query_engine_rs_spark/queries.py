@@ -1248,14 +1248,14 @@ _ROUND5_WINDOW = [
     "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
     "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
     "pipe_chunk_retrieval", "pipe_hard_negatives", "pipe_oov_rate",
-    "ext_explode_outer", "pipe_key_skew_report",
+    "ext_explode_outer", "pipe_key_skew_report", "ext_interval_union",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
     # -- round-1-era entries (stalest cohort), filling the 50 -----------
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
-    "v0_project_arithmetic", "v0_simple_agg",
-    # (v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    "v0_project_arithmetic",
+    # (v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
@@ -6230,4 +6230,48 @@ def pipe_key_skew_report(spark, sf_dir):
         )
         .orderBy(F.col("c").desc(), "user_id")
         .limit(10)
+    )
+
+
+@register(
+    "ext_interval_union",
+    """WITH e AS (
+         SELECT user_id, event_id, ts,
+                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+         FROM events),
+       c AS (
+         SELECT user_id,
+                CASE WHEN nxt IS NULL THEN 300
+                     ELSE LEAST(300, CAST(date_diff('second', ts, nxt) AS BIGINT))
+                END AS covered
+         FROM e)
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(SUM(covered) AS BIGINT) AS covered_sec,
+              FLOOR(SUM(covered) * 1.0 / (count(*) * 300) * 1000000 + 0.5) / 1000000 AS density
+       FROM c GROUP BY user_id""",
+)
+def ext_interval_union(spark, sf_dir):
+    """Interval-union coverage: each event opens a fixed 5-minute activity
+    window; the metric is the union length of those (overlapping) windows
+    per user — the "active seconds" statistic that naive n_events x 300
+    over-counts whenever events cluster. For fixed-length intervals the
+    union telescopes to Σ min(300, gap-to-next-event) + 300 for the last —
+    ONE lead() window per user (single shuffle on user_id), no interval
+    join, no sort beyond the window's. density = covered / (n x 300) is
+    the burstiness signal (1.0 = perfectly spread, →0 = bursty)."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    covered = F.when(F.col("_nxt").isNull(), F.lit(300)).otherwise(
+        F.least(F.lit(300), F.unix_timestamp("_nxt") - F.unix_timestamp("ts"))
+    )
+    c = e.withColumn("_nxt", F.lead("ts").over(w)).select(
+        "user_id", covered.cast("bigint").alias("covered")
+    )
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("covered").alias("covered_sec"),
+        pround(F.sum("covered") / (F.count(F.lit(1)) * 300), 6).alias("density"),
     )
