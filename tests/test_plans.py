@@ -287,3 +287,35 @@ def test_inverted_index_salted_two_phase(spark, sf_dir):
     simple = explain_str(df, "simple")
     assert "Window" not in simple
     assert simple.count("hashpartitioning(term") >= 2
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter injection — the 100 TB selective-join recipe:
+    when a big fact joins a filtered build side and broadcast is off (too
+    big), Spark can inject a bloom_filter_agg on the build side's keys and
+    semi-filter the fact's SCAN before the shuffle — rows that cannot match
+    never leave the mappers. Off by default at local scale because the
+    application side must look >10GB; the production confs are exactly
+    these (thresholds express the 'only when the fact is huge' contract).
+    Scoped here so the tiny-scale test suite doesn't pay sketch costs."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.queries import _restore_confs, _set_confs
+
+    prior = _set_confs(spark, {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    })
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # the filter must land on the FACT side as a scan-level predicate
+        assert "might_contain" in plan.lower()
+    finally:
+        _restore_confs(spark, prior)
