@@ -1249,13 +1249,13 @@ _ROUND5_WINDOW = [
     "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
     "pipe_chunk_retrieval", "pipe_hard_negatives", "pipe_oov_rate",
     "ext_explode_outer", "pipe_key_skew_report", "ext_interval_union",
+    "pipe_emb_quantize_int8",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
     # -- round-1-era entries (stalest cohort), filling the 50 -----------
     "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
-    "v0_project_arithmetic",
-    # (v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    # (v0_project_arithmetic / v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
@@ -6274,4 +6274,68 @@ def ext_interval_union(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("covered").alias("covered_sec"),
         pround(F.sum("covered") / (F.count(F.lit(1)) * 300), 6).alias("density"),
+    )
+
+
+@register(
+    "pipe_emb_quantize_int8",
+    """WITH v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+         FROM embeddings WHERE vec_id < 100),
+       s AS (
+         SELECT vec_id, vd,
+                list_aggregate(vd, 'min') AS mn,
+                (list_aggregate(vd, 'max') - list_aggregate(vd, 'min')) / 255.0 AS scale
+         FROM v),
+       q AS (
+         SELECT vec_id, mn, scale,
+                list_transform(vd, x -> FLOOR((x - mn) / scale + 0.5)) AS codes,
+                vd
+         FROM s WHERE scale > 0)
+       SELECT vec_id,
+              FLOOR(mn * 1000000 + 0.5) / 1000000 AS qmin,
+              FLOOR(scale * 1000000 + 0.5) / 1000000 AS qscale,
+              CAST(list_aggregate(codes, 'max') AS BIGINT) AS max_code,
+              FLOOR((list_reduce(list_transform(range(1, 65),
+                         i -> (vd[i] - (mn + codes[i] * scale)) * (vd[i] - (mn + codes[i] * scale))),
+                     (acc, x) -> acc + x) / 64.0) * 100000000 + 0.5) / 100000000 AS mse
+       FROM q""",
+)
+def pipe_emb_quantize_int8(spark, sf_dir):
+    """Per-vector int8 (affine min/max) embedding quantization + exact
+    reconstruction-error report — the ×4 storage compression applied before
+    a 100 TB vector corpus is written, with the MSE column that tells you
+    whether retrieval quality survives. Everything is map-side JVM array
+    math (transform + the same left-fold contract as l2sq); codes stay in
+    [0, 255] by construction (pinned via max_code). The quantize expression
+    uses the floor(x+0.5) portable-rounding form, so codes — and therefore
+    reconstructions and MSE — are bit-identical across engines."""
+    e = filter_(t(spark, sf_dir, "embeddings"), F.col("vec_id") < 100)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vd"))
+    s = v.select(
+        "vec_id",
+        "vd",
+        F.array_min("vd").alias("mn"),
+        ((F.array_max("vd") - F.array_min("vd")) / 255.0).alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = s.withColumn(
+        "codes",
+        F.transform(F.col("vd"), lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5)),
+    )
+    recon_err = F.aggregate(
+        F.zip_with(
+            F.col("vd"),
+            F.col("codes"),
+            lambda x, c: (x - (F.col("mn") + c * F.col("scale")))
+            * (x - (F.col("mn") + c * F.col("scale"))),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        pround(F.col("mn"), 6).alias("qmin"),
+        pround(F.col("scale"), 6).alias("qscale"),
+        F.array_max("codes").cast("bigint").alias("max_code"),
+        pround(recon_err / 64.0, 8).alias("mse"),
     )
