@@ -80,6 +80,25 @@ class Database:
 
             plan = explain_str(self.spark.sql(sql_text[1]))
             return self.spark.createDataFrame([(plan,)], "plan string")
+        if head[0] == "plan":
+            # \plan <sql> — the structured cost-shape summary (plan_report):
+            # exchanges / broadcasts / scans / codegen spans / pushed
+            # filters as one row, the programmatic twin of \explain
+            if len(head) < 2:
+                raise MetaCommandError(f"usage: \\plan <sql>, got: {cmd}")
+            from sql_query_engine_rs_spark.plans import plan_report
+
+            r = plan_report(self.spark.sql(head[1]))
+            return self.spark.createDataFrame(
+                [(
+                    r["exchanges"], r["broadcast_exchanges"], r["broadcast_joins"],
+                    r["shuffle_joins"], r["scans"], r["in_memory_scans"],
+                    r["codegen_spans"], r["sorts"], "; ".join(r["pushed_filters"]),
+                )],
+                "exchanges int, broadcast_exchanges int, broadcast_joins int, "
+                "shuffle_joins int, scans int, in_memory_scans int, "
+                "codegen_spans int, sorts int, pushed_filters string",
+            )
         # shlex would swallow the leading backslash (escape char), so strip
         # it first and parse only the argument list.
         parts = shlex.split(cmd[1:])

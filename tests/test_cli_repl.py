@@ -103,3 +103,19 @@ def test_tracked_caches_scope(spark):
     assert outer.storageLevel.useMemory, "outer cache wrongly released"
     assert len(_LIVE_CACHES) == 1
     release_caches()
+
+
+def test_plan_meta_command(db):
+    rows = db.run_collect("\\plan select department_id, sum(salary) from employee group by department_id")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.exchanges >= 1 and r.scans >= 1
+
+
+def test_plan_meta_command_usage_error(db):
+    import pytest
+
+    from sql_query_engine_rs_spark.errors import MetaCommandError
+
+    with pytest.raises(MetaCommandError):
+        db.run("\\plan")
