@@ -1249,13 +1249,13 @@ _ROUND5_WINDOW = [
     "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
     "pipe_chunk_retrieval", "pipe_hard_negatives", "pipe_oov_rate",
     "ext_explode_outer", "pipe_key_skew_report", "ext_interval_union",
-    "pipe_emb_quantize_int8",
+    "pipe_emb_quantize_int8", "pipe_cross_corpus_dedup",
     # -- code changed this round (need fresh green rows) ----------------
     "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
     "stream_custom_state", "pipe_stratified_sample",
     # -- round-1-era entries (stalest cohort), filling the 50 -----------
-    "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
-    # (v0_project_arithmetic / v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
+    "v0_scan", "v0_projection", "v0_filter_comparison",
+    # (v0_filter_equality / v0_project_arithmetic / v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
     # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
@@ -6338,4 +6338,47 @@ def pipe_emb_quantize_int8(spark, sf_dir):
         pround(F.col("scale"), 6).alias("qscale"),
         F.array_max("codes").cast("bigint").alias("max_code"),
         pround(recon_err / 64.0, 8).alias("mse"),
+    )
+
+
+@register(
+    "pipe_cross_corpus_dedup",
+    f"""WITH fp AS (
+          SELECT doc_id, source, md5({_NORM_SQL}) AS fingerprint FROM documents),
+        existing AS (
+          SELECT DISTINCT fingerprint FROM fp WHERE source != 'src0'),
+        shard AS (SELECT * FROM fp WHERE source = 'src0'),
+        kept AS (
+          SELECT s.doc_id FROM shard s LEFT JOIN existing e USING (fingerprint)
+          WHERE e.fingerprint IS NULL)
+        SELECT CAST((SELECT count(*) FROM shard) AS BIGINT) AS n_shard,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST((SELECT count(*) FROM shard) - count(*) AS BIGINT) AS n_dropped
+        FROM kept""",
+)
+def pipe_cross_corpus_dedup(spark, sf_dir):
+    """Cross-corpus dedup — the incremental-ingest gate: a NEW shard
+    (source src0 here) is deduped against the fingerprints of everything
+    already ingested, not against itself (a doc legitimately repeated
+    WITHIN the shard survives; one already in the corpus is dropped). This
+    asymmetry is what separates shard-vs-corpus dedup from the global
+    pipe_fingerprint_dedup.
+
+    Scale shape: only 32-byte md5 fingerprints move — the existing-corpus
+    side reduces to a distinct fingerprint set (at 100 TB this is the
+    persisted dedup index, bucketed by fingerprint prefix) and the probe is
+    a LEFT ANTI join keyed on the hash, map-side combinable and skew-free
+    by construction. Output is the shard's keep/drop audit row."""
+    fp = docs_parallel(spark, sf_dir).select(
+        "doc_id", "source", T.fingerprint(F.col("text")).alias("fingerprint")
+    )
+    shard = fp.filter(F.col("source") == "src0")
+    existing = fp.filter(F.col("source") != "src0").select("fingerprint").distinct()
+    kept = shard.join(existing, on="fingerprint", how="left_anti")
+    return shard.agg(F.count(F.lit(1)).alias("n_shard")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    ).select(
+        "n_shard",
+        "n_kept",
+        (F.col("n_shard") - F.col("n_kept")).alias("n_dropped"),
     )
