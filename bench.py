@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "pipe_hard_negatives",
     "pipe_oov_rate",
     "pipe_key_skew_report",
+    "ext_interval_union",
+    "pipe_emb_quantize_int8",
+    "pipe_cross_corpus_dedup",
 ]
 
 
