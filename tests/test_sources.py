@@ -104,3 +104,38 @@ def test_compact_range_clustering_prunes(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.filter("id = 12345").count() == 1
     assert got.count() == 20000
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """Ingest hardening for dirty CSV — the 100 TB contract is that one bad
+    row degrades, not fails: PERMISSIVE mode captures the raw line in the
+    corrupt-record column (good rows keep parsing), DROPMALFORMED removes
+    it, and the default never throws."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,9.99\n"
+        "2,not_a_number,1.50\n"   # type error in qty
+        "3,7,2.25\n"
+    )
+    schema = "id long, qty long, price double, _corrupt string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = {r.id: r for r in permissive.collect()}
+    assert rows[1].qty == 5 and rows[3].qty == 7
+    bad = [r for r in rows.values() if r._corrupt is not None]
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt
+    assert bad[0].qty is None  # failed field NULLed, row retained
+
+    dropped = (
+        spark.read.schema("id long, qty long, price double")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
