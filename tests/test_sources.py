@@ -139,3 +139,20 @@ def test_csv_malformed_row_handling(spark, tmp_path):
         .csv(str(p))
     )
     assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on read: a column added mid-corpus must surface for
+    new files and read NULL for old ones under mergeSchema — the additive-
+    evolution contract a long-lived 100 TB table relies on (without
+    mergeSchema, whichever file Spark samples first dictates the schema
+    and late columns silently vanish)."""
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(base + "/p=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, a string, score double").write.parquet(
+        base + "/p=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert "score" in merged.columns
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
