@@ -6382,3 +6382,222 @@ def pipe_cross_corpus_dedup(spark, sf_dir):
         "n_kept",
         (F.col("n_shard") - F.col("n_kept")).alias("n_dropped"),
     )
+
+
+# =====================================================================
+# Round-5 wave 1: SQL-engine depth — recursive traversal, RANGE frames,
+# gaps-and-islands, equi-width histograms
+# =====================================================================
+
+@register(
+    "ext_recursive_hierarchy",
+    """WITH RECURSIVE walk AS (
+           SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth FROM part
+         UNION ALL
+           SELECT node, anc // 8, depth + 1 FROM walk WHERE anc >= 8
+       )
+       SELECT node AS p_partkey, anc AS root_key, CAST(depth AS INT) AS depth
+       FROM walk WHERE anc < 8""",
+)
+def ext_recursive_hierarchy(spark, sf_dir):
+    """Recursive-CTE equivalent (WITH RECURSIVE is a binder `todo!()` in the
+    reference — src/binder/statement/select.rs has no CTE path at all):
+    ancestor traversal over a part hierarchy (parent(n) = n div 8, nodes
+    below 8 are roots), producing each node's root and depth.
+
+    Spark has no recursive CTE; the canonical shape is a driver loop of
+    broadcast joins against the edge relation with `localCheckpoint` lineage
+    truncation per step — identical to `connected_components`
+    (dedup.py:727) but following parent POINTERS instead of min-labels.
+    Iteration count is the hierarchy DEPTH (log_8 of the key space: 7 levels
+    at 2M parts, 10 at 1B), not the row count, and each step is a
+    broadcast-hash join on the small edge dim — the frontier never shuffles.
+    The per-step convergence check is one scalar aggregate (sum of changed
+    flags), the same O(1)-driver-data discipline as connected_components.
+    """
+    part = t(spark, sf_dir, "part")
+    edges = part.select(
+        F.col("p_partkey").alias("enode"),
+        F.when(F.col("p_partkey") < 8, F.col("p_partkey"))
+        .otherwise(F.expr("p_partkey div 8"))
+        .alias("eparent"),
+    )
+    state = part.select(
+        "p_partkey",
+        F.col("p_partkey").alias("anc"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(40):  # 40 >> log_8(any realistic key space)
+        stepped = (
+            state.join(F.broadcast(edges), state["anc"] == edges["enode"])
+            .select(
+                "p_partkey",
+                F.col("eparent").alias("new_anc"),
+                (F.col("eparent") != F.col("anc")).cast("int").alias("_chg"),
+                "depth",
+            )
+            .select(
+                "p_partkey",
+                F.col("new_anc").alias("anc"),
+                (F.col("depth") + F.col("_chg")).alias("depth"),
+                "_chg",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.agg(F.sum("_chg").alias("c")).collect()[0].c
+        state = stepped.drop("_chg")
+        if not changed:
+            break
+    return state.select("p_partkey", F.col("anc").alias("root_key"), F.col("depth").cast("int").alias("depth"))
+
+
+@register(
+    "ext_window_range_frame",
+    f"""SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,6)) AS sum_1h,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+        FROM events WHERE user_id < 30""",
+)
+def ext_window_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame: per-user trailing-1-hour sum/count
+    at every event — the sliding-window aggregate SQL engines express as
+    RANGE BETWEEN <interval> PRECEDING. The reference has no window
+    functions at all (planner `todo!()`, SURVEY §2.2).
+
+    Engine-portable construction: the frame is keyed on integer epoch
+    MICROseconds (`unix_micros` / `epoch_us`) so frame membership is exact
+    integer comparison on both engines — no timestamp-precision or timezone
+    ambiguity — and the summed value is cast to DECIMAL(18,6) so the sliding
+    sum is integer-scaled arithmetic: bit-identical regardless of the
+    engines' frame-accumulation order (DuckDB segment tree vs Spark's
+    running frame), where a double sum could flip a rounded cent.
+
+    One shuffle on user_id serves both frame aggregates (same window spec).
+    At 100 TB: time-bounded frames are bounded state per key; skewed users
+    would take the sessionize salting path (ext_sessionize docstring).
+    """
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("decimal(38,6)").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "ext_gaps_islands",
+    """WITH hours AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour_idx
+           FROM events
+       ),
+       isl AS (
+           SELECT user_id, hour_idx,
+                  hour_idx - row_number() OVER (PARTITION BY user_id ORDER BY hour_idx) AS anchor
+           FROM hours
+       ),
+       runs AS (
+           SELECT user_id, anchor, count(*) AS run_len,
+                  min(hour_idx) AS run_start
+           FROM isl GROUP BY user_id, anchor
+       )
+       SELECT user_id, count(*) AS n_islands, max(run_len) AS longest_run,
+              min(run_start) AS first_hour, CAST(avg(run_len) AS DOUBLE) AS avg_run
+       FROM runs GROUP BY user_id""",
+)
+def ext_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands — runs of CONSECUTIVE activity buckets per key (here:
+    epoch-hour buckets per user), the classic row_number-difference
+    construction: consecutive hour indexes share `hour_idx - row_number()`.
+    Distinct from ext_sessionize (arbitrary time gaps) — islands are exact
+    integer adjacency, the shape used for streak/uptime/coverage analytics.
+
+    Integer epoch-hours (not DATE arithmetic) keep both engines exact. Plan:
+    one distinct on skinny (user, hour) pairs, one window sort per user, two
+    map-side-combinable aggregates — text/payload never moves. avg(run_len)
+    is exact (BIGINT count ratios, both engines compute in double).
+    """
+    from pyspark.sql import Window
+
+    hours = (
+        events_table(spark, sf_dir)
+        .select("user_id", (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000)).cast("bigint").alias("hour_idx"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_idx")
+    runs = (
+        hours.withColumn("anchor", F.col("hour_idx") - F.row_number().over(w))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("hour_idx").alias("run_start"),
+        )
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.min("run_start").alias("first_hour"),
+        F.avg("run_len").alias("avg_run"),
+    )
+
+
+@register(
+    "ext_histogram",
+    """WITH b AS (
+           SELECT LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT), 19) AS bucket,
+                  o_totalprice
+           FROM orders
+       ),
+       h AS (
+           SELECT bucket, count(*) AS n,
+                  FLOOR(AVG(o_totalprice) * 100 + 0.5) / 100 AS avg_price
+           FROM b GROUP BY bucket
+       )
+       SELECT bucket, CAST(bucket * 25000.0 AS DOUBLE) AS bucket_lo, n, avg_price,
+              FLOOR((n * 1.0 / SUM(n) OVER ()) * 10000 + 0.5) / 10000 AS pct,
+              FLOOR((SUM(n) OVER (ORDER BY bucket) * 1.0 / SUM(n) OVER ()) * 10000 + 0.5) / 10000 AS cum_pct
+       FROM h""",
+)
+def ext_histogram(spark, sf_dir):
+    """Equi-width histogram with density + CDF — fixed bounds ([0, 500k) in
+    20 × 25k buckets, top bucket clamped) so the layout is deterministic and
+    needs NO pre-pass: one map-side bucket assignment + one 20-group
+    aggregate; the pct/CDF windows then run over 20 rows (driver-trivial at
+    any corpus size). Contrast approx_percentile (ext_percentiles) which
+    gives quantiles: this is the distribution SHAPE, the other standard
+    profiling output. Fixed bounds are the scale-correct choice at 100 TB —
+    a min/max pre-scan to auto-fit bounds is a second full pass over the
+    fact table.
+    """
+    from pyspark.sql import Window
+
+    b = t(spark, sf_dir, "orders").select(
+        F.least(F.floor(F.col("o_totalprice") / 25000.0).cast("int"), F.lit(19)).alias("bucket"),
+        "o_totalprice",
+    )
+    h = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.avg("o_totalprice")).alias("avg_price"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.partitionBy().orderBy("bucket")
+    return h.select(
+        "bucket",
+        (F.col("bucket") * 25000.0).cast("double").alias("bucket_lo"),
+        "n",
+        "avg_price",
+        pround(F.col("n") / F.sum("n").over(wall), 4).alias("pct"),
+        pround(F.sum("n").over(wcum) / F.sum("n").over(wall), 4).alias("cum_pct"),
+    )
