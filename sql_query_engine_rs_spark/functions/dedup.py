@@ -93,6 +93,28 @@ def shingles_from_tokens(toks: Column, n: int) -> Column:
     return F.array_distinct(F.array_compact(acc))
 
 
+def positional_shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Ordered, NON-distinct n-grams: element i is the shingle STARTING at
+    token position i (0-based). Same single-evaluation zip_with construction
+    as ``shingles_from_tokens`` but without distinct/compact, so
+    ``posexplode`` recovers exact start offsets — the input to span-level
+    operators (exact-substring dedup) that must map grams back onto token
+    ranges. Tail positions past L-n are null padding; callers filter the
+    exploded null rows (their pos would exceed the last valid start).
+    """
+    if n == 1:
+        return toks
+    acc = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.size(toks))
+        acc = F.zip_with(
+            acc,
+            nxt,
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        )
+    return acc
+
+
 def token_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams (shingles) of ``text`` as array<string>.
 
@@ -353,6 +375,108 @@ def minhash_lsh_candidates(
     if verify_threshold is not None:
         pairs = pairs.filter(F.col("jaccard_sim") >= verify_threshold)
     return pairs
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    ngram: int = 3,
+    max_band_size: int | None = 256,
+) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: over the SAME LSH candidate pairs
+    as ``minhash_lsh_candidates``, report the signature-based Jaccard
+    ESTIMATE (fraction of equal components — the only similarity a
+    signature-only 100 TB pipeline ever sees) next to the exact shingle
+    Jaccard, plus the absolute error. This is the calibration table that
+    justifies dropping the exact-verify pass at scale: if |est - exact|
+    concentrates below the LSH threshold margin, signatures alone decide.
+
+    Candidates are banding survivors, so estimates are biased >=
+    rows_per_band/num_hashes by construction — the audit measures accuracy
+    ON THE OPERATING REGION, which is the relevant question. Plan shape is
+    the candidate half of minhash_lsh_candidates (one persisted shingle
+    pass, one persisted signature frame, band self-join with flood caps);
+    the exact side joins shingle arrays back for the candidate set only.
+
+    Output: (id_a, id_b, est_jaccard, exact_jaccard, abs_err).
+    """
+    rows_per_band = num_hashes // bands
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    toked = base.select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
+    grams_df = persist_tracked(
+        toked.select("_id", shingles_from_tokens(F.col("_toks"), ngram).alias("_grams"))
+    )
+    grams_df.count()
+    grams_df = grams_df.filter(F.size("_grams") > 0)
+    n_blocks = (num_hashes + 7) // 8
+    digs_df = grams_df.select(
+        "_id",
+        *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
+    )
+    sig = persist_tracked(
+        digs_df.select(
+            "_id",
+            F.array(
+                *[
+                    _minhash_component_from_digests(F.col(f"_digs{i // 8}"), i % 8)
+                    for i in range(num_hashes)
+                ]
+            ).alias("_sig"),
+        )
+    )
+    sig.count()
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "|", F.lit(str(b)),
+                    *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("_band_key"),
+    )
+    banded = persist_tracked(banded)
+    banded.count()
+    banded = _cap_band_size(banded, "_band_key", max_band_size)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, on="_band_key")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+    ga = grams_df.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga"))
+    gb = grams_df.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = n_eq / F.lit(float(num_hashes))
+    exact = jaccard(F.col("_ga"), F.col("_gb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            portable_round(est, 4).alias("est_jaccard"),
+            portable_round(exact, 4).alias("exact_jaccard"),
+            portable_round(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -6601,3 +6601,388 @@ def ext_histogram(spark, sf_dir):
         pround(F.col("n") / F.sum("n").over(wall), 4).alias("pct"),
         pround(F.sum("n").over(wcum) / F.sum("n").over(wall), 4).alias("cum_pct"),
     )
+
+
+# =====================================================================
+# Round-5 wave 2: LLM-pipeline depth — exact-substring dedup, DSIR
+# importance weights, count-min heavy hitters, sketch accuracy audit
+# =====================================================================
+
+@register(
+    "pipe_exact_substring_dedup",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       tok AS (
+         SELECT doc_id, i AS tpos, toks[i + 1] AS tok
+         FROM tk, UNNEST(range(len(toks))) u(i)),
+       g AS (
+         SELECT doc_id, i AS pos, md5(array_to_string(toks[(i+1):(i+8)], ' ')) AS h
+         FROM tk, UNNEST(range(len(toks) - 7)) u(i)
+         WHERE len(toks) >= 8),
+       dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       cov AS (
+         SELECT DISTINCT g.doc_id, g.pos + j AS tpos
+         FROM g JOIN dup USING (h), UNNEST(range(8)) v(j)),
+       kept AS (
+         SELECT t.doc_id, t.tpos, t.tok
+         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         WHERE c.doc_id IS NULL),
+       agg AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+         FROM kept GROUP BY doc_id)
+       SELECT tk.doc_id, CAST(len(tk.toks) AS INT) AS n_tokens,
+              CAST(len(tk.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+              FLOOR(COALESCE(agg.n_kept, 0) * 1.0 / len(tk.toks) * 1000000 + 0.5) / 1000000
+                  AS keep_ratio,
+              COALESCE(agg.cleaned, '') AS cleaned_text
+       FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""",
+)
+def pipe_exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr variant): any word 8-gram
+    occurring in >= 2 DISTINCT documents marks its 8-token span as
+    duplicated; covered tokens are REMOVED and the document is rewritten
+    from the surviving tokens. Unlike the ratio-only audits
+    (pipe_chunk_dedup_ratio, pipe_ngram_novelty) this produces the actual
+    cleaned corpus: (doc_id, n_tokens, n_removed, keep_ratio, cleaned_text).
+
+    Scale shape (vs the suffix-array construction in the paper): one
+    tokenize pass feeds both the positional-token frame and the positional
+    8-gram frame (grams are md5'd immediately — only 16-byte hashes + int
+    offsets ever shuffle, never text). The dup-gram set is df>=2 filtered
+    (a small fraction of the gram space) and joins back semi/broadcast
+    (AQE); span->position explosion is x8 on DUPLICATED occurrences only.
+    The rewrite is a per-doc ordered string_agg — keyed on doc_id, so the
+    heaviest shuffle is the positional token frame, the same volume as the
+    inverted index build. A 100 TB run writes cleaned_text back via the
+    partitioned parquet sink instead of returning it.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with sibling entries)
+
+    d = docs_parallel(spark, sf_dir)
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    tok = tk.select("doc_id", F.posexplode("toks").alias("tpos", "tok"))
+    g = (
+        tk.select(
+            "doc_id",
+            F.posexplode(D.positional_shingles_from_tokens(F.col("toks"), 8)).alias("pos", "gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", "pos", F.md5(F.col("gram")).alias("h"))
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    cov = (
+        g.join(dup, on="h")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("tpos"))
+        .distinct()
+    )
+    kept = tok.join(cov, on=["doc_id", "tpos"], how="left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.tok,
+            ),
+        ).alias("cleaned"),
+    )
+    base = tk.select("doc_id", F.size("toks").alias("n_tokens"))
+    return base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
+        pround(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_tokens"), 6).alias("keep_ratio"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+def _md5_bucket256_sql(expr: str) -> str:
+    """Portable 0..255 hash bucket from the first 2 md5 hex nibbles of
+    ``expr`` (DuckDB side of Spark's ``conv(substring(md5(x),1,2),16,10)``)."""
+    val = lambda k: (
+        f"(ascii(substr(md5({expr}), {k}, 1)) - 48 - "
+        f"CASE WHEN ascii(substr(md5({expr}), {k}, 1)) >= 97 THEN 39 ELSE 0 END)"
+    )
+    return f"({val(1)} * 16 + {val(2)})"
+
+
+_DSIR_TARGET_SQL = "('src0', 'src1', 'src2')"
+_DSIR_TARGET = ("src0", "src1", "src2")
+
+
+@register(
+    "pipe_dsir_weights",
+    f"""WITH tk AS (
+         SELECT doc_id, source,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       tok AS (
+         SELECT doc_id, source, {_md5_bucket256_sql("t")} AS b
+         FROM tk, UNNEST(toks) u(t)),
+       docb AS (SELECT doc_id, source, b, count(*) AS c FROM tok GROUP BY doc_id, source, b),
+       tgt AS (SELECT b, sum(c) AS ct FROM docb WHERE source IN {_DSIR_TARGET_SQL} GROUP BY b),
+       raw AS (SELECT b, sum(c) AS cr FROM docb GROUP BY b),
+       tot AS (SELECT (SELECT sum(ct) FROM tgt) AS st, (SELECT sum(cr) FROM raw) AS sr),
+       w AS (
+         SELECT raw.b,
+                ln((COALESCE(ct, 0) + 1.0) / (st + 256.0)) - ln((cr + 1.0) / (sr + 256.0)) AS wb
+         FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+       sc AS (
+         SELECT doc_id, sum(c) AS n_tok, sum(c * wb) AS s
+         FROM docb JOIN w ON docb.b = w.b GROUP BY doc_id)
+       SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+              FLOOR(s / n_tok * 10000 + 0.5) / 10000 AS dsir_avg_logratio
+       FROM sc""",
+)
+def pipe_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw document by the log-likelihood ratio of a hashed bag-of-words
+    model of a TARGET corpus (here sources src0-src2 as the curated-target
+    stand-in) vs the RAW corpus, Laplace-smoothed over 256 md5 hash buckets.
+    Documents with high avg log-ratio are "target-like" — resampling by
+    these weights is the DSIR selection step.
+
+    Scale shape: one tokenize+explode pass reduces immediately to per-doc
+    BUCKET counts (doc_id, b<=256, c) — the only doc-keyed shuffle, skinny
+    ints. Both n-gram models are 256-row aggregates OF that frame (no second
+    pass over text), the weight table w is 256 rows joined back broadcast,
+    and the final score is a per-doc rollup. At 100 TB the target model
+    comes from a separate small curated corpus: same plan, w still 256 rows.
+    """
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("t"),
+    ).select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int").alias("b"),
+    )
+    docb = tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    tgt = (
+        docb.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    raw = docb.groupBy("b").agg(F.sum("c").alias("cr"))
+    tot = tgt.agg(F.sum("ct").alias("st")).crossJoin(raw.agg(F.sum("cr").alias("sr")))
+    w = (
+        raw.join(tgt, on="b", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("st") + 256.0))
+                - F.log((F.col("cr") + 1.0) / (F.col("sr") + 256.0))
+            ).alias("wb"),
+        )
+    )
+    return (
+        docb.join(F.broadcast(w), on="b")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tok"), F.sum(F.col("c") * F.col("wb")).alias("s"))
+        .select(
+            "doc_id",
+            "n_tok",
+            pround(F.col("s") / F.col("n_tok"), 4).alias("dsir_avg_logratio"),
+        )
+    )
+
+
+@register(
+    "pipe_countmin_heavyhitters",
+    f"""WITH tok AS (
+         SELECT t FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS t
+           FROM documents)),
+       exact AS (SELECT t, count(*) AS exact_count FROM tok GROUP BY t),
+       probe AS (SELECT t, exact_count FROM exact
+                 ORDER BY exact_count DESC, t LIMIT 20),
+       cells AS (
+         SELECT r, {_md5_bucket256_sql("CAST(r AS VARCHAR) || ':' || t")} AS cell,
+                count(*) AS c
+         FROM tok, UNNEST([0, 1, 2, 3]) u(r)
+         GROUP BY r, cell),
+       est AS (
+         SELECT p.t, p.exact_count, min(c.c) AS cm_estimate
+         FROM probe p, UNNEST([0, 1, 2, 3]) u(r)
+         JOIN cells c
+           ON c.r = u.r AND c.cell = {_md5_bucket256_sql("CAST(u.r AS VARCHAR) || ':' || p.t")}
+         GROUP BY p.t, p.exact_count)
+       SELECT t AS token, exact_count, cm_estimate,
+              cm_estimate - exact_count AS overestimate,
+              cm_estimate >= exact_count AS no_underestimate
+       FROM est""",
+)
+def pipe_countmin_heavyhitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter audit:
+    a d=4 x w=256 counter sketch over the token stream (row r hashes
+    ``"{{r}}:" + token`` into 256 md5 buckets), probed with the corpus's
+    exact top-20 tokens; reports the sketch estimate (min over the 4 rows),
+    the exact count, and the signed error. ``no_underestimate`` pins the
+    count-min guarantee (estimate >= truth, always) the same way
+    ext_approx_distinct pins its HLL error bound.
+
+    Why it matters at 100 TB: the 1024-cell sketch is a MERGEABLE aggregate
+    — per-partition sketches combine by cell-wise addition (here literally
+    Spark's map-side partial aggregation on (r, cell)), so token frequencies
+    over the whole corpus reduce to 1024 longs regardless of vocabulary
+    size, and per-shard sketches union by addition for incremental ingest.
+    The exact top-20 probe (a full groupBy) is the AUDIT side only; a
+    production run probes candidates from a sample against the sketch.
+    Shuffles: tokens reduce map-side to (r, cell) partials; the probe joins
+    are broadcast (20 rows / 1024 rows).
+    """
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    d = docs_parallel(spark, sf_dir)
+    tok = persist_tracked(
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("t"))
+    )
+    tok.count()
+
+    def cell(r, tcol):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}:"), tcol)), 1, 2), 16, 10
+        ).cast("bigint")
+
+    rows = None
+    for r in range(4):
+        part = tok.select(F.lit(r).alias("r"), cell(r, F.col("t")).alias("cell"))
+        rows = part if rows is None else rows.unionByName(part)
+    cells = rows.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
+    probe = top_k(exact, 20, F.col("exact_count").desc(), F.col("t"))
+    probe_cells = None
+    for r in range(4):
+        pc = probe.select("t", "exact_count", F.lit(r).alias("r"), cell(r, F.col("t")).alias("cell"))
+        probe_cells = pc if probe_cells is None else probe_cells.unionByName(pc)
+    return (
+        probe_cells.join(cells, on=["r", "cell"])
+        .groupBy("t", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            F.col("t").alias("token"),
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count")).alias("overestimate"),
+            (F.col("cm_estimate") >= F.col("exact_count")).alias("no_underestimate"),
+        )
+    )
+
+
+@register(
+    "pipe_zipf_slope",
+    """WITH tok AS (
+         SELECT source, t FROM (
+           SELECT source,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS t
+           FROM documents)),
+       f AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+       r AS (SELECT source, c,
+                    row_number() OVER (PARTITION BY source ORDER BY c DESC, t) AS rnk
+             FROM f),
+       top AS (SELECT * FROM r WHERE rnk <= 100)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+              FLOOR(regr_slope(ln(c * 1.0), ln(rnk * 1.0)) * 10000 + 0.5) / 10000 AS zipf_slope,
+              FLOOR(regr_r2(ln(c * 1.0), ln(rnk * 1.0)) * 1000000 + 0.5) / 1000000 AS fit_r2
+       FROM top GROUP BY source""",
+)
+def pipe_zipf_slope(spark, sf_dir):
+    """Zipf-law fit per source: OLS slope of ln(frequency) vs ln(rank) over
+    each source's top-100 terms. Natural text sits near slope -1; strong
+    deviation flags template/generated/spammy sources — a standard
+    distributional health check next to pipe_kl_source_drift (which compares
+    AGAINST a reference; this one is reference-free).
+
+    Plan: the (source, term) count frame is vocab-bounded; per-source
+    ranking reuses the grouped-top-k shape (row_number window, one shuffle
+    on source), and the regression is Spark's one-pass regr_* moment
+    aggregates (ext_regr_agg) over <=100 rows per source. Ties at the
+    rank-100 cut are broken by term so both engines select identical sets.
+    """
+    tok = docs_parallel(spark, sf_dir).select(
+        "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    f = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    top = per_group_top_k(
+        f, ["source"], [F.col("c").desc(), F.col("t")], 100, rank_col="rnk"
+    )
+    y, x = F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))
+    return top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        pround(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        pround(F.regr_r2(y, x), 6).alias("fit_r2"),
+    )
+
+
+def _minhash_est_oracle(
+    num_hashes: int = 8, bands: int = 2, max_band_size: int = 256
+) -> str:
+    rows = num_hashes // bands
+
+    def _comp(i: int) -> str:
+        arg = "g" if i // 8 == 0 else f"'{i // 8}:' || g"
+        return f"list_min(list_transform(grams, g -> substr(md5({arg}), {(i % 8) * 4 + 1}, 4))) AS h{i}"
+
+    comps = ",\n               ".join(_comp(i) for i in range(num_hashes))
+    band_keys = ",\n               ".join(
+        "concat_ws('|', '%d', %s) AS b%d" % (b, ", ".join(f"h{b * rows + r}" for r in range(rows)), b)
+        for b in range(bands)
+    )
+    band_counts = ",\n               ".join(
+        f"count(*) OVER (PARTITION BY b{b}) AS n{b}" for b in range(bands)
+    )
+    band_match = " OR ".join(
+        f"(a.b{b} = b.b{b} AND a.n{b} <= {max_band_size})" for b in range(bands)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    jac = (
+        "len(list_intersect(a.grams, b.grams)) / "
+        "GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1)"
+    )
+    return f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
+        sig AS (SELECT doc_id, grams,
+               {comps}
+        FROM g WHERE len(grams) > 0),
+        banded AS (SELECT *,
+               {band_keys}
+        FROM sig),
+        c AS (SELECT *,
+               {band_counts}
+        FROM banded)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               FLOOR((({n_eq}) / {float(num_hashes)}) * 10000 + 0.5) / 10000 AS est_jaccard,
+               FLOOR(({jac}) * 10000 + 0.5) / 10000 AS exact_jaccard,
+               FLOOR(abs(({n_eq}) / {float(num_hashes)} - ({jac})) * 10000 + 0.5) / 10000 AS abs_err
+        FROM c a JOIN c b ON a.doc_id < b.doc_id AND ({band_match})"""
+
+
+@register("pipe_minhash_jaccard_est", _minhash_est_oracle())
+def pipe_minhash_jaccard_est(spark, sf_dir):
+    """Sketch-accuracy calibration for the MinHash flagship: LSH candidate
+    pairs scored BOTH by the signature estimate (equal-component fraction —
+    all a signature-only 100 TB pipeline sees) and by exact shingle Jaccard,
+    with the absolute error. This is the measurement that decides whether
+    the exact-verify join-back can be dropped at scale (Broder 1997:
+    E[est] = J; stderr = sqrt(J(1-J)/k)). Same persisted one-pass shingle +
+    signature plan as pipe_minhash_lsh; the exact side touches shingle
+    arrays only for the candidate set."""
+    return D.minhash_estimate_audit(
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3,
+        max_band_size=256,
+    )
