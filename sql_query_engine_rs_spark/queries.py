@@ -6986,3 +6986,156 @@ def pipe_minhash_jaccard_est(spark, sf_dir):
         t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3,
         max_band_size=256,
     )
+
+
+# =====================================================================
+# Round-5 wave 3: streaming — stream-static broadcast enrichment,
+# per-window top-k via foreachBatch
+# =====================================================================
+
+@register(
+    "stream_static_enrich",
+    """SELECT CAST(date_trunc('hour', e.ts) AS VARCHAR) AS window_start,
+              c.c_mktsegment,
+              count(*) AS n_events,
+              FLOOR((SUM(e.value)) * 100 + 0.5) / 100 AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""",
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join — the dimension-lookup every streaming
+    pipeline starts with: the events STREAM joins a static customer dim
+    (broadcast; re-resolved per micro-batch, which is how slowly-changing
+    dims refresh in production) and the enriched stream feeds a watermarked
+    tumbling-window rollup per market segment. Stream-static inner joins
+    are STATELESS (no join state store — only the window agg keeps state,
+    bounded by the watermark), which is why enrich-then-aggregate scales to
+    always-on 100 TB/day: per-batch cost is a broadcast hash join plus the
+    windowed partial agg. Oracle = the identical batch join+rollup."""
+    import uuid
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_enrich_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        enriched = stream.join(
+            F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+        ).withWatermark("ts", "2 hours")
+        out = (
+            enriched.groupBy(
+                F.window(F.col("ts"), "1 hour").alias("win"), F.col("c_mktsegment")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                pround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+                "sum_value",
+            )
+        )
+        sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = (
+            spark.table(sink)
+            .select(
+                F.col("window_start").cast("string").alias("window_start"),
+                "c_mktsegment",
+                "n_events",
+                "sum_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
+    "stream_topk_per_window",
+    """WITH w AS (
+         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                event_type, count(*) AS n_events
+         FROM events GROUP BY 1, 2),
+       r AS (
+         SELECT *, row_number() OVER (PARTITION BY window_start
+                                      ORDER BY n_events DESC, event_type) AS rnk
+         FROM w)
+       SELECT window_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+       FROM r WHERE rnk <= 2""",
+)
+def stream_topk_per_window(spark, sf_dir):
+    """Per-window top-k ON a stream: the watermarked tumbling-window count
+    runs in the streaming engine; each micro-batch's COMPLETE aggregate
+    snapshot then passes through a foreachBatch rank stage (row_number <= 2
+    per window, ties broken by key) that overwrite-writes the current top-k
+    table — the standard trending-now/leaderboard serving pattern.
+    foreachBatch is where per-batch BATCH-only ops (ranking windows,
+    MERGE upserts) legally meet streams; because each invocation rewrites
+    the snapshot idempotently, a crash-replayed batch converges to the same
+    table. Rank state never enters the streaming state store — only the
+    window counts do, bounded by the watermark."""
+    import os
+    import tempfile
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_topk_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").cast("string").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        tgt = os.path.join(tempfile.mkdtemp(prefix="events_topk_tbl_"), "topk")
+
+        def rank_and_write(batch_df, batch_id):
+            ranked = per_group_top_k(
+                batch_df,
+                ["window_start"],
+                [F.col("n_events").desc(), F.col("event_type")],
+                2,
+                rank_col="rnk",
+            ).select("window_start", "event_type", "n_events", F.col("rnk").cast("int").alias("rnk"))
+            ranked.write.mode("overwrite").parquet(tgt)
+
+        (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(rank_and_write)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return parquet_scan(spark, tgt).localCheckpoint(eager=True)
+    finally:
+        _restore_confs(spark, prior)
