@@ -956,3 +956,84 @@ def test_kl_source_drift_nonnegative(spark, sf_dir):
     rows = QUERIES["pipe_kl_source_drift"].build(spark, sf_dir).collect()
     assert rows
     assert all(r.kl >= -1e-4 for r in rows)
+
+
+# ------------------------------------------------- round-5 wave additions
+
+def test_positional_shingles_index_is_start_pos(spark):
+    """positional_shingles_from_tokens: element i must be the n-gram
+    starting at token i, with null padding past L-n (the property
+    exact-substring dedup's span math depends on)."""
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], "toks array<string>")
+    row = df.select(
+        D.positional_shingles_from_tokens(F.col("toks"), 3).alias("g")
+    ).collect()[0]
+    assert row.g == ["a b c", "b c d", None, None]
+
+
+def test_exact_substring_dedup_invariants(spark, tmp_path):
+    """Planted contract: two docs sharing an 8-token run lose exactly that
+    span (plus overlapping coverage); a doc with no cross-doc 8-gram keeps
+    every token and its original text round-trips."""
+    shared = "one two three four five six seven eight"
+    docs = [
+        (0, f"{shared} tail0 only0"),
+        (1, f"head1 {shared} tail1"),
+        (2, "totally unique words nine ten eleven twelve thirteen fourteen"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(d[1]) for d in docs],
+        }),
+        sf / "documents.parquet",
+    )
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    out = {
+        r.doc_id: r
+        for r in QUERIES["pipe_exact_substring_dedup"].build(spark, str(sf)).collect()
+    }
+    assert out[2].n_removed == 0 and out[2].cleaned_text == docs[2][1]
+    assert out[0].n_removed == 8 and out[0].cleaned_text == "tail0 only0"
+    assert out[1].n_removed == 8 and out[1].cleaned_text == "head1 tail1"
+
+
+def test_minhash_estimate_bounds(spark, sf_dir):
+    """Estimates are k-quantized in [0.5, 1] on banding survivors (>= one
+    full band of 4 equal components out of 8) and abs_err is consistent."""
+    rows = D.minhash_estimate_audit(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).collect()
+    assert rows, "no candidate pairs at test SF"
+    for r in rows:
+        assert 0.5 <= r.est_jaccard <= 1.0
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 4)) <= 1e-4
+
+
+def test_recursive_hierarchy_matches_python(spark, sf_dir):
+    """Driver-loop ancestor traversal equals the direct Python fixpoint."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    got = {
+        r.p_partkey: (r.root_key, r.depth)
+        for r in QUERIES["ext_recursive_hierarchy"].build(spark, sf_dir).collect()
+    }
+
+    def walk(n):
+        d = 0
+        while n >= 8:
+            n //= 8
+            d += 1
+        return n, d
+
+    for k, v in got.items():
+        assert v == walk(k), (k, v, walk(k))

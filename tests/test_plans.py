@@ -343,3 +343,34 @@ def test_plan_report_shapes(spark, sf_dir):
     assert r2["exchanges"] >= 1
     # codegen_spans is honest about AQE: 0 until stages finalize
     assert r2["codegen_spans"] >= 0
+
+
+def test_exact_substring_dedup_prunes_and_hashes_grams(spark, sf_dir):
+    """Span-dedup scale contract: the documents scan is pruned to
+    (doc_id, text), and every hash exchange moves md5 gram hashes / int
+    positions — raw gram STRINGS never key a shuffle (the gram is md5'd in
+    the projection right after shingling)."""
+    df = QUERIES["pipe_exact_substring_dedup"].build(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in formatted
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        first_line = frag.split("\n", 1)[0]
+        assert "gram" not in first_line, f"raw grams shuffled: {first_line}"
+
+
+def test_countmin_cells_partial_aggregation(spark, sf_dir):
+    """The count-min sketch build must partial-aggregate map-side: the
+    token stream collapses to (r, cell) partials before the exchange, so
+    the shuffle is O(1024) rows per task regardless of corpus size."""
+    df = QUERIES["pipe_countmin_heavyhitters"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert simple.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in simple
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """DSIR's 256-row weight table must join back to the per-doc bucket
+    counts as a broadcast — shuffling the doc frame by bucket id would be
+    a corpus-sized exchange keyed on 256 hot values."""
+    df = QUERIES["pipe_dsir_weights"].build(spark, sf_dir)
+    assert uses_broadcast(df)
