@@ -6718,9 +6718,7 @@ _DSIR_TARGET_SQL = "('src0', 'src1', 'src2')"
 _DSIR_TARGET = ("src0", "src1", "src2")
 
 
-@register(
-    "pipe_dsir_weights",
-    f"""WITH tk AS (
+_DSIR_ORACLE = f"""WITH tk AS (
          SELECT doc_id, source,
                 list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
          FROM documents),
@@ -6740,8 +6738,10 @@ _DSIR_TARGET = ("src0", "src1", "src2")
          FROM docb JOIN w ON docb.b = w.b GROUP BY doc_id)
        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
               FLOOR(s / n_tok * 10000 + 0.5) / 10000 AS dsir_avg_logratio
-       FROM sc""",
-)
+       FROM sc"""
+
+
+@register("pipe_dsir_weights", _DSIR_ORACLE)
 def pipe_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling", arXiv:2302.03169): score
@@ -7139,3 +7139,253 @@ def stream_topk_per_window(spark, sf_dir):
         return parquet_scan(spark, tgt).localCheckpoint(eager=True)
     finally:
         _restore_confs(spark, prior)
+
+
+def _md5_bucket4096_sql(expr: str) -> str:
+    """Portable 0..4095 hash bucket from the first 3 md5 hex nibbles of
+    ``expr`` (DuckDB twin of Spark's ``conv(substring(md5(x),1,3),16,10)``)."""
+    val = lambda k: (
+        f"(ascii(substr(md5({expr}), {k}, 1)) - 48 - "
+        f"CASE WHEN ascii(substr(md5({expr}), {k}, 1)) >= 97 THEN 39 ELSE 0 END)"
+    )
+    return f"({val(1)} * 256 + {val(2)} * 16 + {val(3)})"
+
+
+_BLOOM_WORDS = 16
+_BLOOM_BITS_PER_WORD = 62  # bits 0..61: 1<<63 sign-flips BIGINT; 62 keeps both engines positive
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD
+
+
+def _bloom_oracle() -> str:
+    def posq(h: int, tok: str) -> str:
+        salted = f"'{h}:' || {tok}"
+        return f"({_md5_bucket4096_sql(salted)} % {_BLOOM_M})"
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT source, {posq(h, 't')} AS p FROM tok" for h in (0, 1)
+    )
+    pb_union = " UNION ALL ".join(
+        f"""SELECT t, CAST({posq(h, 't')} // {_BLOOM_BITS_PER_WORD} AS INT) AS word,
+                   (CAST(1 AS BIGINT) << CAST({posq(h, 't')} % {_BLOOM_BITS_PER_WORD} AS INT)) AS contrib
+            FROM probe"""
+        for h in (0, 1)
+    )
+    return f"""WITH tok AS (
+         SELECT DISTINCT source, t FROM (
+           SELECT source,
+                  unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS t
+           FROM documents)),
+       pos AS ({pos_union}),
+       words AS (
+         SELECT source, CAST(p // {_BLOOM_BITS_PER_WORD} AS INT) AS word,
+                (CAST(1 AS BIGINT) << CAST(p % {_BLOOM_BITS_PER_WORD} AS INT)) AS contrib
+         FROM pos),
+       bloom AS (SELECT source, word, bit_or(contrib) AS w FROM words GROUP BY source, word),
+       setbits AS (SELECT source, CAST(SUM(bit_count(w)) AS BIGINT) AS n_set_bits
+                   FROM bloom GROUP BY source),
+       probe AS (SELECT t FROM (SELECT t, count(*) AS ns FROM tok GROUP BY t) f
+                 ORDER BY ns DESC, t LIMIT 50),
+       pb AS ({pb_union}),
+       srcs AS (SELECT DISTINCT source FROM bloom),
+       hits AS (
+         SELECT s.source, pb.t,
+                bool_and(COALESCE((b.w & pb.contrib) != 0, FALSE)) AS claimed
+         FROM srcs s CROSS JOIN pb
+         LEFT JOIN bloom b ON b.source = s.source AND b.word = pb.word
+         GROUP BY s.source, pb.t),
+       truth AS (SELECT source, t, TRUE AS is_true FROM tok),
+       audit AS (
+         SELECT h.source,
+                CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+                CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                CAST(SUM(CASE WHEN claimed AND is_true IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                bool_and(CASE WHEN is_true THEN claimed ELSE TRUE END) AS no_false_negatives
+         FROM hits h LEFT JOIN truth ON truth.source = h.source AND truth.t = h.t
+         GROUP BY h.source)
+       SELECT a.source, s.n_set_bits, a.n_claimed, a.n_true, a.n_false_pos, a.no_false_negatives
+       FROM audit a JOIN setbits s ON a.source = s.source"""
+
+
+@register("pipe_bloom_membership", _bloom_oracle())
+def pipe_bloom_membership(spark, sf_dir):
+    """Per-source Bloom-filter membership index (Bloom 1970): each source's
+    distinct-token set folds into a fixed 992-bit filter (16 x 62-bit
+    BIGINT words, k=2 md5 hash functions) built with ``bit_or`` — a
+    MERGEABLE aggregate (partition partials OR together; per-shard filters
+    OR for incremental ingest), joining count-min and HLL in the sketch
+    family. The corpus's exact top-50 tokens then probe every source's
+    filter; ``no_false_negatives`` pins the Bloom guarantee the way
+    ext_approx_distinct pins its HLL bound, and false positives are counted
+    (bounded by the fill ratio ``n_set_bits``/992).
+
+    Why 62 bits/word: 1<<63 sign-flips BIGINT and engines differ in BIGINT
+    shift overflow behavior — bits 0..61 keep every word contribution
+    positive and bit-identical on both engines.
+
+    Plan: distinct (source, token) is the only corpus-sized shuffle; the
+    filter collapses map-side to <=32 (source, word) rows per source; the
+    probe side is a broadcast 100-row frame crossed with the ~20-row source
+    list and left-joined to the filter table (missing word = bit unset —
+    the COALESCE(false) keeps absent words honest). At 100 TB this is the
+    shard-membership pre-check in front of the cross-corpus dedup
+    anti-join (pipe_cross_corpus_dedup): probes that miss the filter skip
+    the dedup-index lookup entirely.
+    """
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    d = docs_parallel(spark, sf_dir)
+    tok = persist_tracked(
+        d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")).distinct()
+    )
+    tok.count()
+
+    def pos(h, tcol):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{h}:"), tcol)), 1, 3), 16, 10)
+            .cast("bigint") % _BLOOM_M
+        )
+
+    bits = None
+    for h in (0, 1):
+        p = tok.select("source", pos(h, F.col("t")).alias("p"))
+        bits = p if bits is None else bits.unionByName(p)
+    contrib_expr = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_BITS_PER_WORD} AS INT))"
+    )
+    words = bits.select(
+        "source",
+        (F.col("p") / _BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+        contrib_expr.alias("contrib"),
+    )
+    bloom = persist_tracked(
+        words.groupBy("source", "word").agg(F.bit_or("contrib").alias("w"))
+    )
+    bloom.count()
+    set_bits = bloom.groupBy("source").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("n_set_bits")
+    )
+
+    probe = top_k(
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("ns")),
+        50,
+        F.col("ns").desc(),
+        F.col("t"),
+    ).select("t")
+    probe_bits = None
+    for h in (0, 1):
+        pb = probe.select("t", pos(h, F.col("t")).alias("p")).select(
+            "t",
+            (F.col("p") / _BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+            contrib_expr.alias("contrib"),
+        )
+        probe_bits = pb if probe_bits is None else probe_bits.unionByName(pb)
+    srcs = bloom.select("source").distinct()
+    hits = (
+        srcs.crossJoin(F.broadcast(probe_bits))
+        .join(bloom, on=["source", "word"], how="left")
+        .groupBy("source", "t")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("w").bitwiseAND(F.col("contrib")) != 0, F.lit(False))
+            ).alias("claimed")
+        )
+    )
+    truth = tok.withColumn("is_true", F.lit(True))
+    audit = hits.join(truth, on=["source", "t"], how="left").groupBy("source").agg(
+        F.sum(F.when(F.col("claimed"), 1).otherwise(0)).cast("bigint").alias("n_claimed"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("claimed") & F.col("is_true").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.bool_and(
+            F.when(F.col("is_true"), F.col("claimed")).otherwise(F.lit(True))
+        ).alias("no_false_negatives"),
+    )
+    return audit.join(set_bits, on="source").select(
+        "source", "n_set_bits", "n_claimed", "n_true", "n_false_pos", "no_false_negatives"
+    )
+
+
+@register(
+    "pipe_dsir_resample",
+    f"""SELECT doc_id, dsir_avg_logratio,
+               FLOOR((dsir_avg_logratio / 0.5 + -ln(-ln(u))) * 1000000 + 0.5) / 1000000 AS key
+        FROM (
+          SELECT d.doc_id, d.dsir_avg_logratio,
+                 {_u_from_md5_sql("'g:' || CAST(d.doc_id AS VARCHAR)")} AS u
+          FROM ({_DSIR_ORACLE}) d
+        ) s
+        ORDER BY key DESC, doc_id LIMIT 100""",
+)
+def pipe_dsir_resample(spark, sf_dir):
+    """The DSIR SELECTION step: Gumbel-top-k resampling by the importance
+    weights (pipe_dsir_weights). Adding an independent Gumbel(0,1) noise
+    term g = -ln(-ln(u)) to each doc's scaled log-weight and taking the
+    global top-k draws k docs WITHOUT replacement with probability
+    proportional to exp(logw / T) (Gumbel-max trick; T = 0.5 sharpens
+    toward the target distribution) — and because u is deterministic
+    (md5 of the salted doc id, the pipe_weighted_sample construction), the
+    "random" resample is bit-reproducible on any cluster, which is what a
+    training-data pipeline needs for auditability.
+
+    Plan: the weight frame's rollup (see pipe_dsir_weights) plus a map-only
+    key computation and one TakeOrdered — per-partition heaps, no global
+    sort. The key is rounded to 6 digits on both engines so a last-ulp
+    ln() divergence can't flip the cut; doc_id is the total tie-break."""
+    w = QUERIES["pipe_dsir_weights"].build(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("g:"), F.col("doc_id").cast("string")))
+
+    def nib(k: int):
+        a = F.ascii(F.substring(h, k, 1))
+        return a - 48 - F.when(a >= 97, 39).otherwise(0)
+
+    i_expr = sum(nib(k) * (16 ** (6 - k)) for k in range(1, 7))
+    u = (i_expr.cast("double") + 0.5) / 16777216.0
+    key = pround(F.col("dsir_avg_logratio") / 0.5 + (-F.log(-F.log(u))), 6)
+    return top_k(
+        w.select("doc_id", "dsir_avg_logratio", key.alias("key")),
+        100,
+        F.col("key").desc(),
+        F.col("doc_id"),
+    )
+
+
+@register(
+    "pipe_tokenizer_fertility",
+    """WITH s AS (
+         SELECT lang,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_words,
+                len(list_filter(regexp_split_to_array(
+                    regexp_replace(text, '([A-Za-z]+|[0-9]+)', ' \\1 ', 'g'), '\\s+'),
+                    x -> x != '')) AS n_subwords,
+                length(replace(text, ' ', '')) AS n_chars_nospace
+         FROM documents)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_words) AS BIGINT) AS total_words,
+              CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+              FLOOR(SUM(n_subwords) * 1.0 / SUM(n_words) * 10000 + 0.5) / 10000 AS fertility,
+              FLOOR(SUM(n_chars_nospace) * 1.0 / SUM(n_subwords) * 10000 + 0.5) / 10000 AS chars_per_token
+       FROM s GROUP BY lang""",
+)
+def pipe_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language: subword-tokens-per-word
+    (the BPE-ish proxy tokenizer vs whitespace words) and characters per
+    subword token — THE standard multilingual tokenizer-budget statistics
+    (fertility >> 1 for a language means its token costs explode and its
+    effective context shrinks). Map-only per-doc counting folded into a
+    per-lang rollup: the shuffle carries (lang, 3 longs) — one row per
+    language, text never moves."""
+    d = docs_parallel(spark, sf_dir)
+    s = d.select(
+        "lang",
+        T.token_count(F.col("text")).alias("n_words"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_subwords"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_chars_nospace"),
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_subwords").alias("total_subwords"),
+        pround(F.sum("n_subwords") / F.sum("n_words"), 4).alias("fertility"),
+        pround(F.sum("n_chars_nospace") / F.sum("n_subwords"), 4).alias("chars_per_token"),
+    )
