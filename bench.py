@@ -116,6 +116,26 @@ BENCH_QUERIES = [
     "ext_interval_union",
     "pipe_emb_quantize_int8",
     "pipe_cross_corpus_dedup",
+    # round-5 sixth wave: span-level exact-substring dedup (the heaviest
+    # text op — positional grams + coverage rewrite), DSIR scoring +
+    # Gumbel-top-k selection, the mergeable sketches (count-min, bloom),
+    # the MinHash calibration audit, the iterative recursive-hierarchy
+    # loop, RANGE frames / gaps-islands on events, and the CDC diff
+    "pipe_exact_substring_dedup",
+    "pipe_dsir_weights",
+    "pipe_dsir_resample",
+    "pipe_countmin_heavyhitters",
+    "pipe_bloom_membership",
+    "pipe_minhash_jaccard_est",
+    "pipe_zipf_slope",
+    "pipe_tokenizer_fertility",
+    "ext_recursive_hierarchy",
+    "ext_window_range_frame",
+    "ext_gaps_islands",
+    "ext_histogram",
+    "ext_snapshot_diff",
+    "stream_static_enrich",
+    "stream_topk_per_window",
 ]
 
 

@@ -83,6 +83,18 @@ HEAVY = [
     "pipe_ann_pq",
     "stream_outer_join",
     "pipe_bpe_pair_counts",
+    # round-5 fifth wave: span-level exact-substring dedup (positional-gram
+    # explosion must stay linear — coverage amplification is x8 on DUP
+    # occurrences only, and the suffixed-copy corpus keeps the dup rate
+    # constant); the mergeable-sketch family (count-min / bloom) must read
+    # flat-ish (sketch size is fixed; only the token pass scales); DSIR is
+    # one explode + 256-row joins; the MinHash audit is the candidate half
+    # of pipe_minhash_lsh plus signature compares
+    "pipe_exact_substring_dedup",
+    "pipe_countmin_heavyhitters",
+    "pipe_bloom_membership",
+    "pipe_dsir_weights",
+    "pipe_minhash_jaccard_est",
 ]
 
 

@@ -7389,3 +7389,144 @@ def pipe_tokenizer_fertility(spark, sf_dir):
         pround(F.sum("n_subwords") / F.sum("n_words"), 4).alias("fertility"),
         pround(F.sum("n_chars_nospace") / F.sum("n_subwords"), 4).alias("chars_per_token"),
     )
+
+
+@register(
+    "ext_snapshot_diff",
+    """WITH v1 AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 13 != 0),
+       v2 AS (
+         SELECT c_custkey,
+                CASE WHEN c_custkey % 7 = 0 THEN FLOOR((c_acctbal + 10.0) * 100 + 0.5) / 100
+                     ELSE c_acctbal END AS c_acctbal
+         FROM customer WHERE c_custkey % 11 != 0)
+       SELECT COALESCE(v1.c_custkey, v2.c_custkey) AS c_custkey,
+              CASE WHEN v1.c_custkey IS NULL THEN 'added'
+                   WHEN v2.c_custkey IS NULL THEN 'deleted'
+                   WHEN v1.c_acctbal != v2.c_acctbal THEN 'changed'
+                   ELSE 'unchanged' END AS change,
+              v1.c_acctbal AS old_acctbal, v2.c_acctbal AS new_acctbal
+       FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+       WHERE NOT (v1.c_acctbal = v2.c_acctbal)
+          OR v1.c_custkey IS NULL OR v2.c_custkey IS NULL""",
+)
+def ext_snapshot_diff(spark, sf_dir):
+    """CDC snapshot diff — the change feed between two table versions
+    (added / deleted / changed rows with old+new values), the complement of
+    the SCD2 MERGE (ext_scd2_merge applies a feed; this derives one). The
+    two versions are deterministic transforms of `customer` standing in for
+    the v=N-1 / v=N parquet snapshots the foreachBatch upsert sink writes
+    (stream_foreachbatch_upsert).
+
+    Plan: a single full-outer hash join co-partitioned on the key, with the
+    unchanged-row filter applied IN the join projection — at 100 TB the
+    diff shuffles each snapshot once and emits only the (typically tiny)
+    changed set; no window, no second pass. Keys being unique per snapshot,
+    skew is bounded by the key distribution of the table itself."""
+    c = t(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("k1"), F.col("c_acctbal").alias("old_acctbal")
+    )
+    v2 = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("k2"),
+        F.when(F.col("c_custkey") % 7 == 0, pround(F.col("c_acctbal") + 10.0, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_acctbal"),
+    )
+    j = v1.join(v2, v1["k1"] == v2["k2"], "full_outer")
+    change = (
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "deleted")
+        .when(F.col("old_acctbal") != F.col("new_acctbal"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("c_custkey"),
+            change.alias("change"),
+            "old_acctbal",
+            "new_acctbal",
+        )
+        .filter(F.col("change") != "unchanged")
+    )
+
+
+@register(
+    "pipe_eval_split_carve",
+    f"""WITH fp AS (
+         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+         FROM documents),
+       s AS (
+         SELECT *, CASE WHEN u < 0.1 THEN 'test'
+                        WHEN u < 0.2 THEN 'val'
+                        ELSE 'train' END AS split
+         FROM (SELECT *, {_u_from_md5_sql("'split:' || fingerprint")} AS u FROM fp) q),
+       leak AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_leak FROM (
+           SELECT fingerprint FROM s GROUP BY fingerprint
+           HAVING count(DISTINCT split) > 1) l)
+       SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_fingerprints,
+              CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              (SELECT n_leak FROM leak) AS cross_split_fingerprints,
+              (SELECT n_leak FROM leak) = 0 AS no_leakage
+       FROM s GROUP BY split""",
+)
+def pipe_eval_split_carve(spark, sf_dir):
+    """Deterministic train/val/test carve with a LEAKAGE-FREE-BY-
+    CONSTRUCTION guarantee: the split key is a hash of the normalized-text
+    FINGERPRINT, not the doc id — so exact/near-identical texts (same
+    fingerprint) land in the same split no matter how many copies exist or
+    which shard they arrive on. ``cross_split_fingerprints`` counts
+    fingerprints straddling splits and must be 0; it is reported (not
+    assumed) so the audit catches a future change that silently switches
+    the key back to doc_id — the classic eval-contamination bug.
+
+    Plan: fingerprint + split assignment are map-only; the audit is one
+    groupBy fingerprint (16-byte keys) and the rollup one groupBy over 3
+    splits. At 100 TB the same construction assigns shards idempotently on
+    every ingest — no split table to maintain or join."""
+    d = docs_parallel(spark, sf_dir)
+    fp = d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    h = F.md5(F.concat(F.lit("split:"), F.col("fingerprint")))
+
+    def nib(k: int):
+        a = F.ascii(F.substring(h, k, 1))
+        return a - 48 - F.when(a >= 97, 39).otherwise(0)
+
+    u = (sum(nib(k) * (16 ** (6 - k)) for k in range(1, 7)).cast("double") + 0.5) / 16777216.0
+    s = fp.withColumn(
+        "split",
+        F.when(u < 0.1, "test").when(u < 0.2, "val").otherwise("train"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    s = persist_tracked(s)
+    s.count()
+    leak = (
+        s.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_leak"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_fingerprints"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_docs",
+            "n_fingerprints",
+            "total_tokens",
+            F.col("n_leak").alias("cross_split_fingerprints"),
+            (F.col("n_leak") == 0).alias("no_leakage"),
+        )
+    )

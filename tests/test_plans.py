@@ -374,3 +374,46 @@ def test_dsir_weight_table_broadcasts(spark, sf_dir):
     a corpus-sized exchange keyed on 256 hot values."""
     df = QUERIES["pipe_dsir_weights"].build(spark, sf_dir)
     assert uses_broadcast(df)
+
+
+def test_aqe_skew_join_split_recipe(spark, sf_dir):
+    """AQE skew-join — the runtime answer to the hot-key straggler: with
+    adaptive skewJoin on, a sort-merge join whose one shuffle partition
+    dwarfs the median is SPLIT at runtime into subpartitions (plan node
+    carries ``skew=true``), so the hot key's work spreads across tasks
+    instead of serializing one straggler. Thresholds here are lowered so a
+    planted 50k-row hot key trips the path at test scale; production keeps
+    the defaults (256MB/5x) and relies on the same machinery. This pins the
+    conf recipe AND that the runtime plan actually split — complementing
+    the hand-salted paths (domain_cap, inverted index), which remain the
+    answer when the skewed op is an AGGREGATE rather than a join."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.queries import _restore_confs, _set_confs
+
+    prior = _set_confs(spark, {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        # 50k rows on ONE key + a uniform remainder; right side small
+        left = spark.range(50_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        ).union(
+            spark.range(2_000).select((F.col("id") % 40).alias("k"), F.col("id"))
+        )
+        right = spark.range(40).select(F.col("id").alias("k"), F.lit("dim").alias("attr"))
+        j = left.join(right, on="k")
+        # collect() executes THIS DataFrame's queryExecution (a noop write
+        # would execute a clone, leaving j's adaptive plan isFinalPlan=false)
+        j.collect()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        _restore_confs(spark, prior)
