@@ -7530,3 +7530,235 @@ def pipe_eval_split_carve(spark, sf_dir):
             (F.col("n_leak") == 0).alias("no_leakage"),
         )
     )
+
+
+@register(
+    "ext_asof_join_nearest",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       r AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       b AS (SELECT l.event_id, max(r.ts) AS bts
+             FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts GROUP BY l.event_id),
+       f AS (SELECT l.event_id, min(r.ts) AS fts
+             FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts GROUP BY l.event_id)
+       SELECT l.event_id, l.user_id,
+              CAST(CASE WHEN bts IS NULL THEN fts
+                        WHEN fts IS NULL THEN bts
+                        WHEN (epoch_us(l.ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(l.ts))
+                             THEN bts ELSE fts END AS VARCHAR) AS nearest_purchase_ts,
+              CAST(CASE WHEN bts IS NULL THEN epoch_us(fts) - epoch_us(l.ts)
+                        WHEN fts IS NULL THEN epoch_us(l.ts) - epoch_us(bts)
+                        ELSE LEAST(epoch_us(l.ts) - epoch_us(bts), epoch_us(fts) - epoch_us(l.ts))
+                   END AS BIGINT) AS gap_us
+       FROM l LEFT JOIN b ON l.event_id = b.event_id
+              LEFT JOIN f ON l.event_id = f.event_id
+       WHERE bts IS NOT NULL OR fts IS NOT NULL""",
+)
+def ext_asof_join_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each click matches the CLOSEST purchase by the same user
+    in either time direction — the variant backward/forward can't express
+    and the one event-attribution analyses actually want. Composed from the
+    two union-ordering window passes (operators/join.py:31 backward +
+    forward), combined with a full-outer on the left-row id and an exact
+    integer-microsecond tie-break (ties at equal gap take the backward
+    match, matching the oracle's <=).
+
+    Cost: two key-partitioned window passes + one co-partitioned outer join
+    on the unique left id — still linear in |l| + |r| per key, vs the
+    oracle's quadratic inequality join (fine at oracle scale, wrong at
+    100 TB; the contrast is the point of the operator)."""
+    from sql_query_engine_rs_spark.operators.join import asof_join
+
+    e = events_table(spark, sf_dir)
+    l = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    r = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    back = asof_join(l, r, key="user_id", left_ts="ts", right_ts="ts").select(
+        "event_id", "user_id", "ts", F.col("_asof_ts").alias("bts")
+    )
+    fwd = asof_join(l, r, key="user_id", left_ts="ts", right_ts="ts", direction="forward").select(
+        F.col("event_id").alias("f_event_id"), F.col("_asof_ts").alias("fts")
+    )
+    j = back.join(fwd, back["event_id"] == fwd["f_event_id"], "full_outer")
+    # full-outer on the unique left id: rows matched only backward keep
+    # bts/fts asymmetry; recover the left attrs from whichever side is set
+    lid = F.coalesce(F.col("event_id"), F.col("f_event_id"))
+    lattrs = l.select(
+        F.col("event_id").alias("l_event_id"), F.col("user_id").alias("l_user_id"), F.col("ts").alias("l_ts")
+    )
+    j = j.select(lid.alias("eid"), "bts", "fts").join(
+        lattrs, F.col("eid") == F.col("l_event_id")
+    )
+    # unix_micros needs TIMESTAMP; the NTZ columns cast losslessly under
+    # the UTC session tz events_table pins
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    gap_b = um("l_ts") - um("bts")
+    gap_f = um("fts") - um("l_ts")
+    nearest = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(gap_b <= gap_f, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    gap = (
+        F.when(F.col("bts").isNull(), gap_f)
+        .when(F.col("fts").isNull(), gap_b)
+        .otherwise(F.least(gap_b, gap_f))
+    )
+    return j.select(
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_user_id").alias("user_id"),
+        nearest.cast("string").alias("nearest_purchase_ts"),
+        gap.cast("bigint").alias("gap_us"),
+    )
+
+
+@register(
+    "pipe_containment_dups",
+    f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        g0 AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
+        g AS (SELECT doc_id, grams FROM g0 WHERE len(grams) > 0),
+        e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        dfreq AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
+        rare AS (SELECT gram FROM dfreq WHERE df BETWEEN 2 AND 5),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM e a JOIN rare r ON a.gram = r.gram
+                   JOIN e b ON b.gram = a.gram AND a.doc_id < b.doc_id),
+        v AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_intersect(ga.grams, gb.grams)) AS inter,
+                 len(ga.grams) AS la, len(gb.grams) AS lb
+          FROM cand c JOIN g ga ON ga.doc_id = c.id_a
+                      JOIN g gb ON gb.doc_id = c.id_b)
+        SELECT id_a, id_b,
+               FLOOR(inter * 1.0 / LEAST(la, lb) * 10000 + 0.5) / 10000 AS containment
+        FROM v
+        WHERE inter * 1.0 / LEAST(la, lb) >= 0.8""",
+)
+def pipe_containment_dups(spark, sf_dir):
+    """Containment near-dups (Broder 1997's ``C(A,B) = |A∩B| / |A|``,
+    reported as max-direction containment inter/min(|A|,|B|) >= 0.8): the
+    SUBSET-duplicate detector — a short doc wholly embedded in a longer one
+    scores low Jaccard (union is dominated by the superset) and is
+    invisible to pipe_ngram_jaccard's size-blocking, which assumes
+    near-equal shingle counts. This is the quote/excerpt/wrapper-page case
+    every crawl corpus has.
+
+    Blocking: candidate pairs must share a RARE gram (2 <= df <= 5) — a
+    contained doc shares ALL its grams with its container, so any rare gram
+    in the contained text finds the pair, while the df cap bounds the
+    equi-join fan-out at sum(df^2) <= 25 per gram (no hot-gram quadratic;
+    all-boilerplate subsets with no rare gram are the documented miss —
+    they belong to pipe_boilerplate_ngrams' regime). Only (doc_id, md5-less
+    gram string) pairs and the candidate set's shingle arrays shuffle."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    d = docs_parallel(spark, sf_dir).select(
+        "doc_id", T.normalized_text(F.col("text")).alias("_text")
+    )
+    toked = d.select("doc_id", T.tokens(F.col("_text")).alias("_toks"))
+    g = persist_tracked(
+        toked.select("doc_id", D.shingles_from_tokens(F.col("_toks"), 3).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    g.count()
+    e = g.select("doc_id", F.explode("grams").alias("gram"))
+    rare = (
+        e.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 5))
+        .select("gram")
+    )
+    er = e.join(rare, on="gram")
+    a, b = er.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, on="gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    cont = inter / F.least(F.size("_ga"), F.size("_gb"))
+    return (
+        cand.join(ga, on="id_a")
+        .join(gb, on="id_b")
+        .select("id_a", "id_b", pround(cont, 4).alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
+@register(
+    "pipe_emb_outliers",
+    """WITH cent AS (
+         SELECT label, i, avg(embedding[i]) AS c
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)
+         GROUP BY label, i),
+       cent2 AS (SELECT label, array_agg(c ORDER BY i) AS carr FROM cent GROUP BY label),
+       d AS (
+         SELECT e.vec_id, e.label,
+                FLOOR(list_reduce(list_prepend(0.0,
+                        list_transform(range(1, len(e.embedding) + 1),
+                          i -> (e.embedding[i] - carr[i]) * (e.embedding[i] - carr[i]))),
+                      (a, x) -> a + x) * 1000000 + 0.5) / 1000000 AS dist2
+         FROM embeddings e JOIN cent2 ON e.label = cent2.label),
+       st AS (SELECT label, avg(dist2) AS mu, stddev_pop(dist2) AS sd FROM d GROUP BY label)
+       SELECT d.vec_id, d.label, d.dist2,
+              FLOOR((d.dist2 - mu) / sd * 10000 + 0.5) / 10000 AS z
+       FROM d JOIN st ON d.label = st.label
+       WHERE FLOOR((d.dist2 - mu) / sd * 10000 + 0.5) / 10000 > 2.0""",
+)
+def pipe_emb_outliers(spark, sf_dir):
+    """Embedding outlier detection — mislabel/noise triage for a labeled
+    vector corpus: squared L2 distance of each vector to its LABEL centroid,
+    z-scored within the label, flagging z > 2. The embedding-space
+    complement of the text-side quality gates; in a curation run these rows
+    go to re-labeling / the discard queue.
+
+    Determinism: the distance folds over the vector in INDEX ORDER on both
+    engines (zip_with fold here, list_reduce in the oracle — identical
+    float64 op sequence, so dist2 is bit-identical before its round) and
+    the z statistics are computed over the 6-dp ROUNDED distances, so
+    engine-side aggregation-order noise (~1e-13) sits far below the 4-dp z
+    round.
+
+    Plan: centroids via posexplode partial agg — (label, pos) skinny rows
+    shuffle, vectors never do; the centroid-array table (10 rows) joins
+    back broadcast and the distance folds map-side; the z pass shuffles
+    (label, scalar) pairs. Three aggregate stages, none corpus-wide."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("_v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("carr")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("carr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = emb.join(F.broadcast(cent), on="label").select(
+        "vec_id", "label", pround(d2, 6).alias("dist2")
+    )
+    st = d.groupBy("label").agg(
+        F.avg("dist2").alias("mu"), F.stddev_pop("dist2").alias("sd")
+    )
+    z = pround((F.col("dist2") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        d.join(F.broadcast(st), on="label")
+        .select("vec_id", "label", "dist2", z.alias("z"))
+        .filter(F.col("z") > 2.0)
+    )
