@@ -7762,3 +7762,38 @@ def pipe_emb_outliers(spark, sf_dir):
         .select("vec_id", "label", "dist2", z.alias("z"))
         .filter(F.col("z") > 2.0)
     )
+
+
+@register(
+    "ext_window_count_distinct",
+    """SELECT event_id, user_id, event_type,
+              count(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types,
+              CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS DOUBLE)
+                  / count(*) OVER (PARTITION BY user_id) AS type_diversity
+       FROM events WHERE user_id < 20""",
+)
+def ext_window_count_distinct(spark, sf_dir):
+    """Windowed COUNT(DISTINCT) — a SQL-surface hole in Spark itself
+    (DISTINCT aggregates are rejected inside OVER): composed as
+    ``size(collect_set(x) OVER w)``, which is semantically exact and stays
+    a single window pass. The diversity ratio (distinct types / events per
+    user) is the classic per-entity behavioral feature this shape feeds.
+
+    Scale note: collect_set materializes the per-partition distinct SET per
+    row group in executor memory — bounded by the value domain (event types
+    here), which is the same bound the dedicated distinct-agg path would
+    carry; for unbounded domains use approx_count_distinct over the window
+    or a two-pass groupBy join-back instead. One shuffle on user_id serves
+    both window aggregates."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id")
+    nd = F.size(F.collect_set("event_type").over(w))
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        nd.cast("bigint").alias("n_types"),
+        (nd.cast("double") / F.count(F.lit(1)).over(w)).alias("type_diversity"),
+    )
