@@ -1250,11 +1250,16 @@ _ROUND5_WINDOW = [
     "pipe_chunk_retrieval", "pipe_hard_negatives", "pipe_oov_rate",
     "ext_explode_outer", "pipe_key_skew_report", "ext_interval_union",
     "pipe_emb_quantize_int8", "pipe_cross_corpus_dedup",
-    # -- code changed this round (need fresh green rows) ----------------
-    "pipe_embedding_near_dup", "pipe_embedding_dedup_lsh",
-    "stream_custom_state", "pipe_stratified_sample",
-    # -- round-1-era entries (stalest cohort), filling the 50 -----------
-    "v0_scan", "v0_projection", "v0_filter_comparison",
+    # -- code changed in round 4 after its last green row ---------------
+    # (pipe_embedding_near_dup / pipe_embedding_dedup_lsh /
+    # stream_custom_state got fresh r04 rows on the final binary and
+    # rotate out; stratified_sample's salted path still needs one)
+    "pipe_stratified_sample",
+    # -- round-5 session additions (no driver row yet; these six fill the
+    # 50 — the remaining round-5 entries head the round-6 window below) --
+    "pipe_exact_substring_dedup", "pipe_dsir_weights",
+    "pipe_countmin_heavyhitters", "pipe_bloom_membership",
+    "stream_static_enrich", "pipe_minhash_jaccard_est",
     # (v0_filter_equality / v0_project_arithmetic / v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
     # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
     # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
@@ -1267,6 +1272,16 @@ _ROUND5_WINDOW = [
     # otherwise have NO driver row at all; every displaced entry remains
     # under the local full-registry DuckDB oracle)
 ]
+
+# Round-6 window head (stage for the NEXT rotation): the round-5 session
+# entries that did not fit this round's 50 —
+#   ext_recursive_hierarchy, ext_window_range_frame, ext_gaps_islands,
+#   ext_histogram, pipe_zipf_slope, stream_topk_per_window,
+#   pipe_dsir_resample, pipe_tokenizer_fertility, ext_snapshot_diff,
+#   pipe_eval_split_carve, ext_asof_join_nearest, pipe_containment_dups,
+#   pipe_emb_outliers, ext_window_count_distinct
+# — then the stalest r01-era cohort. All are green under the local
+# full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
 
 def _ordered_names() -> list[str]:
