@@ -7812,3 +7812,40 @@ def ext_window_count_distinct(spark, sf_dir):
         nd.cast("bigint").alias("n_types"),
         (nd.cast("double") / F.count(F.lit(1)).over(w)).alias("type_diversity"),
     )
+
+
+@register(
+    "pipe_lang_confusion",
+    f"""WITH d AS (
+         SELECT lang AS lang_true, {_lang_case_sql()} AS lang_pred
+         FROM documents),
+       m AS (SELECT lang_true, lang_pred, count(*) AS n FROM d GROUP BY lang_true, lang_pred),
+       t AS (SELECT lang_true, sum(n) AS total FROM m GROUP BY lang_true)
+       SELECT m.lang_true, m.lang_pred, m.n,
+              FLOOR(m.n * 1.0 / t.total * 10000 + 0.5) / 10000 AS frac,
+              m.lang_true = m.lang_pred AS is_correct
+       FROM m JOIN t ON m.lang_true = t.lang_true""",
+)
+def pipe_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the heuristic detector
+    (T.lang_id_from) evaluated against the corpus's labeled ``lang``
+    column — per (true, predicted) cell counts and row-normalized
+    fractions, the audit that tells you WHERE the detector fails (e.g.
+    zh → unknown, since the marker lists are Latin-script) before the
+    lang gate silently drops a language at 100 TB.
+
+    One tokenize pass, one (true, pred) aggregate (<= |langs|^2 rows),
+    one broadcast row-total join — text never shuffles."""
+    d = docs_parallel(spark, sf_dir).select(
+        F.col("lang").alias("lang_true"),
+        T.lang_id_from(T.tokens(F.lower(F.col("text")))).alias("lang_pred"),
+    )
+    m = d.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = m.groupBy("lang_true").agg(F.sum("n").alias("total"))
+    return m.join(F.broadcast(tot), on="lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        pround(F.col("n") / F.col("total"), 4).alias("frac"),
+        (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
+    )
