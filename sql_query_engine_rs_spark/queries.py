@@ -6871,11 +6871,17 @@ def pipe_countmin_heavyhitters(spark, sf_dir):
             F.substring(F.md5(F.concat(F.lit(f"{r}:"), tcol)), 1, 2), 16, 10
         ).cast("bigint")
 
-    rows = None
-    for r in range(4):
-        part = tok.select(F.lit(r).alias("r"), cell(r, F.col("t")).alias("cell"))
-        rows = part if rows is None else rows.unionByName(part)
-    cells = rows.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("c"))
+    # ONE pass over the token cache: the 4 rows' cells materialize as an
+    # inline array and posexplode to (r, cell) — vs a 4-branch union, which
+    # rescans the cached frame once per hash row (4x the cache traffic for
+    # the same 1024-cell aggregate).
+    cells = (
+        tok.select(
+            F.posexplode(F.array(*[cell(r, F.col("t")) for r in range(4)])).alias("r", "cell")
+        )
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
     exact = tok.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
     probe = top_k(exact, 20, F.col("exact_count").desc(), F.col("t"))
@@ -7260,10 +7266,11 @@ def pipe_bloom_membership(spark, sf_dir):
             .cast("bigint") % _BLOOM_M
         )
 
-    bits = None
-    for h in (0, 1):
-        p = tok.select("source", pos(h, F.col("t")).alias("p"))
-        bits = p if bits is None else bits.unionByName(p)
+    # one pass over the token cache for both hash functions (explode of an
+    # inline 2-array vs a 2-branch union that rescans the cache)
+    bits = tok.select(
+        "source", F.explode(F.array(pos(0, F.col("t")), pos(1, F.col("t")))).alias("p")
+    )
     contrib_expr = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_BITS_PER_WORD} AS INT))"
     )
