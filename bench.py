@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "ext_snapshot_diff",
     "stream_static_enrich",
     "stream_topk_per_window",
+    "pipe_containment_dups",
+    "pipe_emb_outliers",
+    "pipe_eval_split_carve",
+    "pipe_lang_confusion",
 ]
 
 
