@@ -7856,3 +7856,51 @@ def pipe_lang_confusion(spark, sf_dir):
         pround(F.col("n") / F.col("total"), 4).alias("frac"),
         (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
     )
+
+
+@register(
+    "pipe_dataset_card",
+    f"""WITH base AS (
+         SELECT doc_id, lang, source,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok,
+                md5({_NORM_SQL}) AS fingerprint
+         FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique_texts,
+              FLOOR((1.0 - count(DISTINCT fingerprint) * 1.0 / count(*)) * 10000 + 0.5) / 10000
+                  AS dup_rate,
+              FLOOR(AVG(n_tok) * 100 + 0.5) / 100 AS mean_tokens,
+              CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+              CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+       FROM base""",
+)
+def pipe_dataset_card(spark, sf_dir):
+    """The dataset card — the one-row corpus summary every published
+    training set ships (sizes, language/source breadth, exact-dup rate,
+    token-length stats). ONE pass over documents: tokenize + fingerprint
+    are map-side, and the global aggregate's distinct counts are the only
+    shuffles (lang/source are tiny domains; the fingerprint distinct is the
+    same 16-byte-key shuffle as the dedup index — at 100 TB swap it for
+    approx_count_distinct and the entry's shape is fully map-side +
+    one-row reduce, cf. ext_approx_distinct's pinned error bound)."""
+    d = docs_parallel(spark, sf_dir)
+    base = d.select(
+        "lang",
+        "source",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("fingerprint").alias("n_unique_texts"),
+        pround(1.0 - F.countDistinct("fingerprint") / F.count(F.lit(1)), 4).alias("dup_rate"),
+        pround(F.avg("n_tok"), 2).alias("mean_tokens"),
+        F.min("n_tok").cast("bigint").alias("min_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+    )

@@ -417,3 +417,15 @@ def test_aqe_skew_join_split_recipe(spark, sf_dir):
         assert "skew=true" in executed, executed[:2000]
     finally:
         _restore_confs(spark, prior)
+
+
+def test_bench_set_is_registered(spark, sf_dir):
+    """Every bench.py headline query must exist in the registry — a rename
+    or registry refactor must not silently shrink the measured set."""
+    import bench
+
+    from sql_query_engine_rs_spark.queries import QUERIES as REG
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in REG]
+    assert not missing, f"bench queries not registered: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES), "duplicate bench entries"
