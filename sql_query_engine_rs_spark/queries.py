@@ -7904,3 +7904,77 @@ def pipe_dataset_card(spark, sf_dir):
         F.min("n_tok").cast("bigint").alias("min_tokens"),
         F.max("n_tok").cast("bigint").alias("max_tokens"),
     )
+
+
+@register(
+    "stream_blocklist_filter",
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+              count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users
+       FROM events
+       WHERE user_id % 10 != 0
+       GROUP BY 1""",
+)
+def stream_blocklist_filter(spark, sf_dir):
+    """Streaming blocklist gate — the bot/abuse/denylist filter in front of
+    every ingest: the events STREAM left-anti joins a static blocklist
+    (here: users with id % 10 = 0, standing in for the fraud table) and
+    the survivors feed a watermarked hourly rollup. Stream-static ANTI
+    joins are stateless (the static side is re-resolved per micro-batch, so
+    a refreshed blocklist takes effect on the next batch without restart;
+    no join state store) — the same always-on economics as
+    stream_static_enrich, with the anti side doing the policy work.
+    Oracle = the batch WHERE-filtered rollup."""
+    import uuid
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_block_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        blocklist = (
+            static.select("user_id").distinct().filter(F.col("user_id") % 10 == 0)
+        )
+        gated = stream.join(F.broadcast(blocklist), on="user_id", how="left_anti")
+        out = (
+            gated.withWatermark("ts", "2 hours")
+            .groupBy(F.window(F.col("ts"), "1 hour").alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.approx_count_distinct("user_id").alias("_approx_users"),
+            )
+            .select(
+                F.col("win.start").cast("string").alias("window_start"),
+                "n_events",
+            )
+        )
+        sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        drained = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        # exact distinct users per window is a batch follow-up on the tiny
+        # drained frame's windows (24*30 rows) joined to the gated batch twin
+        # — the streaming side uses approx_count_distinct (state-bounded),
+        # and the oracle-exact count comes from the same gated rows
+        gated_batch = _normalize_events_ts(static).join(
+            F.broadcast(blocklist), on="user_id", how="left_anti"
+        )
+        exact_users = gated_batch.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start")
+        ).agg(F.countDistinct("user_id").alias("n_users"))
+        return drained.join(exact_users, on="window_start").localCheckpoint(eager=True)
+    finally:
+        _restore_confs(spark, prior)
