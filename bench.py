@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "pipe_emb_outliers",
     "pipe_eval_split_carve",
     "pipe_lang_confusion",
+    "pipe_dataset_card",
+    "stream_blocklist_filter",
 ]
 
 
