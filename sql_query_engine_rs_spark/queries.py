@@ -7979,3 +7979,36 @@ def stream_blocklist_filter(spark, sf_dir):
         return drained.join(exact_users, on="window_start").localCheckpoint(eager=True)
     finally:
         _restore_confs(spark, prior)
+
+
+@register(
+    "ext_set_ops_all",
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey < 200),
+       b AS (SELECT o_orderpriority AS p FROM orders WHERE o_custkey >= 100 AND o_custkey < 300),
+       ia AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b),
+       ea AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+       SELECT 'intersect_all' AS op, p, count(*) AS n FROM ia GROUP BY p
+       UNION ALL
+       SELECT 'except_all' AS op, p, count(*) AS n FROM ea GROUP BY p""",
+)
+def ext_set_ops_all(spark, sf_dir):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    multiset variants the DISTINCT forms (ext_intersect / ext_except)
+    can't express: per-value multiplicities are min(m, n) and max(m - n, 0)
+    respectively, which is what reconciliation/accounting queries need
+    (how many COPIES survive, not which values). Spark implements both as
+    a single count-aggregate + replicate plan (no pairwise matching); the
+    grouped output keeps the oracle order-insensitive while still checking
+    exact multiplicities."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") < 200).select(F.col("o_orderpriority").alias("p"))
+    b = o.filter((F.col("o_custkey") >= 100) & (F.col("o_custkey") < 300)).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    ia = a.intersectAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "p", "n"
+    )
+    ea = a.exceptAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "p", "n"
+    )
+    return ia.unionByName(ea)
