@@ -8012,3 +8012,33 @@ def ext_set_ops_all(spark, sf_dir):
         F.lit("except_all").alias("op"), "p", "n"
     )
     return ia.unionByName(ea)
+
+
+@register(
+    "ext_order_by_nulls",
+    """SELECT c_custkey, last_order
+       FROM (
+         SELECT c.c_custkey, CAST(max(o.o_orderdate) AS VARCHAR) AS last_order
+         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         WHERE c.c_custkey < 300
+         GROUP BY c.c_custkey) s
+       ORDER BY last_order DESC NULLS LAST, c_custkey
+       LIMIT 100""",
+)
+def ext_order_by_nulls(spark, sf_dir):
+    """Explicit NULL placement in ORDER BY (NULLS FIRST/LAST) — a surface
+    where engines DISAGREE by default (Spark sorts NULLs first on ASC and
+    last on DESC; PostgreSQL/DuckDB the opposite on DESC), so any query
+    ordering an outer join's unmatched side is silently engine-dependent
+    unless placement is pinned. Here: customers by most recent order,
+    never-ordered customers (NULL from the left join) explicitly last —
+    `desc_nulls_last` / `DESC NULLS LAST` on both engines, total order
+    restored by the key tie-break, TakeOrdered plan (no global sort)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    o = t(spark, sf_dir, "orders")
+    s = (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.max("o_orderdate").cast("string").alias("last_order"))
+    )
+    return top_k(s, 100, F.col("last_order").desc_nulls_last(), F.col("c_custkey"))

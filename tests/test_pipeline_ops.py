@@ -1037,3 +1037,38 @@ def test_recursive_hierarchy_matches_python(spark, sf_dir):
 
     for k, v in got.items():
         assert v == walk(k), (k, v, walk(k))
+
+
+def test_containment_catches_planted_subset(spark, tmp_path):
+    """A doc fully embedded in a longer doc must surface with containment
+    1.0 even though its Jaccard vs the container is low — the case
+    size-blocked Jaccard dedup is blind to. The contained doc's grams are
+    rare corpus-wide, so rare-gram blocking finds the pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    contained = "alpha beta gamma delta epsilon zeta"
+    container = (
+        "prefix words before the quote " + contained + " and a long tail of other content "
+        "stretching the union far beyond the subset so jaccard stays low one two three"
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [0, 1, 2],
+            "text": [contained, container, "unrelated filler text with different words entirely here"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(contained), len(container), 40],
+        }),
+        sf / "documents.parquet",
+    )
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_containment_dups"].build(spark, str(sf)).collect()
+    pairs = {(r.id_a, r.id_b): r.containment for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0, pairs
+    # and the Jaccard flagship at its 0.8 threshold must NOT pair them
+    jac = QUERIES["pipe_ngram_jaccard"].build(spark, str(sf)).collect()
+    assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)
