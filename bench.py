@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "pipe_lang_confusion",
     "pipe_dataset_card",
     "stream_blocklist_filter",
+    "ext_set_ops_all",
+    "ext_order_by_nulls",
 ]
 
 

@@ -97,6 +97,17 @@ HEAVY = [
     "pipe_minhash_jaccard_est",
 ]
 
+# SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
+# deep point, where building/benching the full 19-op family would spend the
+# round's wall-clock on corpus writes instead of evidence.
+_OPS_FILTER = os.environ.get("SPARK_GRAFT_SF1_OPS")
+if _OPS_FILTER:
+    _sel = [s.strip() for s in _OPS_FILTER.split(",") if s.strip()]
+    unknown = [s for s in _sel if s not in HEAVY]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_SF1_OPS not in HEAVY: {unknown}")
+    HEAVY = _sel
+
 
 def _semdedup_kscaled(spark, sf_dir: str, copies: int):
     """SemDeDup with num_centroids scaled by the corpus multiple — the

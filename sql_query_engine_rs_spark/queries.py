@@ -1280,7 +1280,8 @@ _ROUND5_WINDOW = [
 #   pipe_dsir_resample, pipe_tokenizer_fertility, ext_snapshot_diff,
 #   pipe_eval_split_carve, ext_asof_join_nearest, pipe_containment_dups,
 #   pipe_emb_outliers, ext_window_count_distinct, pipe_lang_confusion,
-#   pipe_dataset_card, stream_blocklist_filter
+#   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
+#   ext_order_by_nulls
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
