@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "stream_blocklist_filter",
     "ext_set_ops_all",
     "ext_order_by_nulls",
+    "pipe_ppl_bucket_filter",
+    "stream_sliding_windows",
 ]
 
 

@@ -1281,7 +1281,7 @@ _ROUND5_WINDOW = [
 #   pipe_eval_split_carve, ext_asof_join_nearest, pipe_containment_dups,
 #   pipe_emb_outliers, ext_window_count_distinct, pipe_lang_confusion,
 #   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
-#   ext_order_by_nulls
+#   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
@@ -8043,3 +8043,139 @@ def ext_order_by_nulls(spark, sf_dir):
         .agg(F.max("o_orderdate").cast("string").alias("last_order"))
     )
     return top_k(s, 100, F.col("last_order").desc_nulls_last(), F.col("c_custkey"))
+
+
+@register(
+    "pipe_ppl_bucket_filter",
+    """WITH tok AS (
+         SELECT doc_id, lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       freq AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+       scored AS (
+         SELECT doc_id, lang,
+                FLOOR(AVG(-ln(c / total)) * 10000 + 0.5) / 10000 AS nlp
+         FROM tok JOIN freq USING (term) CROSS JOIN tot
+         GROUP BY doc_id, lang),
+       b AS (
+         SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY nlp, doc_id) AS bucket
+         FROM scored)
+       SELECT doc_id, lang, nlp,
+              CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+              bucket <= 2 AS keep
+       FROM b""",
+)
+def pipe_ppl_bucket_filter(spark, sf_dir):
+    """CCNet-style perplexity-bucket filtering (Wenzek et al. 2020): score
+    every doc with the unigram-LM negative log prob (pipe_unigram_logprob's
+    statistic, corpus-wide here), split each LANGUAGE into head/middle/tail
+    terciles by score, and keep head+middle — the standard crawl-corpus
+    quality cut that discards the most-perplexing third per language rather
+    than applying one global threshold (which would mass-delete low-resource
+    languages). Deterministic: ntile ties broken by doc_id.
+
+    Scale: the scoring pass is the unigram-logprob shape (term-keyed
+    vocab-bounded join, 1-row total broadcast); the tercile window
+    partitions by lang — for the hot-language case the production variant
+    replaces ntile with approx-percentile cutpoints per lang (broadcast
+    join, no per-lang sort), the same trade pinned in pipe_quantile_rollup."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    tok = persist_tracked(
+        d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term"))
+    )
+    tok.count()
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    scored = (
+        tok.join(freq, on="term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(pround(F.avg(-F.log(F.col("c") / F.col("total"))), 4).alias("nlp"))
+    )
+    w = Window.partitionBy("lang").orderBy("nlp", "doc_id")
+    b = scored.withColumn("bucket", F.ntile(3).over(w))
+    return b.select(
+        "doc_id",
+        "lang",
+        "nlp",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+        (F.col("bucket") <= 2).alias("keep"),
+    )
+
+
+@register(
+    "stream_sliding_windows",
+    """WITH w AS (
+         SELECT e.event_type, e.value,
+                CAST(TIMESTAMP '1970-01-01 00:00:00'
+                     + to_microseconds((epoch_us(e.ts) // 900000000) * 900000000
+                                       - CAST(k.k AS BIGINT) * 900000000)
+                     AS VARCHAR) AS window_start
+         FROM events e, UNNEST([0, 1, 2, 3]) k(k)
+         WHERE (epoch_us(e.ts) // 900000000) * 900000000 / 1000000.0 - k.k * 900
+               + 3600 > epoch_us(e.ts) / 1000000.0)
+       SELECT window_start, event_type, count(*) AS n_events,
+              FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+       FROM w GROUP BY window_start, event_type""",
+)
+def stream_sliding_windows(spark, sf_dir):
+    """SLIDING event-time windows (1-hour length, 15-minute slide) — the
+    third of the standard window families (tumbling: stream_windowed_counts;
+    session: stream_session_windows). Each event lands in 4 overlapping
+    windows; Spark's window() generates the assignments engine-side and the
+    watermark expires each window when event time passes its end + delay —
+    state is #keys x 4 live windows regardless of history length. The
+    oracle replays the window arithmetic as an explicit 4-way unnest on the
+    15-minute epoch grid (the WHERE clause keeps the event's containing
+    windows — identical to window()'s assignment rule for aligned windows).
+    """
+    import uuid
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_slide_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        out = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.window(F.col("ts"), "1 hour", "15 minutes").alias("win"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                pround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").cast("string").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
