@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "ext_order_by_nulls",
     "pipe_ppl_bucket_filter",
     "stream_sliding_windows",
+    "pipe_pmi_collocations",
 ]
 
 

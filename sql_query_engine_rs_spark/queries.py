@@ -1281,7 +1281,8 @@ _ROUND5_WINDOW = [
 #   pipe_eval_split_carve, ext_asof_join_nearest, pipe_containment_dups,
 #   pipe_emb_outliers, ext_window_count_distinct, pipe_lang_confusion,
 #   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
-#   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows
+#   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows,
+#   pipe_pmi_collocations
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
@@ -8179,3 +8180,73 @@ def stream_sliding_windows(spark, sf_dir):
         return result
     finally:
         _restore_confs(spark, prior)
+
+
+@register(
+    "pipe_pmi_collocations",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       uni AS (
+         SELECT t, CAST(count(*) AS DOUBLE) AS c FROM (
+           SELECT unnest(toks) AS t FROM tk) u GROUP BY t),
+       bi AS (
+         SELECT toks[i + 1] AS w1, toks[i + 2] AS w2, CAST(count(*) AS DOUBLE) AS c12
+         FROM tk, UNNEST(range(len(toks) - 1)) r(i)
+         WHERE len(toks) >= 2
+         GROUP BY w1, w2),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+       scored AS (
+         SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS pair_count,
+                FLOOR(ln(b.c12 * tot.n / (u1.c * u2.c)) * 10000 + 0.5) / 10000 AS pmi
+         FROM bi b JOIN uni u1 ON b.w1 = u1.t JOIN uni u2 ON b.w2 = u2.t, tot
+         WHERE b.c12 >= 5)
+       SELECT w1, w2, pair_count, pmi FROM scored
+       ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+)
+def pipe_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (Church & Hanks 1990) — the phrase-discovery
+    pass tokenizer/vocab pipelines run before merging multi-word units:
+    pointwise mutual information ln(P(xy) / P(x)P(y)) over adjacent token
+    pairs, min support 5, global top-50. High-PMI pairs are phrases
+    ("machine learning"); the support floor kills the noisy rare-pair tail
+    PMI is notorious for.
+
+    Plan: one tokenize pass feeds both the unigram table (vocab-bounded)
+    and the adjacent-pair table (zip_with against the shifted array —
+    map-only, no posexplode self-join); both aggregates partial map-side,
+    the two unigram joins hit a broadcastable vocab table, and the top-50
+    is TakeOrdered. Token arrays never shuffle."""
+    d = docs_parallel(spark, sf_dir)
+    tk = d.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    uni = (
+        tk.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    pairs = tk.select(
+        F.explode(
+            F.zip_with(
+                F.col("toks"),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))),
+            )
+        ).alias("p")
+    ).filter(F.col("p").isNotNull()).select("p.w1", "p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    u1 = uni.select(F.col("t").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.filter(F.col("c12") >= 5)
+        .join(u1, on="w1")
+        .join(u2, on="w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            pround(F.log(F.col("c12") * F.col("n") / (F.col("c1") * F.col("c2"))), 4).alias("pmi"),
+        )
+    )
+    return top_k(scored, 50, F.col("pmi").desc(), F.col("w1"), F.col("w2"))
