@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "pipe_ppl_bucket_filter",
     "stream_sliding_windows",
     "pipe_pmi_collocations",
+    "ext_any_all_quantified",
+    "pipe_dup_cluster_sizes",
 ]
 
 

@@ -1282,7 +1282,7 @@ _ROUND5_WINDOW = [
 #   pipe_emb_outliers, ext_window_count_distinct, pipe_lang_confusion,
 #   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
 #   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows,
-#   pipe_pmi_collocations
+#   pipe_pmi_collocations, ext_any_all_quantified, pipe_dup_cluster_sizes
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
@@ -8250,3 +8250,77 @@ def pipe_pmi_collocations(spark, sf_dir):
         )
     )
     return top_k(scored, 50, F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+
+
+@register(
+    "ext_any_all_quantified",
+    """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+       FROM supplier s
+       WHERE s.s_acctbal > ALL (
+               SELECT c.c_acctbal FROM customer c
+               WHERE c.c_nationkey = s.s_nationkey AND c.c_custkey < 500)
+         AND EXISTS (
+               SELECT 1 FROM customer c2
+               WHERE c2.c_nationkey = s.s_nationkey AND c2.c_custkey < 500)""",
+)
+def ext_any_all_quantified(spark, sf_dir):
+    """Quantified comparison subqueries (> ALL): suppliers out-balancing
+    EVERY same-nation customer (restricted set) — the SQL surface the
+    binder-less reference can't touch and Spark's DataFrame API has no
+    operator for. Composed by the standard decorrelation: > ALL (S) over a
+    non-empty S is > max(S), so the subquery collapses to one per-nation
+    max aggregate joined back (the EXISTS guard mirrors ALL's vacuous-truth
+    edge: here empty groups are excluded on both sides; the all-NULL group
+    never qualifies either engine). Shape at scale: the quantifier becomes
+    ONE skinny aggregate + a broadcast join — never a per-row subquery."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    mx = c.groupBy("c_nationkey").agg(F.max("c_acctbal").alias("max_bal"))
+    return (
+        s.join(F.broadcast(mx), s["s_nationkey"] == mx["c_nationkey"])
+        .filter(F.col("s_acctbal") > F.col("max_bal"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "pipe_dup_cluster_sizes",
+    None,  # oracle assigned below (reuses the recursive-closure pair SQL)
+)
+def pipe_dup_cluster_sizes(spark, sf_dir):
+    """Dedup observability: the cluster-size histogram — how many near-dup
+    clusters of each size exist and how many docs they'd remove. THE
+    dashboard row a dedup run reports first (a corpus with one giant
+    cluster needs boilerplate triage, not pair dedup; many 2-clusters is
+    healthy crawl overlap). Derived from the same MinHash->components
+    frame as pipe_dup_clusters: per-cluster counts, then counts-of-counts
+    — two skinny aggregates over (doc_id, cluster_id) pairs."""
+    from sql_query_engine_rs_spark.functions.dedup import duplicate_clusters
+
+    clusters = duplicate_clusters(
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+    )
+    per_cluster = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).cast("bigint").alias("docs_removable"),
+    )
+
+
+QUERIES["pipe_dup_cluster_sizes"].oracle = f"""WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM undirected
+      UNION
+      SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a
+    ),
+    clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    per_cluster AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
+    FROM per_cluster GROUP BY cluster_size"""
