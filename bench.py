@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "pipe_pmi_collocations",
     "ext_any_all_quantified",
     "pipe_dup_cluster_sizes",
+    "pipe_lang_balance_weights",
+    "pipe_curation_funnel",
 ]
 
 

@@ -1282,7 +1282,8 @@ _ROUND5_WINDOW = [
 #   pipe_emb_outliers, ext_window_count_distinct, pipe_lang_confusion,
 #   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
 #   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows,
-#   pipe_pmi_collocations, ext_any_all_quantified, pipe_dup_cluster_sizes
+#   pipe_pmi_collocations, ext_any_all_quantified, pipe_dup_cluster_sizes,
+#   pipe_lang_balance_weights, pipe_curation_funnel
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
@@ -8324,3 +8325,215 @@ QUERIES["pipe_dup_cluster_sizes"].oracle = f"""WITH RECURSIVE pairs AS ({_minhas
     SELECT cluster_size, count(*) AS n_clusters,
            CAST(count(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
     FROM per_cluster GROUP BY cluster_size"""
+
+
+@register(
+    "pipe_lang_balance_weights",
+    """WITH s AS (
+         SELECT lang,
+                CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))) AS DOUBLE)
+                    AS lang_tokens
+         FROM documents GROUP BY lang),
+       tot AS (SELECT SUM(lang_tokens) AS n FROM s),
+       p AS (SELECT lang, CAST(lang_tokens AS BIGINT) AS n_tokens,
+                    lang_tokens / tot.n AS share,
+                    pow(lang_tokens / tot.n, 0.3) AS unnorm
+             FROM s, tot),
+       z AS (SELECT SUM(unnorm) AS z FROM p)
+       SELECT lang, n_tokens,
+              FLOOR(share * 1000000 + 0.5) / 1000000 AS share,
+              FLOOR((unnorm / z.z) * 1000000 + 0.5) / 1000000 AS sample_weight,
+              FLOOR(((unnorm / z.z) / share) * 10000 + 0.5) / 10000 AS upsample_factor
+       FROM p, z""",
+)
+def pipe_lang_balance_weights(spark, sf_dir):
+    """Multilingual temperature-sampling weights (the XLM-R / mC4 recipe,
+    Conneau et al. 2020): per-language token shares rescaled by
+    p_l^alpha / Z with alpha = 0.3, flattening the head so low-resource
+    languages up-sample (the reported upsample_factor) without drowning
+    the corpus. This is the table that configures pipe_mixture_sample's
+    per-source takes at the language level.
+
+    Two skinny aggregates (per-lang token sums, then two scalar
+    normalizers broadcast) — the whole operator moves |langs| rows."""
+    d = docs_parallel(spark, sf_dir)
+    s = d.select("lang", T.token_count(F.col("text")).alias("nt")).groupBy("lang").agg(
+        F.sum("nt").cast("double").alias("lang_tokens")
+    )
+    tot = s.agg(F.sum("lang_tokens").alias("n"))
+    p = s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("lang_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("lang_tokens") / F.col("n")).alias("share"),
+        F.pow(F.col("lang_tokens") / F.col("n"), 0.3).alias("unnorm"),
+    )
+    z = p.agg(F.sum("unnorm").alias("z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        pround(F.col("share"), 6).alias("share"),
+        pround(F.col("unnorm") / F.col("z"), 6).alias("sample_weight"),
+        pround((F.col("unnorm") / F.col("z")) / F.col("share"), 4).alias("upsample_factor"),
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    pair_sql = _minhash_oracle().replace("FROM documents)", "FROM s3)", 1)
+    stage = (
+        "SELECT '{name}' AS stage, {k} AS stage_order, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM {src}"
+    )
+    stages = " UNION ALL ".join(
+        stage.format(name=n, k=k, src=s)
+        for k, (n, s) in enumerate(
+            [("raw", "base"), ("lang_gate", "s1"), ("quality_gate", "s2"),
+             ("exact_dedup", "s3"), ("near_dedup", "s4"), ("decontaminated", "s5")]
+        )
+    )
+    return f"""WITH RECURSIVE
+       base AS (
+         SELECT doc_id, text, source,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks,
+                len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                    x -> x IN ({_STOP_SQL}))) AS stop_hits
+         FROM documents),
+       scored AS (
+         SELECT doc_id, text, source, n_toks,
+                {_QUALITY_EXPR_SQL} AS quality, {_lang_case_sql()} AS lang_detected
+         FROM base),
+       s1 AS (SELECT * FROM scored WHERE lang_detected = 'en'),
+       s2 AS (SELECT * FROM s1 WHERE quality >= 0.7),
+       fp AS (SELECT *, md5({_NORM_SQL}) AS fingerprint FROM s2),
+       s3 AS (
+         SELECT f.* FROM fp f
+         JOIN (SELECT fingerprint, min(doc_id) AS k FROM fp GROUP BY fingerprint) m
+           ON f.fingerprint = m.fingerprint AND f.doc_id = m.k),
+       pairs AS ({pair_sql}),
+       undirected AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs
+         UNION SELECT id_a, id_a FROM pairs
+         UNION SELECT id_b, id_b FROM pairs),
+       reach(src, dst) AS (
+         SELECT a, b FROM undirected
+         UNION
+         SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a),
+       clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       s4 AS (
+         SELECT s3.* FROM s3 LEFT JOIN clusters c ON s3.doc_id = c.doc_id
+         WHERE c.doc_id IS NULL OR c.cluster_id = s3.doc_id),
+       bench AS (
+         SELECT DISTINCT md5(g) AS h FROM (
+           SELECT unnest({_grams_sql_n(5)}) AS g
+           FROM (SELECT {_TOKS_SQL} AS toks FROM documents WHERE source = 'src0') b) bg),
+       hits AS (
+         SELECT DISTINCT cg.doc_id FROM (
+           SELECT doc_id, md5(g) AS h FROM (
+             SELECT doc_id, unnest({_grams_sql_n(5)}) AS g
+             FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM s4 WHERE source != 'src0') c) x) cg
+         JOIN bench ON cg.h = bench.h),
+       s5 AS (
+         SELECT * FROM s4
+         WHERE source != 'src0' AND doc_id NOT IN (SELECT doc_id FROM hits)),
+       f AS ({stages}),
+       r AS (SELECT CAST(count(*) AS DOUBLE) AS raw_n FROM base)
+       SELECT stage, stage_order, n_docs, n_tokens,
+              FLOOR(n_docs / r.raw_n * 10000 + 0.5) / 10000 AS retention
+       FROM f, r"""
+
+
+@register("pipe_curation_funnel", _curation_funnel_oracle())
+def pipe_curation_funnel(spark, sf_dir):
+    """THE end-to-end curation funnel report — per-stage attrition through
+    the standard pretraining pipeline: raw -> language gate (heuristic
+    lang-ID = 'en') -> quality gate (composite score >= 0.7) -> exact dedup
+    (first doc per normalized-text fingerprint) -> near-dedup (MinHash-LSH
+    pairs -> connected components, keep cluster heads) -> benchmark
+    decontamination (drop survivors sharing any 5-gram with the src0
+    "benchmark"; src0 itself exits as the held-out set). One row per stage:
+    doc count, token count, retention vs raw — the first table any 100 TB
+    curation run publishes, and the one that catches a mis-ordered or
+    silently-vacuous gate (a stage with retention 1.0) immediately.
+
+    Composition shape: the scored frame (one tokenize pass: quality,
+    lang-ID, token count) is persisted and feeds every stage; near-dedup
+    runs the capped MinHash machinery ON the exact-dedup survivors only
+    (cheaper and correct — exact dups would inflate clusters); the
+    decontamination probe is the broadcast md5-set shape of
+    pipe_decontaminate. Each stage's rollup is a 1-row aggregate, so the
+    funnel adds six skinny jobs on top of the pipeline work itself. The
+    DuckDB oracle replays ALL of it — gates, fingerprints, the recursive
+    transitive closure, and the 5-gram probe — in one WITH RECURSIVE
+    chain."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+    from sql_query_engine_rs_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    d = docs_parallel(spark, sf_dir)
+    toked = d.select(
+        "doc_id", "text", "source",
+        T.tokens(F.lower(F.col("text"))).alias("_toks"),
+    )
+    scored = persist_tracked(
+        toked.select(
+            "doc_id", "text", "source",
+            F.size("_toks").alias("n_toks"),
+            T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality"),
+            T.lang_id_from(F.col("_toks")).alias("lang_detected"),
+        )
+    )
+    scored.count()
+    s1 = scored.filter(F.col("lang_detected") == "en")
+    s2 = s1.filter(F.col("quality") >= 0.7)
+    fp = s2.withColumn("fingerprint", T.fingerprint(F.col("text")))
+    heads = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("k"))
+    s3 = persist_tracked(
+        fp.join(heads, (fp["fingerprint"] == heads["fingerprint"]) & (fp["doc_id"] == heads["k"]))
+        .select(fp["doc_id"], fp["text"], fp["source"], fp["n_toks"])
+    )
+    s3.count()
+    pairs = minhash_lsh_candidates(
+        s3, num_hashes=8, bands=2, ngram=3, verify_threshold=0.8, max_band_size=256
+    )
+    labels = connected_components(pairs)
+    s4 = persist_tracked(
+        s3.join(labels, s3["doc_id"] == labels["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select(s3["doc_id"], s3["text"], s3["source"], s3["n_toks"])
+    )
+    s4.count()
+    bench = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(D.token_ngrams(T.normalized_text(F.col("text")), 5)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    corpus_grams = (
+        s4.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(D.token_ngrams(T.normalized_text(F.col("text")), 5)).alias("g"))
+        .select("doc_id", F.md5("g").alias("h"))
+    )
+    hit_docs = corpus_grams.join(F.broadcast(bench), on="h").select("doc_id").distinct()
+    s5 = s4.filter(F.col("source") != "src0").join(hit_docs, on="doc_id", how="left_anti")
+
+    def stage_row(name, k, frame):
+        return frame.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), F.lit(k).alias("stage_order"), "n_docs", "n_tokens")
+
+    funnel = None
+    for k, (name, frame) in enumerate(
+        [("raw", scored), ("lang_gate", s1), ("quality_gate", s2),
+         ("exact_dedup", s3), ("near_dedup", s4), ("decontaminated", s5)]
+    ):
+        row = stage_row(name, k, frame)
+        funnel = row if funnel is None else funnel.unionByName(row)
+    raw_n = scored.agg(F.count(F.lit(1)).cast("double").alias("raw_n"))
+    return funnel.crossJoin(F.broadcast(raw_n)).select(
+        "stage", "stage_order", "n_docs", "n_tokens",
+        pround(F.col("n_docs") / F.col("raw_n"), 4).alias("retention"),
+    )
