@@ -95,6 +95,10 @@ HEAVY = [
     "pipe_bloom_membership",
     "pipe_dsir_weights",
     "pipe_minhash_jaccard_est",
+    # the 6-stage curation funnel composite — measured here (relative
+    # scaling), not in bench.py (it would read as an outlier next to
+    # per-operator numbers)
+    "pipe_curation_funnel",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
