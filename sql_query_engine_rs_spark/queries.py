@@ -1283,7 +1283,7 @@ _ROUND5_WINDOW = [
 #   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
 #   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows,
 #   pipe_pmi_collocations, ext_any_all_quantified, pipe_dup_cluster_sizes,
-#   pipe_lang_balance_weights, pipe_curation_funnel
+#   pipe_lang_balance_weights, pipe_curation_funnel, pipe_rep_span_removal
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
@@ -8536,4 +8536,86 @@ def pipe_curation_funnel(spark, sf_dir):
     return funnel.crossJoin(F.broadcast(raw_n)).select(
         "stage", "stage_order", "n_docs", "n_tokens",
         pround(F.col("n_docs") / F.col("raw_n"), 4).alias("retention"),
+    )
+
+
+@register(
+    "pipe_rep_span_removal",
+    """WITH tk AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       tok AS (
+         SELECT doc_id, i AS tpos, toks[i + 1] AS tok
+         FROM tk, UNNEST(range(len(toks))) u(i)),
+       g AS (
+         SELECT doc_id, i AS pos, md5(array_to_string(toks[(i+1):(i+4)], ' ')) AS h
+         FROM tk, UNNEST(range(len(toks) - 3)) u(i)
+         WHERE len(toks) >= 4),
+       fp AS (SELECT doc_id, h, min(pos) AS p0 FROM g GROUP BY doc_id, h),
+       dup AS (
+         SELECT g.doc_id, g.pos
+         FROM g JOIN fp ON g.doc_id = fp.doc_id AND g.h = fp.h
+         WHERE g.pos > fp.p0),
+       cov AS (SELECT DISTINCT doc_id, pos + j AS tpos FROM dup, UNNEST(range(4)) v(j)),
+       kept AS (
+         SELECT t.doc_id, t.tpos, t.tok
+         FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+         WHERE c.doc_id IS NULL),
+       agg AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+         FROM kept GROUP BY doc_id)
+       SELECT tk.doc_id, CAST(len(tk.toks) AS INT) AS n_tokens,
+              CAST(len(tk.toks) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+              FLOOR(COALESCE(agg.n_kept, 0) * 1.0 / len(tk.toks) * 1000000 + 0.5) / 1000000
+                  AS keep_ratio,
+              COALESCE(agg.cleaned, '') AS cleaned_text
+       FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id""",
+)
+def pipe_rep_span_removal(spark, sf_dir):
+    """WITHIN-document repeated-span removal — the rewrite form of the
+    Gopher repetition signal (pipe_repetition_score flags; this CLEANS):
+    any 4-gram recurring inside the same document marks its 2nd+
+    occurrences' 4-token spans for removal (first occurrence survives),
+    and the document is rebuilt from the remaining tokens — the
+    self-repetition/stutter cleanup that runs before cross-doc dedup
+    (pipe_exact_substring_dedup is the cross-doc twin; together they are
+    the two halves of span-level text hygiene).
+
+    Same scale shape as the cross-doc twin: positional grams md5'd
+    map-side, the first-occurrence table is a (doc, hash) min-agg keyed by
+    doc (no cross-doc shuffle at all here — everything co-partitions on
+    doc_id), coverage explodes x4 on REPEATED occurrences only, and the
+    ordered rebuild is a per-doc collect."""
+    d = docs_parallel(spark, sf_dir)
+    tk = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    tok = tk.select("doc_id", F.posexplode("toks").alias("tpos", "tok"))
+    g = (
+        tk.select(
+            "doc_id",
+            F.posexplode(D.positional_shingles_from_tokens(F.col("toks"), 4)).alias("pos", "gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", "pos", F.md5(F.col("gram")).alias("h"))
+    )
+    fp = g.groupBy("doc_id", "h").agg(F.min("pos").alias("p0"))
+    dup = g.join(fp, on=["doc_id", "h"]).filter(F.col("pos") > F.col("p0"))
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 3)).alias("tpos")
+    ).distinct()
+    kept = tok.join(cov, on=["doc_id", "tpos"], how="left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(F.struct("tpos", "tok"))), lambda s: s.tok),
+        ).alias("cleaned"),
+    )
+    base = tk.select("doc_id", F.size("toks").alias("n_tokens"))
+    return base.join(agg, on="doc_id", how="left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
+        pround(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_tokens"), 6).alias("keep_ratio"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
     )
