@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "pipe_dup_cluster_sizes",
     "pipe_lang_balance_weights",
     "pipe_rep_span_removal",
+    "pipe_entropy_rate",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

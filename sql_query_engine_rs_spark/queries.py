@@ -1283,7 +1283,8 @@ _ROUND5_WINDOW = [
 #   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
 #   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows,
 #   pipe_pmi_collocations, ext_any_all_quantified, pipe_dup_cluster_sizes,
-#   pipe_lang_balance_weights, pipe_curation_funnel, pipe_rep_span_removal
+#   pipe_lang_balance_weights, pipe_curation_funnel, pipe_rep_span_removal,
+#   pipe_entropy_rate
 # — then the stalest r01-era cohort. All are green under the local
 # full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
 
@@ -8618,4 +8619,71 @@ def pipe_rep_span_removal(spark, sf_dir):
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("bigint").alias("n_removed"),
         pround(F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_tokens"), 6).alias("keep_ratio"),
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+@register(
+    "pipe_entropy_rate",
+    """WITH tk AS (
+         SELECT doc_id, source,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       bi AS (
+         SELECT source, toks[i + 1] AS w1, toks[i + 2] AS w2,
+                CAST(count(*) AS DOUBLE) AS c12
+         FROM tk, UNNEST(range(len(toks) - 1)) r(i)
+         WHERE len(toks) >= 2
+         GROUP BY source, w1, w2),
+       ctx AS (SELECT source, w1, SUM(c12) AS c1 FROM bi GROUP BY source, w1),
+       tot AS (SELECT source, SUM(c12) AS n FROM bi GROUP BY source)
+       SELECT bi.source,
+              CAST(tot.n AS BIGINT) AS n_bigrams,
+              FLOOR((-SUM((bi.c12 / tot.n) * ln(bi.c12 / ctx.c1))) * 10000 + 0.5) / 10000
+                  AS cond_entropy_nats,
+              FLOOR((-SUM((bi.c12 / tot.n) * ln(bi.c12 / tot.n))) * 10000 + 0.5) / 10000
+                  AS joint_entropy_nats
+       FROM bi
+       JOIN ctx ON bi.source = ctx.source AND bi.w1 = ctx.w1
+       JOIN tot ON bi.source = tot.source
+       GROUP BY bi.source, tot.n""",
+)
+def pipe_entropy_rate(spark, sf_dir):
+    """Per-source bigram entropy rate: the conditional entropy H(w2 | w1)
+    of the source's empirical bigram model (plus the joint bigram entropy)
+    — the information-theoretic corpus fingerprint between pipe_doc_entropy
+    (per-doc, unigram) and a real LM perplexity: near-zero means templated
+    /deterministic text (each word forces the next), near the unigram
+    entropy means shuffled-word soup — both ends flag sources to triage.
+
+    Plan: one tokenize pass, adjacent bigrams via the zip_with shift (no
+    posexplode self-join), then three vocab-bounded aggregates (bigram,
+    context-marginal, total) joined back on (source, w1) — the heavy frame
+    is (source, w1, w2) counts, vocab^2-bounded, never raw text. The
+    entropy sums are double adds across the group — engine accumulation
+    order differs at ~1e-13, far under the 4-dp round."""
+    d = docs_parallel(spark, sf_dir)
+    tk = d.select("source", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    pairs = tk.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.col("toks"),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.when(a.isNotNull() & b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))),
+            )
+        ).alias("p"),
+    ).filter(F.col("p").isNotNull()).select("source", "p.w1", "p.w2")
+    bi = pairs.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    ctx = bi.groupBy("source", "w1").agg(F.sum("c12").alias("c1"))
+    tot = bi.groupBy("source").agg(F.sum("c12").alias("n"))
+    j = bi.join(ctx, on=["source", "w1"]).join(F.broadcast(tot), on="source")
+    p12 = F.col("c12") / F.col("n")
+    return j.groupBy("source", "n").agg(
+        pround(-F.sum(p12 * F.log(F.col("c12") / F.col("c1"))), 4).alias("cond_entropy_nats"),
+        pround(-F.sum(p12 * F.log(p12)), 4).alias("joint_entropy_nats"),
+    ).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_bigrams"),
+        "cond_entropy_nats",
+        "joint_entropy_nats",
     )
