@@ -821,7 +821,11 @@ def pipe_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle(
-    num_hashes: int = 8, bands: int = 2, threshold: float = 0.8, max_band_size: int = 256
+    num_hashes: int = 8,
+    bands: int = 2,
+    threshold: float = 0.8,
+    max_band_size: int = 256,
+    source: str = "documents",
 ) -> str:
     rows = num_hashes // bands
     # component i = min over shingles of hex chars [4*(i%8), 4*(i%8)+4) of the
@@ -847,7 +851,7 @@ def _minhash_oracle(
         "len(list_intersect(a.grams, b.grams)) / "
         "GREATEST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1)"
     )
-    return f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    return f"""WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM {source}),
         g AS (SELECT doc_id, {_GRAMS_SQL} AS grams FROM d),
         sig AS (SELECT doc_id, grams,
                {comps}
@@ -2246,11 +2250,15 @@ def pipe_dup_clusters(spark, sf_dir):
     """Near-duplicate clustering: MinHash-LSH pairs -> connected components
     (iterative min-label propagation) -> cluster ids. The DuckDB oracle
     computes the same components with a recursive-CTE transitive closure —
-    an iterative Spark algorithm under the exact-value correctness gate."""
+    an iterative Spark algorithm under the exact-value correctness gate.
+    max_band_size=256 matches the oracle's per-key window cap exactly, so
+    Spark and oracle encode the same candidate pruning at ANY scale (not
+    just below the flood-bucket regime)."""
     from sql_query_engine_rs_spark.functions.dedup import duplicate_clusters
 
     return duplicate_clusters(
-        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3,
+        verify_threshold=0.8, max_band_size=256,
     )
 
 
@@ -2290,7 +2298,8 @@ def pipe_dedup_keeplist(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     clusters = duplicate_clusters(
-        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3,
+        verify_threshold=0.8, max_band_size=256,
     )
     return (
         docs.join(clusters, "doc_id", "left")
@@ -7915,7 +7924,8 @@ def pipe_dataset_card(spark, sf_dir):
     "stream_blocklist_filter",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
               count(*) AS n_events,
-              count(DISTINCT user_id) AS n_users
+              count(DISTINCT user_id) AS n_users,
+              TRUE AS approx_users_ok
        FROM events
        WHERE user_id % 10 != 0
        GROUP BY 1""",
@@ -7957,6 +7967,7 @@ def stream_blocklist_filter(spark, sf_dir):
             .select(
                 F.col("win.start").cast("string").alias("window_start"),
                 "n_events",
+                "_approx_users",
             )
         )
         sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
@@ -7972,15 +7983,33 @@ def stream_blocklist_filter(spark, sf_dir):
         spark.catalog.dropTempView(sink)
         # exact distinct users per window is a batch follow-up on the tiny
         # drained frame's windows (24*30 rows) joined to the gated batch twin
-        # — the streaming side uses approx_count_distinct (state-bounded),
-        # and the oracle-exact count comes from the same gated rows
+        # — the streaming side carries approx_count_distinct (HLL++, the
+        # state-bounded sketch that survives at 100 TB) and the exact batch
+        # count AUDITS it: approx_users_ok pins the streaming sketch within
+        # max(2, 20% relative) of the exact count — the absolute floor of 2
+        # covers HLL++ small-cardinality granularity (measured max |dev| = 2
+        # at exact counts of 9-16 on this data; rsd 5% governs large counts)
+        # while still proving the streaming state is live and sane (the
+        # oracle asserts TRUE).
         gated_batch = _normalize_events_ts(static).join(
             F.broadcast(blocklist), on="user_id", how="left_anti"
         )
         exact_users = gated_batch.groupBy(
             F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start")
         ).agg(F.countDistinct("user_id").alias("n_users"))
-        return drained.join(exact_users, on="window_start").localCheckpoint(eager=True)
+        return (
+            drained.join(exact_users, on="window_start")
+            .select(
+                "window_start",
+                "n_events",
+                "n_users",
+                (
+                    F.abs(F.col("_approx_users") - F.col("n_users"))
+                    <= F.greatest(F.lit(2.0), 0.2 * F.col("n_users"))
+                ).alias("approx_users_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         _restore_confs(spark, prior)
 
@@ -8300,7 +8329,8 @@ def pipe_dup_cluster_sizes(spark, sf_dir):
     from sql_query_engine_rs_spark.functions.dedup import duplicate_clusters
 
     clusters = duplicate_clusters(
-        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3, verify_threshold=0.8
+        t(spark, sf_dir, "documents"), num_hashes=8, bands=2, ngram=3,
+        verify_threshold=0.8, max_band_size=256,
     )
     per_cluster = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return per_cluster.groupBy("cluster_size").agg(
@@ -8379,7 +8409,11 @@ def pipe_lang_balance_weights(spark, sf_dir):
 
 
 def _curation_funnel_oracle() -> str:
-    pair_sql = _minhash_oracle().replace("FROM documents)", "FROM s3)", 1)
+    # the MinHash pair CTE must cluster the exact-dedup survivors (CTE s3),
+    # not the raw corpus — expressed via the oracle builder's source param
+    # rather than string surgery so a reformat can never silently no-op
+    pair_sql = _minhash_oracle(source="s3")
+    assert "FROM s3)" in pair_sql and "FROM documents)" not in pair_sql
     stage = (
         "SELECT '{name}' AS stage, {k} AS stage_order, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
