@@ -218,10 +218,18 @@ def run_one(spark, name: str) -> list[float]:
     return times
 
 
-def main() -> None:
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
-    spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warmup so per-query numbers measure the engine, not JIT
+# Queries per SparkSession. A single 100+-query session accumulates JVM /
+# storage / catalog state that inflates cache-sensitive entries ~1.5× vs an
+# isolated run (measured round 5: dup_clusters 5.4 s in-session vs 1.85 s
+# isolated), which poisons round-over-round comparisons. Restarting the
+# session per cohort re-pays only the fixed warmup (~15 s, untimed) and
+# keeps each query's number close to its isolated cost.
+COHORT_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_COHORT", "40"))
+
+
+def _warm_session(spark) -> None:
+    """Pre-pay every fixed, plan-independent cost (JIT, Python workers,
+    expression/operator codegen) so the timed trials measure the data path."""
     QUERIES["v0_simple_agg"].build(spark, SF_DIR).collect()
     # Python-worker warmup: the first Arrow-batched UDF pays worker fork +
     # pandas import (~1s); spin the workers up once so pandas-path queries
@@ -247,10 +255,6 @@ def main() -> None:
     # Operator-tree warmup: the MinHash/SimHash/IVF expression trees are big
     # enough that their one-time whole-stage-codegen compile costs 5-8s —
     # measured: first minhash run 9.2s, every subsequent run 0.7s at sf0.1.
-    # Compile them once on a 4-row frame so the timed runs measure the
-    # engine's data path, not janino. (At production scale the compile
-    # amortizes to nothing; leaving it in the timings would just mask
-    # data-path regressions behind compile noise.)
     from sql_query_engine_rs_spark.functions import dedup as _D
     from sql_query_engine_rs_spark.functions import similarity as _S
     from sql_query_engine_rs_spark.functions.caching import release_caches as _release
@@ -268,16 +272,48 @@ def main() -> None:
     _S.ivf_topk(tiny_vecs, tiny_vecs, k=1, num_centroids=2, nprobe=1).count()
     _release()
 
+
+def _select_queries() -> list[str]:
+    """SPARK_GRAFT_BENCH_QUERIES=name1,name2 runs an isolated subset (used
+    for re-baselining single entries without the session-cohort context);
+    default is the full headline set."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if not raw:
+        return BENCH_QUERIES
+    names = [n.strip() for n in raw.split(",") if n.strip()]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES: unknown queries {unknown}")
+    return names
+
+
+def main() -> None:
+    bench_queries = _select_queries()
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
-        ts = run_one(spark, name)
-        trials[name] = [round(x, 3) for x in ts]
-        cold[name] = round(ts[0], 3)
-        times[name] = round(min(ts[1:]), 3)
+    cohorts = [
+        bench_queries[i : i + COHORT_SIZE] for i in range(0, len(bench_queries), COHORT_SIZE)
+    ]
+    for cohort in cohorts:
+        spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+        spark.sparkContext.setLogLevel("ERROR")
+        _warm_session(spark)
+        for name in cohort:
+            ts = run_one(spark, name)
+            trials[name] = [round(x, 3) for x in ts]
+            cold[name] = round(ts[0], 3)
+            times[name] = round(min(ts[1:]), 3)
+        spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # The one-line stdout JSON is the driver's capture surface and has
+    # proven size-sensitive (round 5's line, with inline per-trial arrays,
+    # arrived truncated/unparseable). Keep the line to the summary dict;
+    # the raw per-trial arrays go to a side file for local inspection.
+    trials_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_trials.json")
+    with open(trials_path, "w") as f:
+        json.dump({"sf": float(sf), "trials": trials}, f, indent=1)
     print(
         json.dumps(
             {
@@ -287,8 +323,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "cold_value": round(sum(cold.values()), 3),
-                "trials": trials,
-                "note": f"per-query sec is the MIN of the {TRIALS - 1} warm trials out of {TRIALS} full build+execute trials (contention-proof); cold_value sums the 1st trials (includes per-plan codegen compile); 'trials' holds every raw trial in order",
+                "note": f"per-query sec is the MIN of the {TRIALS - 1} warm trials out of {TRIALS} full build+execute trials (contention-proof); cold_value sums the 1st trials (includes per-plan codegen compile); raw trial arrays in bench_trials.json; fresh SparkSession every {COHORT_SIZE} queries (warmup untimed) so accumulated session state doesn't inflate cache-sensitive entries",
             }
         )
     )
