@@ -35,6 +35,48 @@ from sql_query_engine_rs_spark.functions.partitioning import ensure_parallelism 
 from sql_query_engine_rs_spark.functions.similarity import cosine
 
 
+# ------------------------------------------------------- auto-scaled knobs
+
+# Target populations the auto-derived knobs hold constant as the corpus
+# grows. 64 keeps a within-cell/within-bucket pair scan at ~64²/2 ≈ 2k
+# pairs per cell/bucket per task — trivially small — while anchoring the
+# derived values to the registered configs at driver scale (sf0.01:
+# N=500 embeddings → k=8 cells of ~64, 3 planes → 8 buckets of ~64).
+SEMDEDUP_TARGET_CELL = 64
+LSH_TARGET_BUCKET = 64
+
+# k at which semdedup's assignment auto-routes through the two-level
+# hierarchy. Brute assignment is N·k cosines, two-level is N·2·sqrt(k) plus
+# two extra co-partitioned joins and a k-row centroid grouping; the
+# asymptotic win (k > ~16) is real but the constant factors put the
+# MEASURED crossover beyond the local rehearsal sizes (x100 = 500k docs,
+# where derived k ≈ 8k is still brute-assignable in one pass). 1024 sits
+# past every measured brute win and well before the k ≈ 10⁵-10⁶ a 100 TB
+# corpus derives, where N·k is a non-starter.
+SEMDEDUP_HIERARCHICAL_K = 1024
+
+
+def auto_num_centroids(n: int, target_cell: int = SEMDEDUP_TARGET_CELL) -> int:
+    """k = ⌈N / target_cell⌉: cell populations stay ~target_cell as N grows,
+    so the within-cell quadratic term is bounded per task at any corpus
+    size. Anchored: auto_num_centroids(500) == 8, the registered driver-SF
+    config (pinned in tests/test_pipeline_ops.py)."""
+    return max(1, -(-int(n) // target_cell))
+
+
+def auto_num_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET) -> int:
+    """planes = ⌈log2(N / target_bucket)⌉: 2^planes buckets keep expected
+    bucket populations ~target_bucket as N grows (the within-bucket join is
+    quadratic in bucket size). Anchored: auto_num_planes(500) == 3, the
+    registered driver-SF config (pinned in tests/test_pipeline_ops.py).
+    Raising planes lowers per-table recall — callers compensate with
+    num_tables (OR-amplification), which multiplies cost linearly while
+    planes cut it exponentially."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(int(n), 2) / target_bucket)))
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -748,7 +790,7 @@ def embedding_cosine_dups_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 2,
+    num_planes: int | None = None,
     num_tables: int = 1,
 ) -> DataFrame:
     """Scale path for ``embedding_cosine_dups``: candidate pairs form only
@@ -769,9 +811,13 @@ def embedding_cosine_dups_lsh(
     frames — vectors never enter the per-bucket self-join — and the full
     vectors are joined back for the candidate pairs. The per-bucket join is
     still quadratic WITHIN a bucket (~(N/2^planes)² pairs per bucket per
-    table): at production scale, planes must grow with
-    log2(N / target_bucket_size) so bucket populations stay bounded, with
-    tables restoring the recall the extra planes cost.
+    table): planes must grow with log2(N / target_bucket_size) so bucket
+    populations stay bounded, with tables restoring the recall the extra
+    planes cost. ``num_planes=None`` (the default) derives exactly that —
+    ``auto_num_planes(count())`` holds expected bucket populations at
+    ~LSH_TARGET_BUCKET at ANY corpus size (one cheap count() probe;
+    explicit num_planes overrides, as the registered entries do to keep
+    their oracles static).
 
     Verify-then-dedup: the cross-table duplicate-candidate dedup runs AFTER
     the cosine threshold filter, not before. Deduping first costs a full
@@ -806,7 +852,9 @@ def embedding_cosine_dups_lsh(
             norm(F.col(vec_col)).alias("_n"),
         )
     )
-    v.count()
+    n_vecs = v.count()
+    if num_planes is None:
+        num_planes = auto_num_planes(n_vecs)
     bkt = persist_tracked(
         v.select(
             "_id",
@@ -915,11 +963,11 @@ def connected_components(
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.4,
-    num_centroids: int = 8,
+    num_centroids: int | None = None,
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    hierarchical_assign: bool = False,
+    hierarchical_assign: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     k-means clustering the embedding space, then dropping near-duplicates
@@ -938,13 +986,19 @@ def semdedup(
     Scale shape: assignment is the nprobe=1 skinny max_by path; the
     within-cell self-join pairs ~(N/k)^2 rows per cell, so k must grow
     linearly with N to keep cell populations (hence per-task pair counts)
-    bounded — a parameter, not a plan change. But k ∝ N makes BRUTE-FORCE
-    assignment O(N·k) = O(N²) (measured: a 7.8x step for 3x data in the
-    scale rehearsal) — at production scale set ``hierarchical_assign=True``
-    to route assignment through ``ivf_assign_two_level`` (N·2·sqrt(k);
-    slightly approximate routing, exactness/agreement pinned in pytest).
-    Cells frame is checkpointed once and feeds both join sides plus the
-    final keep-list join.
+    bounded. ``num_centroids=None`` (the default) derives exactly that —
+    ``auto_num_centroids(count())`` = ⌈N / SEMDEDUP_TARGET_CELL⌉, one cheap
+    count() probe; explicit k overrides (as the registered entries do to
+    keep their oracles static). But k ∝ N makes BRUTE-FORCE assignment
+    O(N·k) = O(N²) (measured: a 7.8x step for 3x data in the scale
+    rehearsal) — so ``hierarchical_assign=None`` (the default) auto-routes
+    through ``ivf_assign_two_level`` (N·2·sqrt(k); slightly approximate
+    routing, exactness/agreement pinned in pytest) once the effective k
+    reaches SEMDEDUP_HIERARCHICAL_K. With both knobs at their defaults the
+    operator is scale-safe out of the box: cells stay ~64 vectors and
+    assignment is O(N·sqrt(N)) past the crossover. Cells frame is
+    checkpointed once and feeds both join sides plus the final keep-list
+    join.
     """
     from sql_query_engine_rs_spark.functions.similarity import (
         dot,
@@ -954,6 +1008,10 @@ def semdedup(
         norm,
     )
 
+    if num_centroids is None:
+        num_centroids = auto_num_centroids(corpus.count())
+    if hierarchical_assign is None:
+        hierarchical_assign = num_centroids >= SEMDEDUP_HIERARCHICAL_K
     cents = ivf_centroids(
         corpus, num_centroids=num_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col,

@@ -2870,6 +2870,79 @@ def pipe_semdedup(spark, sf_dir):
     )
 
 
+def _semdedup_hier_oracle(
+    num_centroids: int = 8, threshold: float = 0.4, dim: int = 64
+) -> str:
+    """DuckDB mirror of dedup.semdedup(hierarchical_assign=True): the shared
+    IVF codebook CTEs, then similarity.ivf_assign_two_level's routing —
+    coarse seeds are the ⌈sqrt(k)⌉ (min 2) centroids with smallest
+    md5(centroid_id), each centroid joins its cosine-argmax seed's group,
+    each vector routes to its best coarse seed and argmaxes only within that
+    group — then the same within-cell pair scan + greedy keep-min-id rule.
+    Every argmax tie breaks to the lowest id on both engines (row_number
+    ORDER BY score DESC, id == Spark's max_by(id, struct(score, -id)))."""
+    coarse_m = max(2, int(num_centroids**0.5))
+
+    def _cos(a: str, b: str) -> str:
+        return _duck_cos(a, b, dim)
+
+    cos = _cos("ea.embedding", "eb.embedding")
+    return f"""WITH {_ivf_codebook_ctes(num_centroids, dim)},
+        gseeds AS (
+          SELECT centroid_id AS gid, c AS gc FROM cents
+          ORDER BY md5(CAST(centroid_id AS VARCHAR)) LIMIT {coarse_m}),
+        grouped AS (
+          SELECT centroid_id, c, gid FROM (
+            SELECT ct.centroid_id, ct.c, g.gid,
+                   row_number() OVER (PARTITION BY ct.centroid_id
+                       ORDER BY {_cos('ct.c', 'g.gc')} DESC, g.gid) AS rn
+            FROM cents ct CROSS JOIN gseeds g) x WHERE rn = 1),
+        coarse AS (
+          SELECT vec_id, gid FROM (
+            SELECT e.vec_id, g.gid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'g.gc')} DESC, g.gid) AS rn
+            FROM embeddings e CROSS JOIN gseeds g) x WHERE rn = 1),
+        two_cells AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, gr.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'gr.c')} DESC, gr.centroid_id) AS rn
+            FROM embeddings e
+            JOIN coarse co ON co.vec_id = e.vec_id
+            JOIN grouped gr ON gr.gid = co.gid) x WHERE rn = 1),
+        rm AS (
+          SELECT DISTINCT b.vec_id
+          FROM two_cells a
+          JOIN two_cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE FLOOR(({cos}) * 1000000 + 0.5) / 1000000 >= {threshold})
+        SELECT c.vec_id, CAST(c.centroid_id AS INT) AS centroid_id,
+               (rm.vec_id IS NULL) AS kept
+        FROM two_cells c LEFT JOIN rm ON rm.vec_id = c.vec_id"""
+
+
+@register("pipe_semdedup_hierarchical", _semdedup_hier_oracle())
+def pipe_semdedup_hierarchical(spark, sf_dir):
+    """pipe_semdedup's production-scale twin: assignment routes through the
+    two-level hierarchy (similarity.ivf_assign_two_level — N·2·sqrt(k)
+    cosines instead of N·k), which is what keeps SemDeDup viable once
+    bounded cells force k ∝ N (at 100 TB, k reaches 10⁵-10⁶ and brute
+    N·k assignment is a non-starter; dedup.SEMDEDUP_HIERARCHICAL_K makes
+    this switch automatic). Routing is deterministic (md5-sampled coarse
+    seeds, argmax ties to lowest id), so the DuckDB oracle replays the FULL
+    hierarchical path — codebook, coarse grouping, two-level routing, pair
+    scan, keep rule — under the driver hash gate; agreement with the exact
+    path is additionally pinned in tests/test_pipeline_ops.py."""
+    return D.semdedup(
+        t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        num_centroids=8,
+        hierarchical_assign=True,
+    )
+
+
 @register(
     "ext_grouping_sets",
     """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
@@ -6411,6 +6484,62 @@ def pipe_cross_corpus_dedup(spark, sf_dir):
         "n_kept",
         (F.col("n_shard") - F.col("n_kept")).alias("n_dropped"),
     )
+
+
+@register(
+    "stream_dedup_index_upsert",
+    f"""SELECT md5({_NORM_SQL}) AS fingerprint,
+              CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+              CAST(count(*) AS BIGINT) AS n_seen
+       FROM documents GROUP BY 1""",
+)
+def stream_dedup_index_upsert(spark, sf_dir):
+    """The 100 TB dedup-ingest loop made streaming: documents arrive in
+    THREE micro-batch shards (3 source files, maxFilesPerTrigger=1) and
+    each batch's fingerprints are upserted into the persisted dedup index
+    (streaming.dedup_index_upsert — min-/sum-merge into a versioned parquet
+    snapshot, the same idempotent-replay contract as
+    stream_foreachbatch_upsert). This is pipe_cross_corpus_dedup's static
+    fingerprint set turned into a maintained artifact: the index after the
+    drain IS what the next shard probes. Because min and sum are
+    commutative-associative, the final snapshot must equal the one-pass
+    batch GROUP BY over all documents — the oracle — proving the
+    incremental merge loses nothing across batch boundaries and is
+    shard-order-independent. Restart-no-reprocess is pinned separately
+    (tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_arrow
+
+    from sql_query_engine_rs_spark.streaming import (
+        _latest_upsert_version,
+        dedup_index_upsert,
+    )
+
+    prior = _set_confs(spark, {"spark.sql.shuffle.partitions": "8"})
+    try:
+        src_dir = tempfile.mkdtemp(prefix="docs_ddx_src_")
+        tgt_dir = tempfile.mkdtemp(prefix="docs_ddx_tgt_")
+        tbl = pq_arrow.read_table(f"{sf_dir}/documents.parquet")
+        step = (tbl.num_rows + 2) // 3
+        for i in range(3):
+            pq_arrow.write_table(
+                tbl.slice(i * step, step), os.path.join(src_dir, f"part{i}.parquet")
+            )
+        static = parquet_scan(spark, f"{sf_dir}/documents.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        dedup_index_upsert(stream, tgt_dir)
+        final = _latest_upsert_version(spark, tgt_dir)
+        return final.select(
+            "fingerprint", "first_doc_id", "n_seen"
+        ).localCheckpoint(eager=True)
+    finally:
+        _restore_confs(spark, prior)
 
 
 # =====================================================================

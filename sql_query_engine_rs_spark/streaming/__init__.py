@@ -335,3 +335,82 @@ def _latest_upsert_version(spark, target_dir: str, below: int | None = None):
     if not versions:
         return None
     return spark.read.parquet(os.path.join(target_dir, f"v={max(versions)}"))
+
+
+def dedup_index_upsert(
+    stream_df: DataFrame,
+    target_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental dedup-index maintenance — the actual 100 TB ingest loop:
+    each arriving shard's document fingerprints are UPSERTED into the
+    persisted fingerprint index that ``pipe_cross_corpus_dedup`` reads as a
+    static table. Per micro-batch: fingerprint the batch (md5 of normalized
+    text — map-side, text never shuffles), reduce to per-fingerprint
+    (min id, count) partials, and full-outer merge into the previous index
+    snapshot with min-/sum-merge. Both merge operators are commutative and
+    associative, so the final index equals the one-pass batch aggregate
+    REGARDLESS of how documents are sharded into batches — which is exactly
+    what makes the index consistent under out-of-order shard arrival, and
+    what the DuckDB oracle checks.
+
+    Index schema: (fingerprint, first_doc_id, n_seen) — first_doc_id is the
+    canonical kept head (the same keep-min-id rule as the batch dedup
+    family; a probe that hits the index drops its doc), n_seen the running
+    occurrence count (the dup-rate audit). Versioned-parquet sink
+    (``v=<batch_id>`` written from ``v=<batch_id-1>``, same idempotent
+    replay contract as ``foreach_batch_upsert``): a crash-replayed batch
+    rewrites the same version from the same inputs, so with the
+    checkpoint's batch-id tracking the index is exactly-once without
+    transactions. At 100 TB the snapshot would be bucketed by fingerprint
+    prefix so the per-batch merge join is co-partitioned.
+
+    Blocks until the availableNow drain finishes.
+    """
+    import os
+
+    from sql_query_engine_rs_spark.functions.text import fingerprint
+
+    spark = stream_df.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bfp = (
+            batch_df.select(
+                F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+            )
+            .groupBy("fingerprint")
+            .agg(
+                F.min(id_col).cast("bigint").alias("_bfirst"),
+                F.count(F.lit(1)).alias("_bn"),
+            )
+        )
+        prev = _latest_upsert_version(spark, target_dir, below=batch_id)
+        if prev is None:
+            merged = bfp.select(
+                "fingerprint",
+                F.col("_bfirst").alias("first_doc_id"),
+                F.col("_bn").alias("n_seen"),
+            )
+        else:
+            # least() skips NULLs (returns the smallest non-null), so the
+            # min-merge needs no coalesce scaffolding
+            merged = prev.join(bfp, on="fingerprint", how="full_outer").select(
+                "fingerprint",
+                F.least(F.col("first_doc_id"), F.col("_bfirst")).alias("first_doc_id"),
+                (
+                    F.coalesce(F.col("n_seen"), F.lit(0))
+                    + F.coalesce(F.col("_bn"), F.lit(0))
+                ).alias("n_seen"),
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"v={batch_id}")
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(target_dir, "_checkpoint"))
+        .start()
+        .awaitTermination()
+    )

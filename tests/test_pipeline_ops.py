@@ -854,6 +854,73 @@ def test_semdedup_hierarchical_invariants(spark, sf_dir):
     assert 0.5 * n_removed_e <= n_removed_h <= 2 * n_removed_e
 
 
+def test_auto_knobs_grow_with_corpus():
+    """The auto-derived scale knobs (a) reproduce the registered driver-SF
+    configs exactly — sf0.01's 500 embeddings derive k=8 and 3 planes, the
+    values pipe_semdedup / pipe_embedding_near_dup register explicitly so
+    their static DuckDB oracles stay valid — and (b) grow with N so cell /
+    bucket populations stay bounded at ANY corpus size."""
+    from sql_query_engine_rs_spark.functions.dedup import (
+        LSH_TARGET_BUCKET,
+        SEMDEDUP_TARGET_CELL,
+        auto_num_centroids,
+        auto_num_planes,
+    )
+
+    # anchors: the registered driver-SF configs fall out of the formulas
+    assert auto_num_centroids(500) == 8
+    assert auto_num_planes(500) == 3
+
+    # monotone growth + bounded populations
+    prev_k = prev_p = 0
+    for n in [100, 1_000, 10_000, 1_000_000, 100_000_000, 10_000_000_000]:
+        k, p = auto_num_centroids(n), auto_num_planes(n)
+        assert k >= prev_k and p >= prev_p
+        prev_k, prev_p = k, p
+        # expected populations stay within ~2x of target at every scale
+        assert n / k <= SEMDEDUP_TARGET_CELL + 1
+        assert n / (2**p) <= 2 * LSH_TARGET_BUCKET
+    # a 100 TB-ish corpus derives a k where brute N*k assignment is a
+    # non-starter — the hierarchical auto-switch must engage
+    from sql_query_engine_rs_spark.functions.dedup import SEMDEDUP_HIERARCHICAL_K
+
+    assert auto_num_centroids(10_000_000_000) >= SEMDEDUP_HIERARCHICAL_K
+
+
+def test_semdedup_auto_defaults(spark, sf_dir, monkeypatch):
+    """semdedup with no knobs = semdedup with the explicitly derived knobs
+    (bit-identical output), and the hierarchical auto-switch routes through
+    ivf_assign_two_level exactly when derived k crosses the threshold."""
+    from sql_query_engine_rs_spark.functions import dedup as D
+    from sql_query_engine_rs_spark.functions import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = D.auto_num_centroids(n)
+    auto = {(r.vec_id, r.centroid_id, r.kept) for r in D.semdedup(emb, threshold=0.4).collect()}
+    explicit = {
+        (r.vec_id, r.centroid_id, r.kept)
+        for r in D.semdedup(emb, threshold=0.4, num_centroids=k).collect()
+    }
+    assert auto == explicit
+
+    calls = []
+    real_two_level = S.ivf_assign_two_level
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real_two_level(*args, **kwargs)
+
+    monkeypatch.setattr(S, "ivf_assign_two_level", spy)
+    # below the crossover: brute assignment, no two-level call
+    D.semdedup(emb, threshold=0.4).collect()
+    assert not calls
+    # force the crossover below the derived k: auto-switch must engage
+    monkeypatch.setattr(D, "SEMDEDUP_HIERARCHICAL_K", 1)
+    D.semdedup(emb, threshold=0.4).collect()
+    assert calls
+
+
 # ---------------------------------------------------------------- PQ ANN
 
 def _exact_l2_topk(spark, emb, k=5):

@@ -389,3 +389,72 @@ def test_foreachbatch_upsert_restart_no_reprocess(spark, tmp_path):
         (r.user_id, r.n_events, r.total)
         for r in _latest_upsert_version(spark, tgt_dir).collect()
     } == {(1, 2, 12.5), (2, 1, 5.0), (3, 1, 1.0)}
+
+
+def test_dedup_index_upsert_restart_no_reprocess(spark, tmp_path):
+    """The streaming dedup index: re-draining from the same checkpoint with
+    no new shards creates no new versions and leaves the index unchanged; a
+    new shard after restart merges exactly once (min-merge on first_doc_id,
+    sum-merge on n_seen)."""
+    import glob
+    import os
+
+    from sql_query_engine_rs_spark.streaming import (
+        _latest_upsert_version,
+        dedup_index_upsert,
+    )
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_arrow
+
+    src_dir = str(tmp_path / "src")
+    tgt_dir = str(tmp_path / "tgt")
+    os.makedirs(src_dir)
+    schema = "doc_id long, text string"
+    arrow_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def write_file(rows, name):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+        pq_arrow.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            os.path.join(src_dir, name),
+        )
+
+    write_file([(10, "alpha beta"), (11, "gamma delta"), (12, "alpha beta")], "f1.parquet")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        dedup_index_upsert(stream, tgt_dir)
+
+    drain()
+    versions_before = sorted(glob.glob(tgt_dir + "/v=*"))
+    snap = {
+        r.fingerprint: (r.first_doc_id, r.n_seen)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    }
+    assert len(snap) == 2
+    by_first = {v[0]: v[1] for v in snap.values()}
+    assert by_first == {10: 2, 11: 1}  # "alpha beta" kept at 10, seen twice
+
+    # restart, nothing new: no reprocessing, no new versions
+    drain()
+    assert sorted(glob.glob(tgt_dir + "/v=*")) == versions_before
+    assert {
+        r.fingerprint: (r.first_doc_id, r.n_seen)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    } == snap
+
+    # new shard lands exactly once: a SMALLER id for a known fingerprint
+    # must take over as the canonical head (min-merge), counts accumulate
+    write_file([(3, "alpha beta"), (20, "epsilon zeta")], "f2.parquet")
+    drain()
+    after = {
+        r.first_doc_id: r.n_seen
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    }
+    assert after == {3: 3, 11: 1, 20: 1}
