@@ -152,6 +152,10 @@ BENCH_QUERIES = [
     "pipe_lang_balance_weights",
     "pipe_rep_span_removal",
     "pipe_entropy_rate",
+    # round-6 additions: the two-level-assignment SemDeDup twin and the
+    # streaming dedup-index maintenance loop
+    "pipe_semdedup_hierarchical",
+    "stream_dedup_index_upsert",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

