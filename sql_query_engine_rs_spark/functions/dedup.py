@@ -899,6 +899,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list by iterative min-label
     propagation — the canonical Spark shape for iterative graph algorithms
@@ -912,26 +913,49 @@ def connected_components(
 
     At 100 TB the per-iteration frames are (node, label) pairs — two longs —
     and each iteration is a co-partitioned join on node. Lineage MUST be
-    truncated each round (`localCheckpoint`): with `persist` alone the
-    logical plan doubles per iteration and Catalyst analysis blows up after
-    ~10 rounds. diameter(dup-graph) is small in practice (dup clusters are
-    dense), so few iterations; on a cluster use reliable `checkpoint()`.
+    truncated each round: with `persist` alone the logical plan doubles per
+    iteration and Catalyst analysis blows up after ~10 rounds. diameter(
+    dup-graph) is small in practice (dup clusters are dense), so few
+    iterations.
+
+    ``reliable_checkpoint``: the local default truncates lineage with
+    `localCheckpoint` (blocks live on executors — fastest, fine in local
+    mode and for jobs that can simply rerun). On a real cluster an
+    executor loss mid-iteration makes localCheckpoint blocks
+    unrecoverable, so pass ``reliable_checkpoint=True`` to write each
+    round's state through `checkpoint()` to the reliable store —
+    `sc.setCheckpointDir` should point at HDFS/S3; if unset, a local temp
+    dir is set as a convenience (correct, but not executor-loss-safe
+    across machines — set a shared path in production).
     """
+    sc = pairs.sparkSession.sparkContext
+    if reliable_checkpoint:
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_checkpoint_"))
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     # Materialize the pair list ONCE before mirroring it: both union
     # branches reference `pairs`, so without the checkpoint the entire
     # upstream plan (e.g. the MinHash-LSH pipeline) executes twice.
-    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=True)
-    edges = (
+    base = _truncate(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    edges = _truncate(
         base
         .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("cluster_id"))
-        .localCheckpoint(eager=True)
     )
     def label_sum(df: DataFrame):
         return df.agg(
@@ -947,11 +971,10 @@ def connected_components(
             edges.join(labels, edges.b == labels.node)
             .select(F.col("a").alias("node"), "cluster_id")
         )
-        labels = (
+        labels = _truncate(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
@@ -1069,11 +1092,14 @@ def duplicate_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    reliable_checkpoint: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """MinHash-LSH pairs -> connected components -> (doc_id, cluster_id):
-    the end-to-end dedup-grouping pipeline (keep min(doc_id) per cluster)."""
+    the end-to-end dedup-grouping pipeline (keep min(doc_id) per cluster).
+    ``reliable_checkpoint`` forwards to connected_components (cluster
+    deployments: executor-loss-safe lineage truncation)."""
     pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **minhash_kwargs)
-    return connected_components(pairs).select(
+    return connected_components(pairs, reliable_checkpoint=reliable_checkpoint).select(
         F.col("node").alias(id_col), "cluster_id"
     )

@@ -527,6 +527,36 @@ def test_connected_components_chain_diameter(spark):
     assert all(v == 0 for v in got.values()) and len(got) == 13
 
 
+def test_connected_components_reliable_checkpoint_mode(spark, sf_dir):
+    """The executor-loss-safe mode (reliable checkpoint() to the checkpoint
+    dir) must produce identical components to the localCheckpoint default —
+    exercised both on a multi-round chain graph and through the full
+    duplicate_clusters pipeline on real documents."""
+    from sql_query_engine_rs_spark.functions.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    chain = [(i, i + 1) for i in range(0, 12)] + [(50, 60), (99, 99)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    local = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    reliable = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert reliable == local
+    assert spark.sparkContext.getCheckpointDir() is not None
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(num_hashes=8, bands=2, ngram=3, verify_threshold=0.8, max_band_size=256)
+    base = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(docs, **kw).collect()}
+    rel = {
+        (r.doc_id, r.cluster_id)
+        for r in duplicate_clusters(docs, reliable_checkpoint=True, **kw).collect()
+    }
+    assert rel == base
+
+
 # ---------------------------------------------------------------- IVF ANN
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
