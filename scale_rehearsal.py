@@ -99,6 +99,14 @@ HEAVY = [
     # scaling), not in bench.py (it would read as an outlier next to
     # per-operator numbers)
     "pipe_curation_funnel",
+    # round-6: the third stateful-streaming shape (overlapping sliding
+    # windows multiply state rows by window_count/slide) — state-store
+    # scaling is the axis the earlier x100 deep point didn't cover
+    "stream_sliding_windows",
+    # round-6: semdedup with EVERY knob at its auto default (k and the
+    # hierarchical switch derived from count()) — the scale-safety claim
+    # for the shipped defaults, measured rather than argued
+    "pipe_semdedup_auto",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
@@ -133,9 +141,26 @@ def _semdedup_kscaled(spark, sf_dir: str, copies: int):
     return semdedup(emb, threshold=0.4, num_centroids=8 * copies)
 
 
+def _semdedup_auto(spark, sf_dir: str, copies: int):
+    """semdedup with no knobs: num_centroids = auto_num_centroids(count())
+    and the hierarchical-assignment switch both derive from the corpus —
+    the shipped scale-safe defaults. At x10 (50k vecs) auto-k is 782
+    (brute assignment); at x30 (150k) it is 2344, past
+    SEMDEDUP_HIERARCHICAL_K, so assignment auto-routes through the
+    two-level hierarchy — the x30/x10 ratio therefore measures the
+    DEFAULTS' behavior across the crossover, which is the claim."""
+    from sql_query_engine_rs_spark.functions.dedup import semdedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semdedup(emb, threshold=0.4)
+
+
 # entries benched through a (spark, sf_dir, copies) builder instead of the
 # registry — operators whose scale parameters must track the corpus multiple
-SCALED_BUILDERS = {"pipe_semdedup_kscaled": _semdedup_kscaled}
+SCALED_BUILDERS = {
+    "pipe_semdedup_kscaled": _semdedup_kscaled,
+    "pipe_semdedup_auto": _semdedup_auto,
+}
 
 
 def _write_single_file(df, dst: str) -> None:

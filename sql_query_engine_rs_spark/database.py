@@ -141,6 +141,27 @@ class Database:
                 [(name, sf_dir, trials, round(times[0], 3), round(min(times[1:]), 3))],
                 "query string, sf_dir string, trials int, cold_sec double, steady_sec double",
             )
+        if parts[0] == "load" and len(parts) >= 2 and parts[1] == "memory":
+            # \load memory <name> <schema> <json-rows> — inline fixtures
+            # without touching disk, e.g.:
+            #   \load memory t 'a int, b string' '[[1,"x"],[2,"y"]]'
+            if len(parts) != 5:
+                raise MetaCommandError(
+                    f"usage: \\load memory <name> <schema> <json-rows>, got: {cmd}"
+                )
+            import json as _json
+
+            _, _, name, schema, rows_json = parts
+            try:
+                rows = _json.loads(rows_json)
+            except ValueError as e:
+                raise MetaCommandError(f"\\load memory: bad JSON rows: {e}") from None
+            if not isinstance(rows, list) or not all(isinstance(r, list) for r in rows):
+                raise MetaCommandError(
+                    "\\load memory: rows must be a JSON list of lists"
+                )
+            self.catalog.create_memory_table(name, [tuple(r) for r in rows], schema)
+            return self.catalog.show_tables()
         if parts[0] == "load":
             if len(parts) != 4 or parts[1] not in ("csv", "parquet", "json", "orc"):
                 raise MetaCommandError(

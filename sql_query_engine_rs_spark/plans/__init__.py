@@ -93,6 +93,21 @@ def plan_report(df: DataFrame) -> dict[str, int | list[str]]:
         # and is meaningful for non-adaptive or executed plans only
         "codegen_spans": _codegen_subtrees(df),
         "sorts": n("Sort "),
+        # stateful streaming operators (meaningful on a readStream frame's
+        # pre-drain plan; always 0 for batch plans): each carries a state
+        # store per shuffle partition, so this count x shuffle.partitions
+        # is the open-store cost floor of a micro-batch — the first number
+        # a streaming-state capacity review reads. Counted on the SIMPLE
+        # plan only (formatted mode repeats nodes in its detail section);
+        # StateStoreSave also matches SessionWindowStateStoreSave.
+        "stateful_ops": (
+            simple.count("StateStoreSave")
+            + simple.count("FlatMapGroupsWithState")
+            + simple.count("FlatMapGroupsInPandasWithState")
+            + simple.count("StreamingSymmetricHashJoin")
+            + simple.count("StreamingDeduplicate")
+            + simple.count("TransformWithState")
+        ),
         "pushed_filters": [
             line.strip()
             for line in formatted.splitlines()
@@ -102,8 +117,13 @@ def plan_report(df: DataFrame) -> dict[str, int | list[str]]:
 
 
 def _codegen_subtrees(df: DataFrame) -> int:
-    """N from codegen mode's "Found N WholeStageCodegen subtrees"."""
+    """N from codegen mode's "Found N WholeStageCodegen subtrees" (0 when
+    codegen-mode explain is unavailable, e.g. some streaming frames)."""
     import re
 
-    m = re.search(r"Found (\d+) WholeStageCodegen", explain_str(df, "codegen"))
+    try:
+        text = explain_str(df, "codegen")
+    except Exception:
+        return 0
+    m = re.search(r"Found (\d+) WholeStageCodegen", text)
     return int(m.group(1)) if m else 0

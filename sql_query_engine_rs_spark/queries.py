@@ -1044,9 +1044,15 @@ def pipe_embedding_near_dup(spark, sf_dir):
     tests/test_pipeline_ops.py). Candidate generation joins skinny
     (id, bucket) frames — 8 buckets per table bound each join at
     ~(N/8)²/2 pairs per bucket, and at production scale planes grow with
-    log2(N) to keep bucket populations fixed. The exact all-pairs form
+    log2(N) to keep bucket populations fixed (auto_num_planes — the
+    explicit value here keeps the oracle static). The exact all-pairs form
     (dedup.embedding_cosine_dups) remains a pytest-only recall reference —
-    a cartesian product is not a plan that survives 100x data."""
+    a cartesian product is not a plan that survives 100x data.
+
+    Perf floor: ~1.5 s at sf0.1 isolated (12 plane-fold signature passes:
+    4 tables x 3 planes) vs ~1.2 s for the old 1-plane registration — a
+    deliberate recall-for-time trade made in round 5; the round-5 bench's
+    2.8 s reading was session-state inflation, fixed by bench cohorts."""
     return D.embedding_cosine_dups_lsh(
         t(spark, sf_dir, "embeddings"),
         threshold=0.45,

@@ -53,6 +53,31 @@ def test_repl_load_orc(db, spark, tmp_path):
     assert "5" in out
 
 
+def test_repl_load_memory(db):
+    """\\load memory: inline JSON fixtures without touching disk — the
+    fastest way to probe a query shape in the REPL."""
+    out = run_script(
+        db,
+        "\\load memory mt 'a int, b string' '[[1, \"x\"], [2, \"y\"], [3, \"x\"]]'\n"
+        "select b, count(*) as n from mt group by b order by b\n",
+    )
+    assert "mt" in out
+    assert "x 2" in out and "y 1" in out
+
+
+def test_repl_load_memory_errors(db):
+    from sql_query_engine_rs_spark.errors import MetaCommandError
+
+    import pytest
+
+    with pytest.raises(MetaCommandError):
+        db.run("\\load memory only_name")
+    with pytest.raises(MetaCommandError):
+        db.run("\\load memory t 'a int' 'not json'")
+    with pytest.raises(MetaCommandError):
+        db.run("\\load memory t 'a int' '{\"not\": \"rows\"}'")
+
+
 def test_repl_error_recovery(db):
     """Errors print and the loop continues (cli.rs run_sql behavior)."""
     out = run_script(db, "select * from no_such_table\n\\bogus\nselect 1 as one\n")

@@ -257,6 +257,38 @@ def test_no_cartesian_product_streaming_transforms(spark, sf_dir):
         )
 
 
+def test_streaming_stateful_operator_counts(spark, sf_dir):
+    """Pre-drain state-store lint: plan_report's stateful_ops counter on
+    REAL readStream frames must match each transform's designed state
+    shape — one stateful save for a windowed agg, one dedup operator, one
+    symmetric-hash join for the interval join, one flatMapGroupsWithState
+    for the custom operator. stateful_ops x shuffle.partitions is the
+    open-store floor of every micro-batch, so a silent extra stateful op
+    (e.g. an accidental second aggregation) is a capacity regression this
+    pins against."""
+    from sql_query_engine_rs_spark import streaming as STR
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.readStream.schema(static.schema).parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    expected = {
+        "windowed_counts": (STR.windowed_counts(ev), 1),
+        "streaming_dedup": (STR.streaming_dedup(ev), 1),
+        "session_windows": (STR.session_windows(ev), 1),
+        "running_totals_stateful": (STR.running_totals_stateful(ev), 1),
+        "interval_join": (STR.interval_join(clicks, purchases), 1),
+    }
+    for name, (df, want) in expected.items():
+        assert df.isStreaming, name
+        got = plan_report(df)["stateful_ops"]
+        assert got == want, f"{name}: stateful_ops {got} != {want}"
+    # batch plans carry no streaming state
+    assert plan_report(STR.windowed_counts(static))["stateful_ops"] == 0
+
+
 def test_source_rollup_prunes_and_no_text_shuffle(spark, sf_dir):
     """Per-source rollup must prune the scan to (text, source) and never
     move text through a shuffle — only (source, scalar) rows exchange."""
