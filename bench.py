@@ -152,10 +152,14 @@ BENCH_QUERIES = [
     "pipe_lang_balance_weights",
     "pipe_rep_span_removal",
     "pipe_entropy_rate",
-    # round-6 additions: the two-level-assignment SemDeDup twin and the
-    # streaming dedup-index maintenance loop
+    # round-6 additions: the two-level-assignment SemDeDup twin, the
+    # streaming dedup-index maintenance loop, the corpus-wide k-NN graph,
+    # the sharding balance audit, and quality-argmax survivorship
     "pipe_semdedup_hierarchical",
     "stream_dedup_index_upsert",
+    "pipe_knn_graph",
+    "pipe_shard_assignment",
+    "pipe_dedup_survivorship",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -51,7 +51,9 @@ COPIES_LIST = [
     int(c) for c in os.environ.get("SPARK_GRAFT_SF1_COPIES", "10").split(",")
 ]
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-TRIALS = 3
+# >= 2 (min-of-warm); 2 halves the wall-clock of the slow x100 stateful
+# drains at the cost of one fewer warm sample
+TRIALS = max(2, int(os.environ.get("SPARK_GRAFT_SF1_TRIALS", "3")))
 OFFSET = 10**12  # id remap stride per copy; far above any base id
 
 

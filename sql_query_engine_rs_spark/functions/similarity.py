@@ -179,6 +179,77 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 4,
+    num_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide k-NN graph within sign-LSH buckets — the primitive under
+    SNN/agglomerative clustering, graph-based dedup, and diversity
+    sampling: every vector gets its approximate top-k neighbors, built
+    WITHOUT a global all-pairs pass.
+
+    Unlike ``lsh_topk`` (small query set, broadcast), both sides here are
+    the full corpus, so the shape is the skinny-candidate discipline of
+    ``dedup.embedding_cosine_dups_lsh``: the within-bucket self-join moves
+    only (id, bucket) pairs, the vectors join back by id afterwards, and
+    the per-source top-k window keys on the unique source id (no skew by
+    construction). Candidates per vector ~= bucket population, so
+    ``num_planes=None`` derives ceil(log2(N/64)) from a count() probe to
+    hold bucket populations (hence per-vector candidate counts and
+    per-bucket join cost) constant at any corpus size.
+
+    Directed output (a's top-k is not b's): (src_id, nbr_id, cos_sim,
+    rank), rank 1..k by cosine desc, ties to the lower neighbor id.
+    Neighbors outside every shared bucket are missed — recall tracks the
+    same 1-(1-p^planes) curve as the near-dup operator; add OR-tables
+    upstream if a use case needs more.
+    """
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+    from sql_query_engine_rs_spark.functions.dedup import auto_num_planes
+
+    v = persist_tracked(
+        _ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
+        )
+    )
+    n_vecs = v.count()
+    if num_planes is None:
+        num_planes = auto_num_planes(n_vecs)
+    bkt = v.select(
+        "_id", random_hyperplane_signature(F.col("_v"), num_planes).alias("bucket")
+    )
+    a, b = bkt.alias("a"), bkt.alias("b")
+    cand = (
+        a.join(b, on="bucket")
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(F.col("a._id").alias("src_id"), F.col("b._id").alias("nbr_id"))
+    )
+    va = v.select(F.col("_id").alias("src_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = v.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    scored = (
+        cand.join(va, on="src_id")
+        .join(vb, on="nbr_id")
+        .select(
+            "src_id",
+            "nbr_id",
+            portable_round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # ------------------------------------------------------------ IVF scale path
 
 def ivf_centroids(

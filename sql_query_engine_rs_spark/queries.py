@@ -1005,6 +1005,34 @@ def pipe_ann_lsh(spark, sf_dir):
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, num_planes=4)
 
 
+@register(
+    "pipe_knn_graph",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
+                     FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                 FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+        SELECT src_id, nbr_id, cos_sim, rank FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                         ORDER BY cos_sim DESC, nbr_id) AS INT) AS rank
+          FROM scored) r
+        WHERE rank <= 4""",
+)
+def pipe_knn_graph(spark, sf_dir):
+    """Corpus-wide approximate k-NN graph (every vector's top-4 neighbors
+    within its sign-LSH bucket) — the primitive under SNN clustering,
+    graph-based dedup, and diversity-aware sampling. Candidate generation
+    is a skinny (id, bucket) self-join — vectors join back by id, never
+    enter the bucket join — and per-vector candidates are bounded by the
+    bucket population, which similarity.knn_graph's auto-plane default
+    holds at ~64 as N grows (3 planes here = the auto value at this SF,
+    explicit to keep the oracle static). Deterministic md5-derived planes
+    make buckets, cosines, and ranks engine-portable, so DuckDB replays
+    the full graph under the driver hash gate."""
+    return S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3)
+
+
 _NEARDUP_PLANES, _NEARDUP_TABLES = 3, 4
 
 
@@ -1255,6 +1283,8 @@ _ROUND6_STAGED = [
     "pipe_entropy_rate",
     # -- new this round -------------------------------------------------
     "pipe_semdedup_hierarchical", "stream_dedup_index_upsert",
+    "pipe_knn_graph", "pipe_shard_assignment", "pipe_dedup_survivorship",
+    "ext_qualify", "ext_distinct_on",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -1620,6 +1650,174 @@ def pipe_quality_filter(spark, sf_dir):
     return scored.filter(
         (F.col("quality") >= 0.7) & (F.col("lang_detected") == "en")
     ).select("doc_id", "quality")
+
+
+@register(
+    "pipe_shard_assignment",
+    """WITH s AS (
+         SELECT CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard_id,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+         FROM documents),
+       per AS (
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM s GROUP BY shard_id),
+       tot AS (SELECT SUM(n_tokens) AS t FROM per)
+       SELECT shard_id, n_docs, n_tokens,
+              FLOOR(n_tokens * 16.0 / t * 10000 + 0.5) / 10000 AS load_factor
+       FROM per, tot""",
+)
+def pipe_shard_assignment(spark, sf_dir):
+    """Deterministic output sharding + balance audit — the last operator of
+    every 100 TB materialization: docs hash to 16 shards by md5(doc_id)
+    nibble (engine-portable, reshuffle-free to recompute), and the audit
+    reports per-shard doc/token counts and load_factor (share of tokens x
+    shard count; 1.0 = perfectly balanced). A skewed load_factor here means
+    stragglers in every downstream consumer, which is why the audit ships
+    WITH the shard function rather than after it. One tokenize pass, one
+    16-key aggregate, one broadcast of the 1-row total."""
+    d = docs_parallel(spark, sf_dir)
+    sharded = d.select(
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("shard_id"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    per = sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("n_tokens") * 16.0 / F.col("_t"), 4).alias("load_factor"),
+    )
+
+
+def _survivorship_oracle() -> str:
+    """Recursive-closure clusters + quality argmax: the survivor of each
+    near-dup cluster is its highest-quality member (ties to min doc_id)."""
+    pair_sql = _minhash_oracle()
+    return f"""WITH RECURSIVE pairs AS ({pair_sql}),
+        undirected AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(src, dst) AS (
+          SELECT a, b FROM undirected
+          UNION
+          SELECT r.src, u.b FROM reach r JOIN undirected u ON r.dst = u.a
+        ),
+        clusters AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        base AS (
+          SELECT doc_id, text,
+                 len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks,
+                 len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != ''),
+                     x -> x IN ({_STOP_SQL}))) AS stop_hits
+          FROM documents),
+        scored AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM base),
+        member AS (
+          SELECT c.cluster_id, c.doc_id, s.quality
+          FROM clusters c JOIN scored s USING (doc_id))
+        SELECT cluster_id, doc_id AS survivor_doc_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               quality AS survivor_quality
+        FROM (
+          SELECT cluster_id, doc_id, quality,
+                 row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY quality DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM member) m
+        WHERE rn = 1"""
+
+
+@register("pipe_dedup_survivorship", _survivorship_oracle())
+def pipe_dedup_survivorship(spark, sf_dir):
+    """Survivorship rules for near-dup clusters: instead of the keep-min-id
+    default, each cluster keeps its HIGHEST-QUALITY member (ties to min
+    doc_id) — the curation choice real pipelines make when duplicates
+    differ in extraction quality (keep the clean copy, drop the mangled
+    ones). Composes MinHash->components with the quality scorer; the
+    argmax is one skinny max_by over (cluster_id, doc_id, quality) rows,
+    so choosing a different survivorship rule costs nothing at scale.
+    Output: one row per cluster (survivor, size, survivor's quality)."""
+    from sql_query_engine_rs_spark.functions.dedup import duplicate_clusters
+
+    d = docs_parallel(spark, sf_dir)
+    clusters = duplicate_clusters(
+        d, num_hashes=8, bands=2, ngram=3, verify_threshold=0.8, max_band_size=256
+    )
+    toked = d.select("doc_id", "text", T.tokens(F.lower(F.col("text"))).alias("_toks"))
+    scored = toked.select(
+        "doc_id", T.quality_score_from(F.col("text"), F.col("_toks")).alias("quality")
+    )
+    member = clusters.join(scored, "doc_id")
+    return member.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct(F.col("quality"), -F.col("doc_id"))).alias(
+            "survivor_doc_id"
+        ),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.max("quality").alias("survivor_quality"),
+    )
+
+
+@register(
+    "ext_qualify",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+       QUALIFY row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) <= 2""",
+)
+def ext_qualify(spark, sf_dir):
+    """QUALIFY-clause semantics (filter on a window result without a
+    subquery — DuckDB/Snowflake/BigQuery surface syntax): top-2 orders per
+    customer by price. Spark expresses it as window + filter, which is
+    exactly what QUALIFY desugars to; the full ORDER BY tie-break
+    (price DESC, then key) makes the result deterministic across engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "ext_distinct_on",
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+       FROM orders
+       ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+)
+def ext_distinct_on(spark, sf_dir):
+    """DISTINCT ON (Postgres/DuckDB): the first row per key under an
+    ordering — here each customer's single most expensive order. The
+    canonical Spark translation is row_number() = 1 over the same
+    ordering (argmax with full tie-break), one window pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
 
 
 def _grams_sql_n(n: int, distinct: bool = True) -> str:
