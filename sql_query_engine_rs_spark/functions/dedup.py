@@ -1035,9 +1035,15 @@ def semdedup(
         num_centroids = auto_num_centroids(corpus.count())
     if hierarchical_assign is None:
         hierarchical_assign = num_centroids >= SEMDEDUP_HIERARCHICAL_K
+    # The codebook's Lloyd pass is its own N·k term, so it goes
+    # hierarchical past the SAME crossover — but strictly by k, not by the
+    # caller's final-assign flag: an explicit hierarchical_assign=True at
+    # small k (the oracle-replayable registered config) keeps the brute
+    # Lloyd build its static DuckDB oracle encodes.
     cents = ivf_centroids(
         corpus, num_centroids=num_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col,
+        hierarchical_assign=num_centroids >= SEMDEDUP_HIERARCHICAL_K,
     )
     # the checkpointed cells frame carries each vector's norm so the
     # within-cell pair scan folds one array per pair (the dot product), not

@@ -258,6 +258,7 @@ def ivf_centroids(
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hierarchical_assign: bool = False,
 ) -> DataFrame:
     """Deterministic IVF codebook: seed centroids are the ``num_centroids``
     corpus vectors with the smallest md5(id) (a stateless uniform sample —
@@ -275,8 +276,22 @@ def ivf_centroids(
     and inheriting a small parquet file's 1-2 scan partitions serializes it
     onto as many tasks (measured 24 s vs 2 s for the identical pass at
     proper parallelism).
+
+    ``hierarchical_assign=True`` routes each Lloyd iteration's assignment
+    through ``ivf_assign_two_level`` (N·2·sqrt(k) instead of N·k) — the
+    codebook-build half of the k ∝ N scale fix: once cells are held
+    bounded by growing k with the corpus, the Lloyd pass is otherwise the
+    REMAINING O(N²) term (the final assignment alone going hierarchical
+    halves the constant but not the asymptotics). Routing is slightly
+    approximate, so the resulting centroids differ from the brute build —
+    callers with static oracles keep the default.
     """
     corpus = _ensure_parallelism(corpus)
+    lloyd_assign = (
+        ivf_assign_two_level
+        if hierarchical_assign
+        else (lambda df, c, id_col, vec_col: ivf_assign(df, c, nprobe=1, id_col=id_col, vec_col=vec_col))
+    )
     seeds = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
         .withColumn("_h", F.md5(F.col(id_col).cast("string")))
@@ -288,7 +303,7 @@ def ivf_centroids(
         (F.row_number().over(w) - 1).alias("centroid_id"), "_centroid"
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
-        assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        assigned = lloyd_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
         cents = (
             assigned.select("centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")))
             .groupBy("centroid_id", "pos")

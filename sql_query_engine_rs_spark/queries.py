@@ -1284,7 +1284,8 @@ _ROUND6_STAGED = [
     # -- new this round -------------------------------------------------
     "pipe_semdedup_hierarchical", "stream_dedup_index_upsert",
     "pipe_knn_graph", "pipe_shard_assignment", "pipe_dedup_survivorship",
-    "ext_qualify", "ext_distinct_on",
+    "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
+    "pipe_sequence_packing",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -5865,6 +5866,109 @@ def pipe_ann_pq(spark, sf_dir):
     queries = filter_(e, F.col("vec_id") < 5)
     return S.pq_topk(
         e, queries, k=5, num_subspaces=16, num_centroids=32, dim=64, iterations=1
+    )
+
+
+@register(
+    "pipe_ann_two_stage",
+    f"""WITH shortlist AS ({_pq_oracle(k=20)}),
+        exact AS (
+          SELECT s.query_id, s.vec_id,
+                 FLOOR((list_reduce(list_transform(range(1, 65),
+                     i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+                        * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))),
+                     (acc, x) -> acc + x)) * 1000000 + 0.5) / 1000000 AS d2
+          FROM shortlist s
+          JOIN embeddings q ON q.vec_id = s.query_id
+          JOIN embeddings c ON c.vec_id = s.vec_id)
+        SELECT query_id, vec_id, d2, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY d2 ASC, vec_id) AS INT) AS rank
+          FROM exact) r
+        WHERE rank <= 5""",
+)
+def pipe_ann_two_stage(spark, sf_dir):
+    """Two-stage retrieval — the shape EVERY production vector search runs:
+    a cheap compressed-domain shortlist (PQ/ADC top-20, corpus touched only
+    as codes) followed by an exact rerank that reads the true vectors for
+    the SHORTLIST ONLY (|queries| x 20 rows, never the corpus). The rerank
+    repairs most of the quantization error at negligible cost — recall@5
+    vs exact is pinned >= the raw PQ path in pytest — and the expensive
+    stage's data movement is independent of N. The full pipeline (codebook,
+    Lloyd step, codes, ADC shortlist, exact rerank) is deterministic and
+    replayed by the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = filter_(e, F.col("vec_id") < 5)
+    shortlist = S.pq_topk(
+        e, queries, k=20, num_subspaces=16, num_centroids=32, dim=64, iterations=1
+    ).select("query_id", "vec_id")
+    qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv"))
+    cv = e.select("vec_id", F.col("embedding").alias("_cv"))
+    scored = (
+        shortlist.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            pround(S.l2sq(F.col("_qv"), F.col("_cv")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "d2", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "pipe_sequence_packing",
+    """WITH tk AS (
+         SELECT doc_id, source,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+         FROM documents),
+       packed AS (
+         SELECT source, doc_id, n_tok,
+                CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 512) AS INT) AS bin_id
+         FROM tk WHERE n_tok > 0)
+       SELECT source, bin_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS fill_tokens,
+              FLOOR(LEAST(SUM(n_tok) / 512.0, 1.0) * 1000000 + 0.5) / 1000000 AS fill_ratio
+       FROM packed GROUP BY source, bin_id""",
+)
+def pipe_sequence_packing(spark, sf_dir):
+    """Sequence packing — concatenate docs into fixed 512-token training
+    bins (the pretraining dataloader's packing pass; the complement of
+    pipe_length_bucket_pack's padding audit): docs are laid out in
+    deterministic doc_id order per source, and a doc's bin is its running
+    token cumsum div 512. Streaming-friendly by construction (the cumsum
+    is per-source monotone, so packing a new shard never relabels old
+    bins). One tokenize pass + one per-source running-sum window (the
+    window keys on source, so partitions are source-sized — salt the
+    window key if one source dominates); the per-bin rollup is the audit
+    a dataloader team reads: docs per bin and fill ratio (bins a doc
+    straddles count their spill into the next bin, the standard
+    cross-boundary packing semantics)."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    tk = d.select(
+        "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = tk.withColumn(
+        "bin_id", F.floor((F.sum("n_tok").over(w) - 1) / 512).cast("int")
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("fill_tokens"),
+        pround(F.least(F.sum("n_tok") / 512.0, F.lit(1.0)), 6).alias("fill_ratio"),
     )
 
 

@@ -988,6 +988,33 @@ def test_pq_topk_recall_vs_exact_l2(spark, sf_dir):
     assert len(approx & exact) / len(exact) > 0.3
 
 
+def test_two_stage_rerank_beats_raw_pq(spark, sf_dir):
+    """The exact rerank over the PQ top-20 shortlist must recall at least
+    as much of the exact-L2 top-5 as the raw PQ top-5 (it re-scores a
+    superset with the true metric), and here strictly repairs most of the
+    quantization error."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.vec_id) for r in _exact_l2_topk(spark, emb, k=5).collect()}
+    raw = {
+        (r.query_id, r.vec_id)
+        for r in S.pq_topk(
+            emb, queries, k=5, num_subspaces=16, num_centroids=32, iterations=1
+        ).collect()
+    }
+    two = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["pipe_ann_two_stage"].build(spark, sf_dir).collect()
+    }
+    assert len(two) == len(exact)
+    recall_raw = len(raw & exact) / len(exact)
+    recall_two = len(two & exact) / len(exact)
+    assert recall_two >= recall_raw
+    assert recall_two >= 0.6, f"rerank recall {recall_two:.2f}"
+
+
 def test_pq_codes_shape_and_range(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
     cb = S.pq_codebook(emb, num_subspaces=4, num_centroids=8)
