@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "pipe_dedup_survivorship",
     "pipe_ann_two_stage",
     "pipe_sequence_packing",
+    "pipe_mutual_knn",
+    "pipe_moments_merge",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

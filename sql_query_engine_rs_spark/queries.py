@@ -1033,6 +1033,124 @@ def pipe_knn_graph(spark, sf_dir):
     return S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3)
 
 
+@register(
+    "pipe_mutual_knn",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
+                     FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                 FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        knn AS (
+          SELECT src_id, nbr_id, cos_sim FROM (
+            SELECT *, row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_sim DESC, nbr_id) AS rank
+            FROM scored) r
+          WHERE rank <= 4)
+        SELECT x.src_id AS id_a, x.nbr_id AS id_b, x.cos_sim
+        FROM knn x JOIN knn y ON y.src_id = x.nbr_id AND y.nbr_id = x.src_id
+        WHERE x.src_id < x.nbr_id""",
+)
+def pipe_mutual_knn(spark, sf_dir):
+    """Mutual (reciprocal) k-NN pairs — the SNN/graph-dedup edge set: a
+    pair survives only if EACH vector ranks the other in its top-4. The
+    mutuality test is the classic cheap precision filter over an
+    approximate k-NN graph (one-directional neighbors in a quantized/LSH
+    graph are often artifacts of bucket geometry; mutual ones almost never
+    are). Implementation is one self-join of the knn_graph frame on the
+    reversed key — skinny (src, nbr, sim) rows — so the filter costs one
+    co-partitioned shuffle regardless of corpus size. Output one row per
+    undirected pair (id_a < id_b)."""
+    g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+        "src_id", "nbr_id", "cos_sim"
+    )
+    rev = g.select(
+        F.col("src_id").alias("nbr_id"), F.col("nbr_id").alias("src_id")
+    )
+    return (
+        g.join(rev, on=["src_id", "nbr_id"])
+        .filter(F.col("src_id") < F.col("nbr_id"))
+        .select(
+            F.col("src_id").alias("id_a"),
+            F.col("nbr_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
+@register(
+    "pipe_moments_merge",
+    """WITH shard AS (
+         SELECT CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard_id,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_tok
+         FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n,
+              FLOOR(AVG(n_tok) * 1000000 + 0.5) / 1000000 AS mean_tok,
+              FLOOR(var_samp(n_tok) * 10000 + 0.5) / 10000 AS var_tok
+       FROM shard""",
+)
+def pipe_moments_merge(spark, sf_dir):
+    """Mergeable moments (Chan/Welford parallel variance): each of 16
+    shards reduces to (n, mean, M2) partials and the driver-visible result
+    is their pairwise merge — the ONLY way distributed variance works (raw
+    two-pass needs the global mean first; naive E[x²]-E[x]² cancels
+    catastrophically). The merged (n, mean, variance) must equal the
+    one-pass global aggregate, which is the oracle — the same
+    partial/merge contract every mergeable sketch in this repo
+    (HLL/count-min/quantile) relies on, here made explicit and exact.
+    Shuffle: 16 three-double rows; the merge itself is a left fold over
+    shards in shard_id order (associative, so ANY merge tree gives the
+    same result up to fp rounding — the 6/4-decimal rounding absorbs it)."""
+    d = docs_parallel(spark, sf_dir)
+    shard = d.select(
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+            )
+            - 1
+        ).alias("shard_id"),
+        F.size(T.tokens(F.col("text"))).cast("double").alias("n_tok"),
+    )
+    partials = shard.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_tok").alias("mean"),
+        # M2 = sum of squared deviations from the SHARD mean (0 for a
+        # 1-row shard, where var_samp is NULL)
+        F.coalesce(F.var_samp("n_tok") * (F.count(F.lit(1)) - 1), F.lit(0.0)).alias("m2"),
+    )
+    # Chan merge as an ordered fold over the 16 partial rows: collect the
+    # (shard-count-sized, not corpus-sized) partials into one array column
+    # and fold — stays in the JVM, no driver loop, no Python
+    merged = partials.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("shard_id", "n", "mean", "m2"))
+            ),
+            F.struct(
+                F.lit(0.0).alias("n"),
+                F.lit(0.0).alias("mean"),
+                F.lit(0.0).alias("m2"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["n"] + s["n"]).alias("n"),
+                ((acc["n"] * acc["mean"] + s["n"] * s["mean"]) / (acc["n"] + s["n"])).alias("mean"),
+                (
+                    acc["m2"]
+                    + s["m2"]
+                    + (s["mean"] - acc["mean"]) * (s["mean"] - acc["mean"])
+                    * acc["n"] * s["n"] / (acc["n"] + s["n"])
+                ).alias("m2"),
+            ),
+        ).alias("acc")
+    )
+    return merged.select(
+        F.col("acc.n").cast("bigint").alias("n"),
+        pround(F.col("acc.mean"), 6).alias("mean_tok"),
+        pround(F.col("acc.m2") / (F.col("acc.n") - 1), 4).alias("var_tok"),
+    )
+
+
 _NEARDUP_PLANES, _NEARDUP_TABLES = 3, 4
 
 
@@ -1285,7 +1403,8 @@ _ROUND6_STAGED = [
     "pipe_semdedup_hierarchical", "stream_dedup_index_upsert",
     "pipe_knn_graph", "pipe_shard_assignment", "pipe_dedup_survivorship",
     "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
-    "pipe_sequence_packing",
+    "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
+    "ext_window_first_last",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -1769,6 +1888,47 @@ def pipe_dedup_survivorship(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("cluster_size"),
         F.max("quality").alias("survivor_quality"),
+    )
+
+
+@register(
+    "ext_window_first_last",
+    """SELECT o_orderkey, o_custkey,
+              first_value(o_orderpriority) OVER w AS first_prio,
+              last_value(o_orderpriority) OVER w AS last_prio,
+              first_value(CASE WHEN o_totalprice > 150000 THEN o_orderkey END IGNORE NULLS)
+                  OVER w AS first_big_order
+       FROM orders
+       WHERE o_custkey < 100
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def ext_window_first_last(spark, sf_dir):
+    """first_value/last_value window functions with the IGNORE NULLS
+    modifier (SQL:2011): per customer, the clerks of the first and last
+    orders plus the first order exceeding a price threshold — the
+    'first qualifying event per entity' idiom (first purchase, first
+    error, first conversion). The frame is pinned to the FULL partition:
+    last_value under the default frame (UNBOUNDED PRECEDING..CURRENT ROW)
+    is the current row — the classic window gotcha — so the explicit frame
+    is the semantic, not a style choice."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    big = F.when(F.col("o_totalprice") > 150000, F.col("o_orderkey"))
+    return (
+        filter_(t(spark, sf_dir, "orders"), F.col("o_custkey") < 100)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderpriority").over(w).alias("first_prio"),
+            F.last("o_orderpriority").over(w).alias("last_prio"),
+            F.first(big, ignorenulls=True).over(w).alias("first_big_order"),
+        )
     )
 
 
