@@ -721,6 +721,62 @@ def ext_json_extract(spark, sf_dir):
 
 
 @register(
+    "pipe_ingest_anomaly",
+    """WITH hourly AS (
+         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+                epoch(date_trunc('hour', ts)) AS h,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2),
+       scored AS (
+         SELECT hour_ts, n,
+                AVG(n) OVER w AS mu,
+                stddev_samp(n) OVER w AS sigma,
+                COUNT(*) OVER w AS n_hist
+         FROM hourly
+         WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT hour_ts, n,
+              CASE WHEN n_hist >= 12 AND sigma > 0
+                   THEN FLOOR((n - mu) / sigma * 10000 + 0.5) / 10000 END AS z,
+              (n_hist >= 12 AND sigma > 0
+               AND ABS((n - mu) / sigma) > 3.0) AS is_anomaly
+       FROM scored""",
+)
+def pipe_ingest_anomaly(spark, sf_dir):
+    """Ingest-rate anomaly detection — the monitoring query every always-on
+    pipeline runs against its own throughput: each hour's event count
+    z-scored against the trailing 24 hours (current hour excluded), flagged
+    past 3 sigma. The z is NULL until 12 hours of history exist and when
+    the trailing window is flat (sigma 0) — alert rules must distinguish
+    'no baseline yet' from 'normal'. Shape: one hourly rollup (map-side
+    partial to ~hours rows), then a single ordered window over those
+    ~hours rows — the window input is already tiny at any corpus size, so
+    this is scan-dominated at 100 TB. Batch twin of the streaming rollups;
+    point it at stream_sliding_windows' sink for the always-on form."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("_h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("_h").rowsBetween(-24, -1)
+    scored = hourly.select(
+        F.col("_h").cast("string").alias("hour_ts"),
+        "n",
+        F.avg("n").over(w).alias("_mu"),
+        F.stddev_samp("n").over(w).alias("_sigma"),
+        F.count(F.lit(1)).over(w).alias("_nh"),
+    )
+    ok = (F.col("_nh") >= 12) & (F.col("_sigma") > 0)
+    z = (F.col("n") - F.col("_mu")) / F.col("_sigma")
+    return scored.select(
+        "hour_ts",
+        "n",
+        F.when(ok, pround(z, 4)).alias("z"),
+        (ok & (F.abs(z) > 3.0)).alias("is_anomaly"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -1404,7 +1460,7 @@ _ROUND6_STAGED = [
     "pipe_knn_graph", "pipe_shard_assignment", "pipe_dedup_survivorship",
     "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
-    "ext_window_first_last",
+    "ext_window_first_last", "pipe_ingest_anomaly",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
