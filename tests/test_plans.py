@@ -461,3 +461,55 @@ def test_bench_set_is_registered(spark, sf_dir):
     missing = [n for n in bench.BENCH_QUERIES if n not in REG]
     assert not missing, f"bench queries not registered: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES), "duplicate bench entries"
+
+
+def test_knn_graph_skinny_bucket_join(spark, sf_dir):
+    """The k-NN graph's within-bucket self-join must move only (id, bucket)
+    pairs — no hash exchange may carry the embedding array; the vectors
+    join back by id afterwards. This is the shape that survives 100x data
+    (a bucket join shuffling 64-float vectors would move the corpus twice)."""
+    df = QUERIES["pipe_knn_graph"].build(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        first_line = frag.split("\n", 1)[0]
+        assert "bucket" not in first_line or "_v" not in first_line, first_line
+        if "bucket" in first_line:
+            assert "embedding" not in first_line, f"vectors in bucket join: {first_line}"
+
+
+def test_shard_assignment_single_small_exchange(spark, sf_dir):
+    """The shard audit reduces to a 16-key aggregate + a 1-row broadcast:
+    no sort, no shuffle join, and text never leaves the scan stage."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_shard_assignment"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["shuffle_joins"] == 0
+    assert r["broadcast_joins"] >= 1  # the 1-row total
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag.split("\n", 1)[0]
+
+
+def test_sequence_packing_one_window_pass(spark, sf_dir):
+    """Packing = one per-source running-sum window + one rollup: exactly
+    one sort (the window's), keyed on source — no global sort, no join."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_sequence_packing"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["shuffle_joins"] == 0 and r["broadcast_joins"] == 0
+    simple = explain_str(df, "simple")
+    assert "Window" in simple
+
+
+def test_moments_merge_partials_then_fold(spark, sf_dir):
+    """The variance merge must aggregate per-shard partials FIRST (16 rows)
+    and fold driver-side-free: two aggregate stages, no window, no join."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_moments_merge"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["shuffle_joins"] == 0 and r["broadcast_joins"] == 0
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].n > 0
