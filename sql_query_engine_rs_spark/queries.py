@@ -777,6 +777,57 @@ def pipe_ingest_anomaly(spark, sf_dir):
 
 
 @register(
+    "pipe_token_gini",
+    """WITH per AS (
+         SELECT source,
+                CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x != ''))) AS BIGINT) AS tok
+         FROM documents GROUP BY source),
+       r AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok, source) AS i FROM per)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+              CAST(SUM(tok) AS BIGINT) AS total_tokens,
+              FLOOR((2.0 * SUM(i * tok) / (COUNT(*) * SUM(tok))
+                     - (COUNT(*) + 1.0) / COUNT(*)) * 10000 + 0.5) / 10000 AS gini,
+              FLOOR(MAX(tok) * 1.0 / SUM(tok) * 10000 + 0.5) / 10000 AS top_share
+       FROM r""",
+)
+def pipe_token_gini(spark, sf_dir):
+    """Token-share concentration audit — the check a mixing pipeline runs
+    before setting sampling weights: Gini coefficient of the per-source
+    token distribution (0 = every source contributes equally, →1 = one
+    source dominates) plus the largest single source's share. Companion to
+    pipe_lang_balance_weights/pipe_mixture_sample: those *set* the weights,
+    this one-row report says whether rebalancing is needed at all. Shape:
+    one tokenize pass collapsed map-side to #sources rows, then one ordered
+    window + final aggregate over that tiny frame — the unpartitioned sort
+    ranks sources, not documents, so it stays O(#sources) at 100 TB. The
+    rank-sum Gini (2·Σi·xᵢ/(n·Σx) − (n+1)/n) is order-invariant among
+    equal token counts, so the (tok, source) tiebreak is deterministic on
+    both engines. (Extension beyond the reference's SimpleAgg,
+    /root/reference/src/executor/aggregate/simple_agg.rs:1.)"""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    per = (
+        d.select("source", T.token_count(F.col("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").cast("bigint").alias("tok"))
+    )
+    ranked = per.select(
+        "source", "tok", F.row_number().over(Window.orderBy("tok", "source")).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("bigint").alias("n_sources"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        pround(
+            2.0 * F.sum(F.col("i") * F.col("tok")) / (n * F.sum("tok")) - (n + 1.0) / n, 4
+        ).alias("gini"),
+        pround(F.max("tok") / F.sum("tok"), 4).alias("top_share"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -1460,7 +1511,7 @@ _ROUND6_STAGED = [
     "pipe_knn_graph", "pipe_shard_assignment", "pipe_dedup_survivorship",
     "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
-    "ext_window_first_last", "pipe_ingest_anomaly",
+    "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)

@@ -503,6 +503,22 @@ def test_sequence_packing_one_window_pass(spark, sf_dir):
     assert "Window" in simple
 
 
+def test_token_gini_text_stays_in_scan_stage(spark, sf_dir):
+    """The Gini audit collapses map-side to #sources rows before its
+    window: no join of any kind, and raw text never enters an exchange —
+    only (source, partial token sum) shuffles."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_token_gini"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["shuffle_joins"] == 0 and r["broadcast_joins"] == 0
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        assert "text" not in frag.split("\n", 1)[0]
+    rows = df.collect()
+    assert len(rows) == 1 and 0.0 <= rows[0].gini <= 1.0
+
+
 def test_moments_merge_partials_then_fold(spark, sf_dir):
     """The variance merge must aggregate per-shard partials FIRST (16 rows)
     and fold driver-side-free: two aggregate stages, no window, no join."""
