@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "pipe_moments_merge",
     "pipe_ingest_anomaly",
     "pipe_token_gini",
+    "pipe_source_overlap",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -927,6 +927,82 @@ def pipe_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, size_blocking=True)
 
 
+@register(
+    "pipe_source_overlap",
+    """WITH toks AS (
+         SELECT source,
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       g0 AS (
+         SELECT source,
+                CASE WHEN len(toks) >= 3
+                     THEN list_distinct(list_transform(range(1, len(toks)-1),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                     ELSE [] END AS grams
+         FROM toks),
+       g AS (SELECT DISTINCT source, unnest(grams) AS gram FROM g0),
+       per AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+       p AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_common
+             FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+             GROUP BY 1, 2)
+       SELECT source_a, source_b, n_common,
+              FLOOR(n_common * 1.0 / (pa.n + pb.n - n_common) * 1000000 + 0.5)
+                  / 1000000 AS jaccard
+       FROM p
+       JOIN per pa ON p.source_a = pa.source
+       JOIN per pb ON p.source_b = pb.source""",
+)
+def pipe_source_overlap(spark, sf_dir):
+    """Source-pair corpus-overlap matrix: Jaccard similarity of each pair of
+    sources' distinct 3-gram-shingle sets — the provenance audit that tells
+    a mixing pipeline which corpora are re-crawls/mirrors of each other
+    BEFORE per-document dedup runs (two sources with high set overlap
+    should be deduplicated against each other first, or one dropped).
+    Scale shape: shingles collapse to DISTINCT (md5, source) — the per-hash
+    self-join fan-out is bounded by #sources (each source contributes a
+    gram at most once), so the worst case is S² rows per shingle with S a
+    small constant, never a quadratic in documents. Only 32-char hashes and
+    source labels enter exchanges (gram strings stay in the scan stage, the
+    same invariant pinned for exact-substring dedup); the per-source size
+    table (≤ S rows) broadcasts back for the union denominator. The DuckDB
+    oracle joins on the gram string itself — equality on md5 == equality on
+    the gram, the registry-wide hash-fidelity convention."""
+    d = docs_parallel(spark, sf_dir)
+    g = (
+        d.select(
+            "source",
+            F.explode(D.shingles_from_tokens(T.tokens(F.col("text")), 3)).alias("_g"),
+        )
+        .select("source", F.md5("_g").alias("h"))
+        .distinct()
+    )
+    per = g.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("_na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            pround(
+                F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 def _minhash_oracle(
     num_hashes: int = 8,
     bands: int = 2,
@@ -1512,6 +1588,7 @@ _ROUND6_STAGED = [
     "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
     "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
+    "pipe_source_overlap",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)

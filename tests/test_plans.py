@@ -519,6 +519,22 @@ def test_token_gini_text_stays_in_scan_stage(spark, sf_dir):
     assert len(rows) == 1 and 0.0 <= rows[0].gini <= 1.0
 
 
+def test_source_overlap_hashed_skinny_self_join(spark, sf_dir):
+    """The source-pair matrix self-joins on md5 hashes, never gram strings:
+    no exchange carries a raw gram, the per-source size tables broadcast,
+    and exactly one shuffle join (the hash self-join) appears."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_source_overlap"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 2  # the two per-source size lookups
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        assert "_g" not in frag.split("\n", 1)[0]
+    rows = df.collect()
+    assert rows and all(0.0 <= x.jaccard <= 1.0 for x in rows)
+
+
 def test_moments_merge_partials_then_fold(spark, sf_dir):
     """The variance merge must aggregate per-shard partials FIRST (16 rows)
     and fold driver-side-free: two aggregate stages, no window, no join."""
