@@ -1588,7 +1588,7 @@ _ROUND6_STAGED = [
     "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
     "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
-    "pipe_source_overlap",
+    "pipe_source_overlap", "pipe_label_centroid_sim",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -8562,6 +8562,67 @@ def pipe_emb_outliers(spark, sf_dir):
         d.join(F.broadcast(st), on="label")
         .select("vec_id", "label", "dist2", z.alias("z"))
         .filter(F.col("z") > 2.0)
+    )
+
+
+@register(
+    "pipe_label_centroid_sim",
+    """WITH long AS (
+         SELECT label, i, avg(embedding[i]) AS v
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)
+         GROUP BY label, i),
+       nrm AS (SELECT label, sqrt(SUM(v * v)) AS n FROM long GROUP BY label),
+       p AS (SELECT a.label AS label_a, b.label AS label_b,
+                    SUM(a.v * b.v) AS dot
+             FROM long a JOIN long b ON a.i = b.i AND a.label < b.label
+             GROUP BY 1, 2)
+       SELECT label_a, label_b,
+              FLOOR(dot / (na.n * nb.n) * 1000000 + 0.5) / 1000000 AS cos_sim
+       FROM p
+       JOIN nrm na ON p.label_a = na.label
+       JOIN nrm nb ON p.label_b = nb.label""",
+)
+def pipe_label_centroid_sim(spark, sf_dir):
+    """Inter-label centroid cosine matrix — the embedding-space separation
+    audit (the vector twin of pipe_source_overlap's text view): per-label
+    mean vector, then cosine between every label-centroid pair. High
+    cos_sim pairs are the classes an embedding-space classifier/near-dup
+    gate will confuse — run this before trusting label-conditioned
+    filtering (pipe_emb_outliers z-scores WITHIN a label; this ranks
+    confusability BETWEEN labels). Scale shape: the corpus-wide work is one
+    posexplode + (label, dim) average with map-side partials — the frame
+    entering every later stage is labels×dim rows (a few KB at any corpus
+    size), kept in LONG form so the pairwise dot is an equi-join on dim
+    (fan-out per dim = #labels) + a labels²-row aggregate: no vectors
+    cross-joined, no collect. Centroid means are exact mergeable aggregates,
+    so the result is shard-order-independent up to float rounding, absorbed
+    by the 1e-6 portable round (the registry float convention)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    long = (
+        emb.select("label", F.posexplode("_v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("v"))
+    )
+    nrm = long.groupBy("label").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n"))
+    a, b = long.alias("a"), long.alias("b")
+    pairs = (
+        a.join(b, "pos")
+        .filter(F.col("a.label") < F.col("b.label"))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n").alias("_na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            pround(F.col("dot") / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
+        )
     )
 
 

@@ -535,6 +535,23 @@ def test_source_overlap_hashed_skinny_self_join(spark, sf_dir):
     assert rows and all(0.0 <= x.jaccard <= 1.0 for x in rows)
 
 
+def test_label_centroid_sim_skinny_long_frame(spark, sf_dir):
+    """The centroid matrix never shuffles vectors: the posexplode collapses
+    map-side to (label, dim) partials, the norm lookups broadcast, and no
+    exchange key carries the embedding array."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_label_centroid_sim"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 2  # the two norm lookups
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        assert "embedding" not in frag.split("\n", 1)[0]
+        assert "_v" not in frag.split("\n", 1)[0]
+    rows = df.collect()
+    assert rows and all(-1.0 <= x.cos_sim <= 1.0 for x in rows)
+
+
 def test_moments_merge_partials_then_fold(spark, sf_dir):
     """The variance merge must aggregate per-shard partials FIRST (16 rows)
     and fold driver-side-free: two aggregate stages, no window, no join."""
