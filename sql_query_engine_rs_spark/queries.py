@@ -1588,7 +1588,7 @@ _ROUND6_STAGED = [
     "ext_qualify", "ext_distinct_on", "pipe_ann_two_stage",
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
     "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
-    "pipe_source_overlap", "pipe_label_centroid_sim",
+    "pipe_source_overlap", "pipe_label_centroid_sim", "pipe_charclass_audit",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -5338,6 +5338,69 @@ def pipe_quality_classifier(spark, sf_dir):
         n.alias("n_tok"),
         score.alias("score"),
         (score > 0.0).alias("keep"),
+    )
+
+
+def _charclass_count(col, pattern):
+    """Count of chars matching a regex class = length minus length after
+    deleting the class (one JVM regexp pass, no explode)."""
+    return F.length(col) - F.length(F.regexp_replace(col, pattern, ""))
+
+
+@register(
+    "pipe_charclass_audit",
+    r"""WITH per AS (
+         SELECT source,
+                CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                SUM(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS a,
+                SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS d,
+                SUM(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g'))) AS s,
+                SUM(length(text) - length(regexp_replace(text,
+                    '[\x21-\x2F\x3A-\x40\x5B-\x60\x7B-\x7E]', '', 'g'))) AS p,
+                SUM(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))) AS x
+         FROM documents GROUP BY source)
+       SELECT source, n_chars,
+              FLOOR(a * 1.0 / n_chars * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+              FLOOR(d * 1.0 / n_chars * 1000000 + 0.5) / 1000000 AS digit_ratio,
+              FLOOR(s * 1.0 / n_chars * 1000000 + 0.5) / 1000000 AS space_ratio,
+              FLOOR(p * 1.0 / n_chars * 1000000 + 0.5) / 1000000 AS punct_ratio,
+              FLOOR(x * 1.0 / n_chars * 1000000 + 0.5) / 1000000 AS non_ascii_ratio
+       FROM per""",
+)
+def pipe_charclass_audit(spark, sf_dir):
+    """Per-source character-class profile — the encoding-corruption triage a
+    crawl pipeline runs before any tokenizer sees the data: ratios of
+    alphabetic / digit / whitespace / ASCII-punctuation / non-ASCII
+    characters per source. A source whose non_ascii_ratio or punct_ratio
+    jumps relative to its peers is the classic mojibake / double-encoded /
+    markup-leak signature (CCNet and Gopher both gate on exactly these
+    ratios; the reference's scalar layer has no string functions at all —
+    /root/reference/src/executor/array_compute.rs:62). Each class count is
+    length(text) − length(text with the class deleted): one JVM regexp pass
+    per class inside the scan stage, no explode, map-side partial sums, and
+    only (source, 6 longs) rows ever shuffle — scan-bound at 100 TB. Hex
+    character-class ranges are shared RE2/Java syntax, so both engines
+    count identically."""
+    d = docs_parallel(spark, sf_dir)
+    txt = F.col("text")
+    per = d.groupBy("source").agg(
+        F.sum(F.length(txt)).cast("bigint").alias("n_chars"),
+        F.sum(_charclass_count(txt, r"[A-Za-z]")).alias("_a"),
+        F.sum(_charclass_count(txt, r"[0-9]")).alias("_d"),
+        F.sum(_charclass_count(txt, "[ \t\n\r]")).alias("_s"),
+        F.sum(_charclass_count(txt, r"[\x21-\x2F\x3A-\x40\x5B-\x60\x7B-\x7E]")).alias("_p"),
+        F.sum(_charclass_count(txt, r"[^\x00-\x7F]")).alias("_x"),
+    )
+    def ratio(c):
+        return pround(F.col(c) / F.col("n_chars"), 6)
+    return per.select(
+        "source",
+        "n_chars",
+        ratio("_a").alias("alpha_ratio"),
+        ratio("_d").alias("digit_ratio"),
+        ratio("_s").alias("space_ratio"),
+        ratio("_p").alias("punct_ratio"),
+        ratio("_x").alias("non_ascii_ratio"),
     )
 
 

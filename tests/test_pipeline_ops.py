@@ -1196,3 +1196,35 @@ def test_containment_catches_planted_subset(spark, tmp_path):
     # and the Jaccard flagship at its 0.8 threshold must NOT pair them
     jac = QUERIES["pipe_ngram_jaccard"].build(spark, str(sf)).collect()
     assert not any({r.id_a, r.id_b} == {0, 1} for r in jac)
+
+
+def test_charclass_audit_counts_every_class(spark, tmp_path):
+    """The sf corpora are pure alpha+space, so the oracle exercises those
+    classes only; this fixture plants digits, ASCII punctuation, and
+    non-ASCII chars and checks each class is counted exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 10 alpha, 1 space-run of 3, 4 digits, 3 punct, 2 non-ASCII = 22 chars
+    text = "abcdeFGHIJ   1234,.;é中"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": [0],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }),
+        sf / "documents.parquet",
+    )
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    (r,) = QUERIES["pipe_charclass_audit"].build(spark, str(sf)).collect()
+    assert r.n_chars == 22
+    assert abs(r.alpha_ratio - 10 / 22) < 1e-5
+    assert abs(r.digit_ratio - 4 / 22) < 1e-5
+    assert abs(r.space_ratio - 3 / 22) < 1e-5
+    assert abs(r.punct_ratio - 3 / 22) < 1e-5
+    assert abs(r.non_ascii_ratio - 2 / 22) < 1e-5
