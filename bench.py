@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "pipe_source_overlap",
     "pipe_label_centroid_sim",
     "pipe_charclass_audit",
+    "pipe_distinct_ngrams",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -1589,6 +1589,7 @@ _ROUND6_STAGED = [
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
     "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
     "pipe_source_overlap", "pipe_label_centroid_sim", "pipe_charclass_audit",
+    "pipe_distinct_ngrams",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -5338,6 +5339,93 @@ def pipe_quality_classifier(spark, sf_dir):
         n.alias("n_tok"),
         score.alias("score"),
         (score > 0.0).alias("keep"),
+    )
+
+
+@register(
+    "pipe_distinct_ngrams",
+    """WITH d AS (
+         SELECT source,
+                list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       tot AS (
+         SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS t1,
+                SUM(GREATEST(len(toks) - 1, 0)) AS t2,
+                SUM(GREATEST(len(toks) - 2, 0)) AS t3
+         FROM d GROUP BY source),
+       u1 AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS d1
+              FROM (SELECT source, unnest(toks) AS tok FROM d) GROUP BY source),
+       g2 AS (SELECT source,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_distinct(list_transform(range(1, len(toks)),
+                               i -> concat_ws(' ', toks[i], toks[i+1])))
+                          ELSE [] END AS grams
+              FROM d),
+       u2 AS (SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS d2
+              FROM (SELECT source, unnest(grams) AS gram FROM g2) GROUP BY source),
+       g3 AS (SELECT source,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                          ELSE [] END AS grams
+              FROM d),
+       u3 AS (SELECT source, CAST(count(DISTINCT gram) AS BIGINT) AS d3
+              FROM (SELECT source, unnest(grams) AS gram FROM g3) GROUP BY source)
+       SELECT tot.source, t1 AS n_tokens, d1, d2, d3,
+              FLOOR(d1 * 1.0 / GREATEST(t1, 1) * 1000000 + 0.5) / 1000000 AS distinct1,
+              FLOOR(d2 * 1.0 / GREATEST(t2, 1) * 1000000 + 0.5) / 1000000 AS distinct2,
+              FLOOR(d3 * 1.0 / GREATEST(t3, 1) * 1000000 + 0.5) / 1000000 AS distinct3
+       FROM tot
+       JOIN u1 ON tot.source = u1.source
+       JOIN u2 ON tot.source = u2.source
+       JOIN u3 ON tot.source = u3.source""",
+)
+def pipe_distinct_ngrams(spark, sf_dir):
+    """Distinct-n diversity per source — the repetitiveness audit used on
+    both crawled and model-generated corpora (distinct-1/2/3 of Li et al.):
+    unique n-grams over total n-gram slots. A source whose distinct-3
+    collapses is template/boilerplate-dominated (or mode-collapsed, for
+    synthetic data) even when per-document quality gates pass. Scale shape:
+    total slots are pure per-row arithmetic folded map-side into #source
+    rows; each distinct-n count explodes per-doc DISTINCT grams, maps them
+    to md5, and counts distinct (source, hash) in the standard two-phase
+    aggregate — gram strings never enter an exchange, and the three skinny
+    per-source count tables broadcast back onto the totals. The corpus is
+    read once per n (three tokenize passes); at 100 TB fuse them by caching
+    the token frame if the scheduler shows the scans dominating."""
+    d = docs_parallel(spark, sf_dir).select(
+        "source", T.tokens(F.col("text")).alias("_toks")
+    )
+    L = F.size("_toks")
+    tot = d.groupBy("source").agg(
+        F.sum(L).cast("bigint").alias("n_tokens"),
+        F.sum(F.greatest(L - 1, F.lit(0))).alias("_t2"),
+        F.sum(F.greatest(L - 2, F.lit(0))).alias("_t3"),
+    )
+
+    def dn(n, out):
+        return (
+            d.select("source", F.explode(D.shingles_from_tokens(F.col("_toks"), n)).alias("_g"))
+            .select("source", F.md5("_g").alias("_h"))
+            .distinct()
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    out = (
+        tot.join(F.broadcast(dn(1, "d1")), "source")
+        .join(F.broadcast(dn(2, "d2")), "source")
+        .join(F.broadcast(dn(3, "d3")), "source")
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "d1",
+        "d2",
+        "d3",
+        pround(F.col("d1") / F.greatest(F.col("n_tokens"), F.lit(1)), 6).alias("distinct1"),
+        pround(F.col("d2") / F.greatest(F.col("_t2"), F.lit(1)), 6).alias("distinct2"),
+        pround(F.col("d3") / F.greatest(F.col("_t3"), F.lit(1)), 6).alias("distinct3"),
     )
 
 
