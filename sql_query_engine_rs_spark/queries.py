@@ -1589,7 +1589,7 @@ _ROUND6_STAGED = [
     "pipe_sequence_packing", "pipe_mutual_knn", "pipe_moments_merge",
     "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
     "pipe_source_overlap", "pipe_label_centroid_sim", "pipe_charclass_audit",
-    "pipe_distinct_ngrams",
+    "pipe_distinct_ngrams", "ext_window_dist_funcs",
     # -- code changed this round after the last green row ---------------
     # (max_band_size=256 now explicit at every duplicate_clusters site —
     # output unchanged at test SFs, re-rowed on the new binary anyway)
@@ -1750,6 +1750,38 @@ def ext_percentiles(spark, sf_dir):
         pround(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         pround(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         pround(F.min("o_totalprice"), 4).alias("p_min"),
+    )
+
+
+@register(
+    "ext_window_dist_funcs",
+    """SELECT c_custkey, c_nationkey,
+              NTILE(4) OVER w AS quartile,
+              FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+              FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cdist
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""",
+)
+def ext_window_dist_funcs(spark, sf_dir):
+    """Distribution window functions — NTILE / PERCENT_RANK / CUME_DIST
+    (the remaining ranking family after rank/dense_rank/row_number, absent
+    from the reference's binder like all windows,
+    /root/reference/src/binder/statement/mod.rs:23). The window orders by
+    (acctbal, custkey) so NTILE — which is NOT tie-stable under a
+    non-unique ordering — assigns identical quartiles on both engines.
+    Per-nation partitions shuffle on the partition key only; at 100 TB a
+    skewed partition is the usual global-window caveat and this shape
+    (high-cardinality partition key) avoids it."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
