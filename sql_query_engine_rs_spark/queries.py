@@ -1261,6 +1261,88 @@ def pipe_mutual_knn(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank over the bipartite order-part
+    graph: iteration i is one contribution CTE (edge join + group by dst)
+    plus one rank CTE (left join back onto the node set) — the exact SQL
+    replay of the Spark driver loop."""
+    d = damping
+    base = f"""WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        edges AS (SELECT 'o:' || o AS src, 'p:' || p AS dst FROM e0
+                  UNION ALL SELECT 'p:' || p, 'o:' || o FROM e0),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    for i in range(1, iters + 1):
+        base += f""",
+        c{i} AS (SELECT e.dst AS node, SUM(r.r / deg.d) AS s
+                 FROM edges e JOIN r{i-1} r ON e.src = r.node
+                 JOIN deg ON e.src = deg.src
+                 GROUP BY e.dst),
+        r{i} AS (SELECT nodes.node, {1 - d} / nn.n + {d} * COALESCE(c{i}.s, 0) AS r
+                 FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.node)"""
+    return base + f"""
+        SELECT r{iters}.node, FLOOR(r{iters}.r * nn.n * 100000 + 0.5) / 100000 AS pagerank_norm
+        FROM r{iters} CROSS JOIN nn"""
+
+
+@register("pipe_graph_pagerank", _pagerank_oracle())
+def pipe_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the bipartite
+    order-part graph induced by lineitem — link analysis as a registered
+    operator, the same driver-loop-of-joins family as
+    ext_recursive_hierarchy/pipe_dup_clusters but with floating-point
+    mass propagation instead of set closure. Popular parts (high in-degree
+    from many orders) accumulate rank; the normalized output (mean 1.0) is
+    the importance score a curation pipeline would use to weight canonical
+    entities. Scale shape: per iteration exactly one edge-keyed shuffle
+    join + one (node, scalar) aggregate — edges and ranks are skinny string
+    /double frames, the edge frame is persisted once and reused across
+    iterations, and iterations are a fixed constant (no data-dependent
+    convergence collect; the only driver-side scalar is the one-time node
+    count, the registry's accepted pattern for iterative ops). Ranks sum
+    doubles in partition order, so the output is rounded at 1e-5 (values
+    ~1.0 after normalization) — the float-drift-proof margin for chained
+    cross-partition sums. (The reference has no joins at all,
+    /root/reference/src/binder/table/mod.rs:15.)"""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
+        .distinct()
+    )
+    fwd = li.select(
+        F.concat(F.lit("o:"), F.col("_o")).alias("src"),
+        F.concat(F.lit("p:"), F.col("_p")).alias("dst"),
+    )
+    rev = li.select(
+        F.concat(F.lit("p:"), F.col("_p")).alias("src"),
+        F.concat(F.lit("o:"), F.col("_o")).alias("dst"),
+    )
+    edges = persist_tracked(fwd.unionAll(rev))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
+    n = nodes.count()
+    d = 0.85
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("_deg")).alias("_s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (F.lit((1 - d) / n) + d * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
+        )
+    return ranks.select("node", pround(F.col("r") * n, 5).alias("pagerank_norm"))
+
+
 @register(
     "pipe_moments_merge",
     """WITH shard AS (

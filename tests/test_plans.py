@@ -552,6 +552,23 @@ def test_label_centroid_sim_skinny_long_frame(spark, sf_dir):
     assert rows and all(-1.0 <= x.cos_sim <= 1.0 for x in rows)
 
 
+def test_pagerank_reuses_cached_edges(spark, sf_dir):
+    """The PageRank loop must iterate over the PERSISTED edge frame (an
+    InMemoryTableScan per reuse), never re-derive the distinct edge set
+    from the parquet scan each round, and plan no cartesian product."""
+    df = QUERIES["pipe_graph_pagerank"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "InMemoryTableScan" in simple
+    assert "CartesianProduct" not in simple
+    rows = df.collect()
+    import math
+    n = len(rows)
+    mean = sum(r.pagerank_norm for r in rows) / n
+    assert n > 0 and math.isclose(mean, 1.0, rel_tol=1e-3)
+    from sql_query_engine_rs_spark.functions.caching import release_caches
+    release_caches()
+
+
 def test_moments_merge_partials_then_fold(spark, sf_dir):
     """The variance merge must aggregate per-shard partials FIRST (16 rows)
     and fold driver-side-free: two aggregate stages, no window, no join."""
