@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "pipe_distinct_ngrams",
     "ext_window_dist_funcs",
     "pipe_graph_pagerank",
+    "pipe_join_skew_audit",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -1261,6 +1261,71 @@ def pipe_mutual_knn(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_join_skew_audit",
+    """WITH long AS (
+         SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS key FROM lineitem
+         UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+         UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+       per AS (SELECT col_name, key, CAST(count(*) AS BIGINT) AS n_rows
+               FROM long GROUP BY 1, 2),
+       st AS (SELECT col_name, SUM(n_rows) AS total, AVG(n_rows) AS avg_n
+              FROM per GROUP BY 1),
+       rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+                                           ORDER BY n_rows DESC, key) AS rn
+              FROM per)
+       SELECT rk.col_name, key, n_rows,
+              FLOOR(n_rows * 1.0 / total * 1000000 + 0.5) / 1000000 AS share,
+              FLOOR(n_rows / avg_n * 10000 + 0.5) / 10000 AS skew_factor
+       FROM rk JOIN st ON rk.col_name = st.col_name
+       WHERE rn <= 5""",
+)
+def pipe_join_skew_audit(spark, sf_dir):
+    """Join-key skew detector — the operational audit run BEFORE choosing a
+    join strategy at 100 TB: for each candidate join column of the fact
+    table, the 5 heaviest keys with their row share and skew factor
+    (rows-at-key / mean-rows-per-key). A skew_factor in the hundreds says
+    'salt this key or rely on AQE skew-split'; ~1.0 says a plain shuffle
+    join partitions evenly — this is the measurement half of the salted
+    -join/AQE machinery pinned elsewhere (tests/test_plans.py AQE recipe).
+    Scale shape: one stack() pass (no per-column rescans), map-side partial
+    counts, then per-column top-5 via sort+limit on the filtered frame —
+    Spark plans TakeOrderedAndProject (per-partition heaps + size-5 merge,
+    pinned), NOT a window row_number, which would globally sort billions of
+    distinct keys per column; the 3-row stats table broadcasts back."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', CAST(l_orderkey AS BIGINT),"
+            " 'l_partkey', CAST(l_partkey AS BIGINT),"
+            " 'l_suppkey', CAST(l_suppkey AS BIGINT)) AS (col_name, key)"
+        )
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    per = persist_tracked(
+        long.groupBy("col_name", "key").agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    st = per.groupBy("col_name").agg(
+        F.sum("n_rows").alias("_total"), F.avg("n_rows").alias("_avg")
+    )
+    tops = None
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        top = (
+            per.filter(F.col("col_name") == c)
+            .orderBy(F.desc("n_rows"), F.asc("key"))
+            .limit(5)
+        )
+        tops = top if tops is None else tops.unionAll(top)
+    return tops.join(F.broadcast(st), "col_name").select(
+        "col_name",
+        "key",
+        "n_rows",
+        pround(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        pround(F.col("n_rows") / F.col("_avg"), 4).alias("skew_factor"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank over the bipartite order-part
     graph: iteration i is one contribution CTE (edge join + group by dst)

@@ -552,6 +552,19 @@ def test_label_centroid_sim_skinny_long_frame(spark, sf_dir):
     assert rows and all(-1.0 <= x.cos_sim <= 1.0 for x in rows)
 
 
+def test_join_skew_audit_takeordered_not_window(spark, sf_dir):
+    """Per-column top-5 must plan TakeOrderedAndProject (per-partition
+    heaps), never a window/global sort over the distinct-key frame."""
+    df = QUERIES["pipe_join_skew_audit"].build(spark, sf_dir)
+    simple = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in simple
+    assert "Window" not in simple
+    rows = df.collect()
+    assert len(rows) == 15 and all(r.skew_factor >= 1.0 for r in rows)
+    from sql_query_engine_rs_spark.functions.caching import release_caches
+    release_caches()
+
+
 def test_pagerank_reuses_cached_edges(spark, sf_dir):
     """The PageRank loop must iterate over the PERSISTED edge frame (an
     InMemoryTableScan per reuse), never re-derive the distinct edge set
