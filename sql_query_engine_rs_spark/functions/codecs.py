@@ -191,3 +191,63 @@ def png_encode(pixels, filter_type: int = 0) -> bytes:
         + _chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------- WAV / PCM
+
+def wav_decode_pcm(payload: bytes):
+    """RIFF/WAVE PCM decoder satisfying the ``audio_pcm`` kernel contract
+    ((payload) -> int64 numpy array of mono samples). Dependency-free:
+    chunk-walks the RIFF container, accepts PCM (format tag 1) at 8-bit
+    unsigned or 16-bit signed little-endian, any channel count (multi-
+    channel is downmixed by integer mean — floor division, deterministic on
+    any platform). Registered via ``register_codec("audio_pcm",
+    wav_decode_pcm)`` it drives real audio bytes through the unchanged
+    ``audio_features`` windowed-RMS plumbing; a soundfile/librosa kernel
+    swaps in the same way for compressed formats."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch = struct.unpack("<HH", fmt[:4])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError("only PCM 8/16-bit supported")
+    if bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+    if n_ch > 1:
+        x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).sum(axis=1) // n_ch
+    return x
+
+
+def wav_encode(samples, sample_rate: int = 8000, bits: int = 16, channels: int = 1) -> bytes:
+    """Minimal WAV writer for test fixtures: int samples (interleaved if
+    ``channels`` > 1) -> RIFF/WAVE PCM bytes."""
+    import numpy as np
+
+    x = np.asarray(samples)
+    if bits == 8:
+        frames = (x + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        frames = x.astype("<i2").tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames + (b"\0" if len(frames) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body

@@ -90,3 +90,78 @@ def test_real_codec_through_spark_seam(spark):
         (r.width, r.height) != (expected[r.item_id][0], expected[r.item_id][1])
         for r in stub_rows
     )
+
+
+# ------------------------------------------------------------- WAV / audio
+
+from sql_query_engine_rs_spark.functions.codecs import wav_decode_pcm, wav_encode
+
+
+@pytest.mark.parametrize("bits,channels", [(8, 1), (16, 1), (16, 2)])
+def test_wav_roundtrip(bits, channels):
+    """8/16-bit mono and 16-bit stereo survive encode->decode exactly
+    (stereo downmixed by integer mean, floor semantics)."""
+    rng = np.random.RandomState(bits * 10 + channels)
+    lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+    s = rng.randint(lo, hi, 640 * channels)
+    decoded = wav_decode_pcm(wav_encode(s, bits=bits, channels=channels))
+    if channels == 1:
+        assert np.array_equal(decoded, s)
+    else:
+        assert np.array_equal(decoded, s.reshape(-1, channels).sum(axis=1) // channels)
+
+
+def test_wav_decode_rejects_non_wav():
+    with pytest.raises(ValueError):
+        wav_decode_pcm(b"not audio at all, sorry")
+    with pytest.raises(NotImplementedError):
+        # float32 WAV (format tag 3) is out of scope for the minimal codec
+        bad = bytearray(wav_encode(np.zeros(4, dtype=np.int64)))
+        bad[20] = 3
+        wav_decode_pcm(bytes(bad))
+
+
+def test_real_wav_codec_through_spark_seam(spark):
+    """register_codec("audio_pcm", wav_decode_pcm) + the unchanged
+    audio_features plumbing: Spark parses real RIFF/WAVE bytes inside the
+    Arrow-batched mapInPandas stage; rows match a local replay of the
+    integer-domain window math on the decoded samples."""
+    import math
+
+    from sql_query_engine_rs_spark.functions.multimodal import (
+        audio_features,
+        register_codec,
+        reset_codec,
+    )
+
+    window_ms, sample_rate = 500, 8000
+    spw = sample_rate * window_ms // 1000
+    items, expected = [], {}
+    for i in range(4):
+        rng = np.random.RandomState(300 + i)
+        n = spw * (i + 1) + (i * 37)  # ragged tails across items
+        s = rng.randint(-32768, 32768, n)
+        payload = wav_encode(s, sample_rate=sample_rate, bits=16)
+        items.append((i, bytearray(payload)))
+        rows = []
+        pcm = wav_decode_pcm(payload)
+        for w in range(max(1, len(pcm) // spw)):
+            seg = pcm[w * spw : (w + 1) * spw]
+            sum_sq = int((seg * seg).sum())
+            neg = seg < 0
+            rows.append(
+                (w, w * window_ms, math.sqrt(sum_sq / (len(seg) * 16384.0)),
+                 int(np.sum(neg[1:] != neg[:-1])))
+            )
+        expected[i] = rows
+    df = spark.createDataFrame(items, "item_id long, payload binary")
+    register_codec("audio_pcm", wav_decode_pcm)
+    try:
+        got = audio_features(df, window_ms=window_ms, sample_rate=sample_rate).collect()
+    finally:
+        reset_codec("audio_pcm")
+    assert len(got) == sum(len(v) for v in expected.values())
+    for r in got:
+        w, start_ms, rms, zc = expected[r.item_id][r.window_idx]
+        assert (r.start_ms, r.zero_crossings) == (start_ms, zc)
+        assert r.rms == pytest.approx(rms, abs=1e-12)
