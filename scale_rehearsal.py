@@ -109,6 +109,10 @@ HEAVY = [
     # hierarchical switch derived from count()) — the scale-safety claim
     # for the shipped defaults, measured rather than argued
     "pipe_semdedup_auto",
+    # round-6 late: iterative link analysis — per iteration one edge-keyed
+    # shuffle join + one aggregate over the persisted edge frame; expected
+    # linear in edges at a fixed iteration count
+    "pipe_graph_pagerank",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
