@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "ext_window_dist_funcs",
     "pipe_graph_pagerank",
     "pipe_join_skew_audit",
+    "pipe_event_transitions",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

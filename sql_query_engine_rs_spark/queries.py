@@ -1262,6 +1262,55 @@ def pipe_mutual_knn(spark, sf_dir):
 
 
 @register(
+    "pipe_event_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       trans AS (
+         SELECT prev_type AS from_type, event_type AS to_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2),
+       tot AS (SELECT from_type, SUM(n) AS t FROM trans GROUP BY from_type)
+       SELECT trans.from_type, to_type, n,
+              FLOOR(n * 1.0 / t * 1000000 + 0.5) / 1000000 AS prob
+       FROM trans JOIN tot ON trans.from_type = tot.from_type""",
+)
+def pipe_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral-analytics primitive behind session modeling, anomaly
+    detection (improbable transitions), and synthetic-trace generation:
+    P(next event type | current) estimated from consecutive event pairs
+    within each user's timeline. Sequence order is (ts, event_id) — a
+    unique tiebreak, so LAG is deterministic on both engines. Scale shape:
+    the window partitions by user_id (millions of independent partitions —
+    the scalable window shape, nothing global), pairs collapse map-side to
+    a (type × type) frame bounded by the event-type vocabulary squared, and
+    the row-normalizing totals join is on that tiny frame. The window sort
+    is the only heavy stage and AQE handles a power-law user unless one
+    user holds a measurable corpus share (then pre-split by day)."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        pround(F.col("n") / F.col("_t"), 6).alias("prob"),
+    )
+
+
+@register(
     "pipe_join_skew_audit",
     """WITH long AS (
          SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS BIGINT) AS key FROM lineitem
