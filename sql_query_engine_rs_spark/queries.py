@@ -1375,6 +1375,85 @@ def pipe_join_skew_audit(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_graph_degree_dist",
+    """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       deg AS (
+         SELECT 'order' AS node_class, o AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e0 GROUP BY o
+         UNION ALL
+         SELECT 'part', p, CAST(count(*) AS BIGINT) FROM e0 GROUP BY p)
+       SELECT node_class, CAST(length(bin(deg)) AS INT) AS log2_bucket,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              min(deg) AS min_deg, max(deg) AS max_deg
+       FROM deg GROUP BY 1, 2""",
+)
+def pipe_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the bipartite order-part graph, log2-bucketed
+    per node class — the companion audit to pipe_graph_pagerank and the
+    graph-shaped twin of pipe_join_skew_audit: a heavy tail in the 'part'
+    class is exactly the hub structure that makes the PageRank edge joins
+    (and any graph traversal) skew. Bucket = bit-length of the degree (the
+    same integer log2 the ngram-Jaccard size blocking uses, identical
+    `length(bin(n))` on both engines). Two map-side-partial aggregates over
+    the skinny distinct-pair frame; output is bounded by 2·log2(max
+    degree) rows at any corpus size."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
+        .distinct()
+    )
+    deg = (
+        li.groupBy(F.col("_o").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .select(F.lit("order").alias("node_class"), "deg")
+        .unionAll(
+            li.groupBy(F.col("_p").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .select(F.lit("part").alias("node_class"), "deg")
+        )
+    )
+    return deg.groupBy(
+        "node_class", F.length(F.bin("deg")).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+
+
+@register(
+    "ext_nth_value_window",
+    """SELECT c_custkey, c_nationkey,
+              NTH_VALUE(c_acctbal, 2) OVER (
+                PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS second_lowest_bal
+       FROM customer""",
+)
+def ext_nth_value_window(spark, sf_dir):
+    """NTH_VALUE with an explicit whole-partition frame — every row carries
+    its nation's second-lowest account balance (the remaining member of the
+    first/last/nth value family after ext_window_first_last). The unique
+    (acctbal, custkey) ordering makes the picked row deterministic on both
+    engines; the unbounded-following frame is required because the default
+    window frame stops at CURRENT ROW, which would leave the first row of
+    each partition NULL."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.nth_value("c_acctbal", 2).over(w).alias("second_lowest_bal"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank over the bipartite order-part
     graph: iteration i is one contribution CTE (edge join + group by dst)
