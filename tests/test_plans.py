@@ -552,6 +552,37 @@ def test_label_centroid_sim_skinny_long_frame(spark, sf_dir):
     assert rows and all(-1.0 <= x.cos_sim <= 1.0 for x in rows)
 
 
+def test_event_transitions_broadcast_totals(spark, sf_dir):
+    """The transition matrix's row-normalization must broadcast the tiny
+    per-from-type totals, never shuffle-join the pair frame against them."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_event_transitions"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 1 and r["shuffle_joins"] == 0
+    rows = df.collect()
+    assert rows and all(0.0 < x.prob <= 1.0 for x in rows)
+    # probabilities row-normalize: each from_type's outgoing mass ~= 1
+    from collections import defaultdict
+    mass = defaultdict(float)
+    for x in rows:
+        mass[x.from_type] += x.prob
+    assert all(abs(v - 1.0) < 1e-3 for v in mass.values())
+
+
+def test_distinct_ngrams_hashed_exchanges(spark, sf_dir):
+    """Diversity counts shuffle md5 hashes, not gram strings, and the three
+    per-source count tables broadcast back onto the totals."""
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_distinct_ngrams"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 3 and r["shuffle_joins"] == 0
+    formatted = explain_str(df, "formatted")
+    for frag in formatted.split("Exchange hashpartitioning")[1:]:
+        assert "_g" not in frag.split("\n", 1)[0]
+
+
 def test_join_skew_audit_takeordered_not_window(spark, sf_dir):
     """Per-column top-5 must plan TakeOrderedAndProject (per-partition
     heaps), never a window/global sort over the distinct-key frame."""
