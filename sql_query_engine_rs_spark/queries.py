@@ -3600,7 +3600,9 @@ def _ivf_codebook_ctes(num_centroids: int, dim: int) -> str:
             FROM embeddings e CROSS JOIN cents s) a WHERE rn = 1)"""
 
 
-def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 64) -> str:
+def _ivf_oracle(
+    num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 64, nq: int = 5
+) -> str:
     """Full-pipeline DuckDB mirror of similarity.ivf_topk: the shared
     codebook CTEs (``_ivf_codebook_ctes``) + nprobe-cell probe + rounded
     cosine rank."""
@@ -3614,7 +3616,7 @@ def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 
             SELECT e.vec_id, s.centroid_id,
                    row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {_cos('e.embedding', 's.c')} DESC, s.centroid_id) AS rn
-            FROM embeddings e CROSS JOIN cents s WHERE e.vec_id < 5) a WHERE rn <= {nprobe}),
+            FROM embeddings e CROSS JOIN cents s WHERE e.vec_id < {nq}) a WHERE rn <= {nprobe}),
         scored AS (
           SELECT q.query_id, c.vec_id,
                  FLOOR(({_cos('qe.embedding', 'ce.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
@@ -3628,6 +3630,65 @@ def _ivf_oracle(num_centroids: int = 8, nprobe: int = 3, k: int = 5, dim: int = 
                          ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
           FROM scored) r
         WHERE rank <= {k}"""
+
+
+def _nprobe_sweep_oracle(
+    nprobes=(1, 2, 4, 8), num_centroids: int = 8, k: int = 5, dim: int = 64, nq: int = 20
+) -> str:
+    """Recall@k per nprobe: each arm replays the full IVF pipeline at that
+    nprobe (via _ivf_oracle) and joins it against the exact brute-force
+    top-k (same rounded-cosine rank rule), both as parenthesized CTE
+    subqueries; arms UNION ALL into the sweep table."""
+
+    def _cos(a: str, b: str) -> str:
+        return _duck_cos(a, b, dim)
+
+    exact = f"""SELECT query_id, vec_id FROM (
+          SELECT qe.vec_id AS query_id, ce.vec_id,
+                 row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                     FLOOR(({_cos('qe.embedding', 'ce.embedding')}) * 1000000 + 0.5) / 1000000 DESC,
+                     ce.vec_id) AS rn
+          FROM embeddings qe JOIN embeddings ce ON qe.vec_id != ce.vec_id
+          WHERE qe.vec_id < {nq}) x WHERE rn <= {k}"""
+    arms = []
+    for np_ in nprobes:
+        ivf = _ivf_oracle(num_centroids=num_centroids, nprobe=np_, k=k, dim=dim, nq=nq)
+        arms.append(
+            f"""SELECT {np_} AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+                   FLOOR(count(*) * 1.0 / {nq * k} * 10000 + 0.5) / 10000 AS recall
+            FROM ({ivf}) a JOIN ({exact}) e USING (query_id, vec_id)"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+@register("pipe_ann_nprobe_sweep", _nprobe_sweep_oracle())
+def pipe_ann_nprobe_sweep(spark, sf_dir):
+    """IVF recall-vs-nprobe sweep — the tuning curve every ANN deployment
+    measures before fixing its probe budget: recall@5 against exact
+    brute-force top-5 at nprobe 1/2/4/8 over the same deterministic
+    codebook ('measure, don't guess' applied to the index's own knob; at
+    nprobe = num_centroids the arm is exhaustive and recall must hit 1.0,
+    which doubles as an end-to-end self-check of the cell routing). Scale
+    shape: the exact reference is query-bounded (20 queries broadcast), the
+    four probe arms reuse the IVF cell join, and everything collapses to a
+    4-row report — the sweep costs ~4 probe passes regardless of corpus
+    size. Spark rebuilds the deterministic codebook per arm (identical
+    result each time; hold the cells frame cached when sweeping a
+    production-size corpus)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, qv, k=5).select("query_id", "vec_id")
+    tagged = None
+    for np_ in (1, 2, 4, 8):
+        arm = S.ivf_topk(emb, qv, k=5, num_centroids=8, nprobe=np_).select(
+            F.lit(np_).alias("nprobe"), "query_id", "vec_id"
+        )
+        tagged = arm if tagged is None else tagged.unionAll(arm)
+    hits = tagged.join(exact, ["query_id", "vec_id"])
+    return hits.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        pround(F.count(F.lit(1)) / F.lit(100.0), 4).alias("recall"),
+    )
 
 
 @register("pipe_ann_ivf", _ivf_oracle())
