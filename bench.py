@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "pipe_graph_degree_dist",
     "ext_nth_value_window",
     "pipe_ann_nprobe_sweep",
+    "pipe_fk_integrity",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

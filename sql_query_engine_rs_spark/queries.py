@@ -1376,6 +1376,73 @@ def pipe_join_skew_audit(spark, sf_dir):
 
 
 @register(
+    "pipe_fk_integrity",
+    """SELECT 'orders->customer' AS relationship,
+              CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+              CAST((SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphans
+       UNION ALL
+       SELECT 'lineitem->orders', (SELECT count(*) FROM lineitem),
+              (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+       UNION ALL
+       SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+              (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+       UNION ALL
+       SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+              (SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+       UNION ALL
+       SELECT 'documents->embeddings', (SELECT count(*) FROM documents),
+              (SELECT count(*) FROM documents d
+               WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                                 WHERE e.vec_id = d.doc_id))""",
+)
+def pipe_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema plus the
+    cross-modal coverage check (documents with no embedding row) — the
+    data-quality gate a warehouse runs after every load: per relationship,
+    child row count and orphan count via LEFT ANTI joins. On a consistent
+    corpus every n_orphans is 0 and the n_child counts still hash-verify
+    real values; a planted-orphan pytest fixture proves the detection arm
+    (the synthetic corpora are referentially clean, like TPC-H). Scale
+    shape: each arm is one anti join — dimension sides broadcast
+    (customer/part/supplier), fact-fact arms shuffle on the key with AQE;
+    counts collapse map-side, and the report is 5 rows at any scale."""
+    def arm(label, child, key, parent, pkey, bcast):
+        p = parent.select(pkey)
+        p = F.broadcast(p) if bcast else p
+        orphans = child.select(key).join(p, child[key] == p[pkey], "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            )
+            .select(F.lit(label).alias("relationship"), "n_child", "n_orphans")
+        )
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    arms = [
+        arm("orders->customer", o, "o_custkey", t(spark, sf_dir, "customer"), "c_custkey", True),
+        arm("lineitem->orders", li, "l_orderkey", o, "o_orderkey", False),
+        arm("lineitem->part", li, "l_partkey", t(spark, sf_dir, "part"), "p_partkey", True),
+        arm("lineitem->supplier", li, "l_suppkey", t(spark, sf_dir, "supplier"), "s_suppkey", True),
+        arm("documents->embeddings", t(spark, sf_dir, "documents"), "doc_id",
+            t(spark, sf_dir, "embeddings"), "vec_id", True),
+    ]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+@register(
     "pipe_graph_degree_dist",
     """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        deg AS (

@@ -1228,3 +1228,47 @@ def test_charclass_audit_counts_every_class(spark, tmp_path):
     assert abs(r.space_ratio - 3 / 22) < 1e-5
     assert abs(r.punct_ratio - 3 / 22) < 1e-5
     assert abs(r.non_ascii_ratio - 2 / 22) < 1e-5
+
+
+def test_fk_integrity_detects_planted_orphans(spark, tmp_path):
+    """The synthetic corpora are referentially clean (all n_orphans = 0),
+    so this fixture plants orphans on both a broadcast arm and the
+    shuffle arm and checks the counts land on the right relationships."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({"c_custkey": [1, 2]}), sf / "customer.parquet")
+    pq.write_table(
+        pa.table({"o_orderkey": [10, 11, 12], "o_custkey": [1, 2, 99]}),
+        sf / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": [10, 10, 77, 78],
+            "l_partkey": [5, 5, 5, 6],
+            "l_suppkey": [3, 3, 3, 3],
+        }),
+        sf / "lineitem.parquet",
+    )
+    pq.write_table(pa.table({"p_partkey": [5, 6]}), sf / "part.parquet")
+    pq.write_table(pa.table({"s_suppkey": [3]}), sf / "supplier.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2], "text": ["a", "b", "c"],
+                  "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [1, 1, 1]}),
+        sf / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table({"vec_id": [0, 1], "embedding": [[0.0], [1.0]], "label": [0, 1]}),
+        sf / "embeddings.parquet",
+    )
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = {r.relationship: r for r in QUERIES["pipe_fk_integrity"].build(spark, str(sf)).collect()}
+    assert rows["orders->customer"].n_orphans == 1          # o_custkey 99
+    assert rows["lineitem->orders"].n_orphans == 2          # l_orderkey 77, 78
+    assert rows["lineitem->part"].n_orphans == 0
+    assert rows["lineitem->supplier"].n_orphans == 0
+    assert rows["documents->embeddings"].n_orphans == 1     # doc_id 2
+    assert rows["lineitem->orders"].n_child == 4
