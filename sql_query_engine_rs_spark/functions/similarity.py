@@ -533,6 +533,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell; each query probes only its ``nprobe`` nearest cells, so the exact
@@ -540,14 +541,19 @@ def ivf_topk(
     nprobe (nprobe = num_centroids ⇒ exact). Output schema matches
     ``brute_force_topk``: (query_id, id, cos_sim, rank).
 
+    Pass a precomputed ``cents`` frame (from ``ivf_centroids``) to reuse
+    one codebook across several calls — e.g. an nprobe sweep; the default
+    rebuilds it (deterministic, identical result either way).
+
     At 100 TB: the cell id becomes the corpus partitioning/bucketing key, so
     the probe join is shuffle-free on the corpus side; only the (small)
     query×nprobe frame moves.
     """
-    cents = ivf_centroids(
-        corpus, num_centroids=num_centroids, iterations=iterations,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if cents is None:
+        cents = ivf_centroids(
+            corpus, num_centroids=num_centroids, iterations=iterations,
+            id_col=id_col, vec_col=vec_col,
+        )
     corpus_cells = ivf_assign(
         _ensure_parallelism(corpus.select(id_col, vec_col)), cents,
         nprobe=1, id_col=id_col, vec_col=vec_col,
