@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "ext_nth_value_window",
     "pipe_ann_nprobe_sweep",
     "pipe_fk_integrity",
+    "stream_event_transitions",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -4060,6 +4060,65 @@ def stream_dedup(spark, sf_dir):
 
 
 @register(
+    "stream_event_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events)
+       SELECT prev_type AS from_type, event_type AS to_type,
+              CAST(count(*) AS BIGINT) AS n
+       FROM seq WHERE prev_type IS NOT NULL
+       GROUP BY 1, 2""",
+)
+def stream_event_transitions(spark, sf_dir):
+    """The streaming twin of pipe_event_transitions, run as a REAL stream:
+    readStream over events -> ``transition_counts_stateful``
+    (``applyInPandasWithState``: one last-event-type string per user in the
+    state store, per-batch transition-count DELTAS emitted) -> update-mode
+    availableNow drain -> a final sum over the emitted deltas. The oracle
+    is the exact batch LAG matrix — the unified batch/streaming contract:
+    the always-on deployment maintains the corpus transition matrix
+    incrementally with O(users) state instead of recomputing the window
+    over all history each time."""
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import transition_counts_stateful
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_tr_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        deltas = transition_counts_stateful(stream)
+        sink = f"stream_tr_{uuid.uuid4().hex[:8]}"
+        (
+            deltas.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = (
+            spark.table(sink)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        result = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
     "stream_custom_state",
     """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
               FLOOR((SUM(value)) * 100 + 0.5) / 100 AS total

@@ -202,6 +202,80 @@ def running_totals_stateful(
     )
 
 
+def transition_counts_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming Markov transition counts — per-key LAST-EVENT-TYPE state
+    (``applyInPandasWithState``) emitting each micro-batch's (from_type,
+    to_type) count DELTAS; sum the emissions to get the corpus transition
+    matrix. The state is one string per key (the smallest possible custom
+    state), and because the emissions are deltas the final sum is
+    independent of how the source splits into micro-batches PROVIDED
+    batches arrive in event-time order per key (the file-stream drain the
+    registry uses is a single ordered batch; a production deployment fronts
+    this with the usual per-key ordered ingestion, e.g. Kafka partitions
+    keyed by user). Rows within a batch are sorted by (ts, order_col) —
+    a unique total order, so counts are deterministic. The pair counting
+    is pandas-vectorized (shift + value_counts), not a per-row loop, and
+    integer-only (no float drift). On a batch frame, falls back to the
+    equivalent LAG window + groupBy (same schema) — the batch twin the
+    DuckDB oracle replays."""
+    from pyspark.sql import functions as F
+
+    out_schema = "from_type string, to_type string, n long"
+
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+        seq = events.select(
+            F.col(type_col), F.lag(type_col).over(w).alias("_prev")
+        ).filter(F.col("_prev").isNotNull())
+        return seq.groupBy(
+            F.col("_prev").alias("from_type"), F.col(type_col).alias("to_type")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "last_type string"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            s = pdf[type_col].reset_index(drop=True)
+            prev = s.shift(1)
+            if last is not None:
+                prev.iloc[0] = last
+            last = s.iloc[-1]
+            mask = prev.notna()
+            if mask.any():
+                frames.append(pd.DataFrame({"from_type": prev[mask], "to_type": s[mask]}))
+        if last is not None:
+            state.update((str(last),))
+        if frames:
+            allp = pd.concat(frames)
+            vc = allp.groupby(["from_type", "to_type"]).size().reset_index(name="n")
+            yield vc
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

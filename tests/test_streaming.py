@@ -458,3 +458,56 @@ def test_dedup_index_upsert_restart_no_reprocess(spark, tmp_path):
         for r in _latest_upsert_version(spark, tgt_dir).collect()
     }
     assert after == {3: 3, 11: 1, 20: 1}
+
+
+def test_transition_state_carries_across_batches(spark, tmp_path):
+    """The last-event-type state must survive micro-batch boundaries: a
+    user's first event of batch N pairs with their last event of batch
+    N-1. Three single-file batches; the (B,C) and (A,A) transitions only
+    exist if state carries."""
+    import glob as g
+    import os
+    import shutil
+
+    from sql_query_engine_rs_spark.streaming import transition_counts_stateful
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        (
+            spark.createDataFrame(rows, "event_id long, user_id long, ts string, event_type string")
+            .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.copy(g.glob(tmp + "/part-*.parquet")[0], os.path.join(src_dir, name))
+
+    add_file([(1, 1, "2026-01-01 10:00:00", "A"), (2, 1, "2026-01-01 10:01:00", "B")], "f1.parquet")
+    add_file([(3, 1, "2026-01-01 10:02:00", "C"), (4, 2, "2026-01-01 10:00:00", "A")], "f2.parquet")
+    add_file([(5, 2, "2026-01-01 10:05:00", "A")], "f3.parquet")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = transition_counts_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tr_carry")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in spark.table("tr_carry").groupBy("from_type", "to_type").agg(
+            F.sum("n").alias("n")
+        ).collect()
+    }
+    spark.catalog.dropTempView("tr_carry")
+    assert got == {("A", "B"): 1, ("B", "C"): 1, ("A", "A"): 1}
