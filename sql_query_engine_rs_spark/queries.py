@@ -9214,6 +9214,54 @@ def pipe_emb_outliers(spark, sf_dir):
 
 
 @register(
+    "pipe_emb_norm_audit",
+    """WITH n AS (
+         SELECT label,
+                sqrt(list_reduce(list_prepend(0.0,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) * x)),
+                     (a, x) -> a + x)) AS nrm
+         FROM embeddings)
+       SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+              FLOOR(AVG(nrm) * 1000000 + 0.5) / 1000000 AS mean_norm,
+              FLOOR(stddev_pop(nrm) * 1000000 + 0.5) / 1000000 AS std_norm,
+              FLOOR(MIN(nrm) * 1000000 + 0.5) / 1000000 AS min_norm,
+              FLOOR(MAX(nrm) * 1000000 + 0.5) / 1000000 AS max_norm,
+              CAST(SUM(CASE WHEN nrm < 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              CAST(SUM(CASE WHEN ABS(nrm - 1.0) <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_unit
+       FROM n GROUP BY label""",
+)
+def pipe_emb_norm_audit(spark, sf_dir):
+    """Embedding L2-norm hygiene audit per label — run BEFORE any
+    cosine/dot-product operator: mean/std/min/max of vector norms plus
+    zero-vector and unit-norm counts. A mixed n_unit (some normalized, some
+    not) means cosine and dot-product rankings diverge — the classic silent
+    bug when two embedding versions get concatenated; zero vectors NaN
+    every cosine they touch. The norm folds over the vector IN INDEX ORDER
+    on both engines (zip-free JVM fold here, list_reduce there — the
+    registry fold contract), so stats round identically. Map-only scan +
+    one tiny per-label aggregate: scan-bound at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    n = emb.select("label", nrm.alias("_n"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        pround(F.avg("_n"), 6).alias("mean_norm"),
+        pround(F.stddev_pop("_n"), 6).alias("std_norm"),
+        pround(F.min("_n"), 6).alias("min_norm"),
+        pround(F.max("_n"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("_n") < 1e-9, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+        F.sum(F.when(F.abs(F.col("_n") - 1.0) <= 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unit"),
+    )
+
+
+@register(
     "pipe_label_centroid_sim",
     """WITH long AS (
          SELECT label, i, avg(embedding[i]) AS v
