@@ -5990,6 +5990,70 @@ def pipe_charclass_audit(spark, sf_dir):
 
 
 @register(
+    "pipe_length_quality_hist",
+    """WITH tk AS (
+         SELECT doc_id, n_chars,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_chars, CAST(len(toks) AS INT) AS n_tok,
+                list_reduce(list_prepend(0.0, list_transform(toks, t ->
+                  (((ascii(substr(md5(t), 1, 1)) - 48 -
+                     CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 +
+                    (ascii(substr(md5(t), 2, 1)) - 48 -
+                     CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97 THEN 39 ELSE 0 END))
+                   / 255.0 - 0.5))), (acc, x) -> acc + x) AS raw
+         FROM tk),
+       scored AS (
+         SELECT doc_id, n_chars,
+                FLOOR((raw / GREATEST(n_tok, 1)) * 1000000 + 0.5) / 1000000 AS score,
+                NTILE(10) OVER (ORDER BY n_chars, doc_id) AS len_decile
+         FROM s)
+       SELECT len_decile, (score > 0.0) AS keep,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              FLOOR(AVG(score) * 1000000 + 0.5) / 1000000 AS mean_score,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       FROM scored GROUP BY 1, 2""",
+)
+def pipe_length_quality_hist(spark, sf_dir):
+    """Joint length-decile × quality histogram — the EDA cut run before
+    committing a quality threshold: docs bucketed into length deciles
+    (NTILE over the unique (n_chars, doc_id) order) crossed with the
+    hashed-feature classifier's keep decision, with per-cell counts and
+    mean score. A keep-rate that collapses in the top deciles means the
+    gate is about to throw away exactly the long documents a pretraining
+    mix is short of — the bias this report exists to catch. Scoring is the
+    same map-side in-array fold as pipe_quality_classifier (no shuffle);
+    the decile NTILE is one global sort of (n_chars, doc_id) scalar pairs
+    — at 100 TB swap it for approx percentile cut points (the report is
+    decile-granular; exact rank is not the point). Output ≤ 20 rows."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+
+    def w(tok):
+        bucket = F.conv(F.substring(F.md5(tok), 1, 2), 16, 10).cast("double")
+        return bucket / 255.0 - 0.5
+
+    toked = d.select(
+        "doc_id", "n_chars", T.tokens(F.lower(F.col("text"))).alias("_toks")
+    )
+    raw = F.aggregate(F.col("_toks"), F.lit(0.0), lambda acc, tk: acc + w(tk))
+    score = pround(raw / F.greatest(F.size("_toks"), F.lit(1)), 6)
+    scored = toked.select(
+        "n_chars",
+        score.alias("score"),
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("len_decile"),
+    )
+    return scored.groupBy("len_decile", (F.col("score") > 0.0).alias("keep")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        pround(F.avg("score"), 6).alias("mean_score"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
     "pipe_source_quality_rollup",
     f"""SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,
