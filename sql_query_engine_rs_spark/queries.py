@@ -705,6 +705,47 @@ def ext_date_funcs(spark, sf_dir):
 
 
 @register(
+    "ext_yoy_growth",
+    """WITH m AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                FLOOR((SUM(o_totalprice)) * 100 + 0.5) / 100 AS revenue
+         FROM orders GROUP BY 1, 2)
+       SELECT yr, mo, revenue,
+              LAG(revenue, 12) OVER (ORDER BY yr, mo) AS revenue_prev_year,
+              CASE WHEN LAG(revenue, 12) OVER (ORDER BY yr, mo) > 0
+                   THEN FLOOR((revenue / LAG(revenue, 12) OVER (ORDER BY yr, mo) - 1.0)
+                              * 1000000 + 0.5) / 1000000 END AS yoy_growth
+       FROM m""",
+)
+def ext_yoy_growth(spark, sf_dir):
+    """Year-over-year growth — the canonical BI shape of a WINDOW OVER AN
+    AGGREGATE: monthly revenue rollup, then LAG(12) against the same month
+    last year, NULL for the first year (no baseline) and for zero baselines.
+    The window input is the months frame (tens of rows regardless of corpus
+    size — aggregate first, window second is the order that scales; the
+    reverse would window billions of rows). Calendar months with no orders
+    would silently misalign LAG(12); the synthetic corpus is dense, and the
+    production guard is a month spine (see ext_gap_fill)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(r2(F.sum("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("yr", "mo")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select(
+        "yr",
+        "mo",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        F.when(prev > 0, pround(F.col("revenue") / prev - 1.0, 6)).alias("yoy_growth"),
+    )
+
+
+@register(
     "ext_json_extract",
     """SELECT event_type, count(*) AS n,
               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
