@@ -113,6 +113,13 @@ HEAVY = [
     # shuffle join + one aggregate over the persisted edge frame; expected
     # linear in edges at a fixed iteration count
     "pipe_graph_pagerank",
+    # round-6 late: corpus-pair text ops — source_overlap's per-hash
+    # fan-out is bounded by #sources, distinct_ngrams is three two-phase
+    # distinct aggregates, the streaming transition matrix is O(users)
+    # state; all expected linear in documents/events
+    "pipe_source_overlap",
+    "pipe_distinct_ngrams",
+    "stream_event_transitions",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100

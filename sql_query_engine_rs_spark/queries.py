@@ -1091,6 +1091,46 @@ def _minhash_oracle(
         WHERE {jac} >= {threshold}"""
 
 
+@register(
+    "pipe_source_dup_matrix",
+    f"""WITH pairs AS ({_minhash_oracle()}),
+        j AS (SELECT LEAST(a.source, b.source) AS source_a,
+                     GREATEST(a.source, b.source) AS source_b,
+                     p.jaccard_sim
+              FROM pairs p
+              JOIN documents a ON p.id_a = a.doc_id
+              JOIN documents b ON p.id_b = b.doc_id)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               FLOOR(AVG(jaccard_sim) * 1000000 + 0.5) / 1000000 AS mean_jaccard
+        FROM j GROUP BY 1, 2""",
+)
+def pipe_source_dup_matrix(spark, sf_dir):
+    """Near-duplicate pair counts by source pair — the document-level
+    companion to pipe_source_overlap's shingle-set view: MinHash-verified
+    near-dup pairs (the same capped-LSH pipeline as pipe_minhash_lsh)
+    attributed to their unordered source pair, with per-cell pair count
+    and mean Jaccard. Off-diagonal cells are cross-corpus duplication —
+    the direct evidence for which corpora to cross-dedup (or drop) before
+    mixing; diagonal cells rank each source's internal redundancy. The
+    source attribution joins the skinny (doc_id, source) projection onto
+    the pair frame (pairs ≪ documents after LSH verification), then
+    collapses to a ≤ S² matrix."""
+    docs = docs_parallel(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=2, ngram=3, verify_threshold=0.8, max_band_size=256
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    joined = pairs.join(da, "id_a").join(db, "id_b")
+    return joined.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        pround(F.avg("jaccard_sim"), 6).alias("mean_jaccard"),
+    )
+
+
 @register("pipe_minhash_lsh", _minhash_oracle())
 def pipe_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs: 8 md5 min-hashes over 3-gram shingles,
