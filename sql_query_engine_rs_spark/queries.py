@@ -9359,6 +9359,71 @@ def pipe_emb_outliers(spark, sf_dir):
 
 
 @register(
+    "pipe_centroid_drift",
+    """WITH long AS (
+         SELECT label, vec_id % 2 AS half, i, avg(embedding[i]) AS v
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)
+         GROUP BY 1, 2, 3),
+       nrm AS (SELECT label, half, sqrt(SUM(v * v)) AS n
+               FROM long GROUP BY 1, 2),
+       p AS (SELECT a.label, SUM(a.v * b.v) AS dot
+             FROM long a JOIN long b
+               ON a.label = b.label AND a.i = b.i AND a.half = 0 AND b.half = 1
+             GROUP BY 1)
+       SELECT p.label,
+              FLOOR(dot / (n0.n * n1.n) * 1000000 + 0.5) / 1000000 AS halves_cos,
+              FLOOR((1.0 - dot / (n0.n * n1.n)) * 1000000 + 0.5) / 1000000 AS drift
+       FROM p
+       JOIN nrm n0 ON p.label = n0.label AND n0.half = 0
+       JOIN nrm n1 ON p.label = n1.label AND n1.half = 1""",
+)
+def pipe_centroid_drift(spark, sf_dir):
+    """Within-label embedding drift: cosine between each label's centroid
+    computed on two disjoint corpus halves (even/odd ids — in production,
+    yesterday's shard vs today's). halves_cos near 1 means the label's
+    embedding distribution is stable; drift = 1 − cos is the monitoring
+    scalar an ingest pipeline alerts on when an upstream embedding model
+    or corpus mix silently changes. Complements pipe_label_centroid_sim
+    (BETWEEN labels) — this is the same-label ACROSS-shards check. Same
+    scale shape as the centroid matrix: one posexplode → (label, half,
+    dim) mean with map-side partials, then everything downstream runs on
+    the 2·labels×dim long frame; the deterministic even/odd split keeps
+    the oracle exact where a sampled split would not be."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    long = (
+        emb.select("label", "half", F.posexplode("_v").alias("pos", "val"))
+        .groupBy("label", "half", "pos")
+        .agg(F.avg("val").alias("v"))
+    )
+    nrm = long.groupBy("label", "half").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("n")
+    )
+    a = long.filter(F.col("half") == 0).select("label", "pos", F.col("v").alias("_va"))
+    b = long.filter(F.col("half") == 1).select("label", "pos", F.col("v").alias("_vb"))
+    dot = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(F.sum(F.col("_va") * F.col("_vb")).alias("_dot"))
+    )
+    n0 = nrm.filter(F.col("half") == 0).select("label", F.col("n").alias("_n0"))
+    n1 = nrm.filter(F.col("half") == 1).select("label", F.col("n").alias("_n1"))
+    cos = F.col("_dot") / (F.col("_n0") * F.col("_n1"))
+    return (
+        dot.join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(
+            "label",
+            pround(cos, 6).alias("halves_cos"),
+            pround(1.0 - cos, 6).alias("drift"),
+        )
+    )
+
+
+@register(
     "pipe_emb_norm_audit",
     """WITH n AS (
          SELECT label,
