@@ -9358,6 +9358,99 @@ def pipe_emb_outliers(spark, sf_dir):
     )
 
 
+def _kcenter_oracle(k: int = 4, dim: int = 64) -> str:
+    """Unrolled greedy k-center replay: center i is the vector maximizing
+    the min squared-L2 distance to centers 0..i-1 (ties → min vec_id),
+    seeded at vec_id 0. The distance folds over the vector in index order
+    (list_reduce starting at 0.0 — the registry fold contract), so every
+    argmax compares bit-identical doubles on both engines."""
+
+    def d2(e, c):
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim} + 1), "
+            f"i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i]))), "
+            f"(a, x) -> a + x)"
+        )
+
+    sql = """WITH c0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0)"""
+    chosen = ["(SELECT vec_id FROM c0)"]
+    selects = ["SELECT 0 AS sel_order, (SELECT vec_id FROM c0) AS vec_id, NULL AS radius"]
+    for i in range(1, k):
+        if i == 1:
+            src = "embeddings e CROSS JOIN c0"
+            dmin = d2("e.embedding", "c0.embedding")
+        else:
+            src = (
+                f"m{i-1} e_m JOIN embeddings e ON e.vec_id = e_m.vec_id "
+                f"CROSS JOIN c{i-1}"
+            )
+            dmin = f"LEAST(e_m.dmin, {d2('e.embedding', f'c{i-1}.embedding')})"
+        not_in = " AND ".join(f"e.vec_id != {c}" for c in chosen)
+        sql += f""",
+        m{i} AS (SELECT e.vec_id, {dmin} AS dmin FROM {src} WHERE {not_in}),
+        s{i} AS (SELECT vec_id, dmin FROM m{i} ORDER BY dmin DESC, vec_id LIMIT 1),
+        c{i} AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN s{i} ON e.vec_id = s{i}.vec_id)"""
+        chosen.append(f"(SELECT vec_id FROM s{i})")
+        selects.append(
+            f"SELECT {i}, (SELECT vec_id FROM s{i}), "
+            f"FLOOR((SELECT dmin FROM s{i}) * 1000000 + 0.5) / 1000000"
+        )
+    return sql + "\n" + " UNION ALL ".join(selects)
+
+
+@register("pipe_kcenter_coreset", _kcenter_oracle())
+def pipe_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection — the data-pruning primitive
+    (Sener & Savarese's core-set approach): iteratively pick the vector
+    FARTHEST (min-dist to the chosen set, maximized) from the current
+    centers, seeded at vec_id 0; each pick's radius is the covering bound
+    the selection guarantees at that size. Real pipelines use this to pick
+    a diverse labeled subset / prune redundant training points. Scale
+    shape per iteration: centers broadcast (k vectors), one map-side
+    min-distance pass maintained INCREMENTALLY (each round folds only the
+    newest center into the running dmin — O(N) per round, not O(N·i)),
+    one TakeOrdered(1) argmax; the only driver-side data is the single
+    selected row per round (the registry's accepted iterative pattern).
+    Distances fold in index order, so the argmax compares bit-identical
+    doubles on both engines; ties break to min vec_id."""
+    import math
+
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    emb = persist_tracked(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        )
+    )
+    k = 4
+
+    def d2_to(center_vec):
+        lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seed = emb.filter(F.col("vec_id") == 0).collect()[0]
+    rows = [(0, int(seed.vec_id), None)]
+    chosen = {int(seed.vec_id)}
+    dmin_df = emb.filter(~F.col("vec_id").isin(chosen)).select(
+        "vec_id", "_v", d2_to(seed._v).alias("_dmin")
+    )
+    for i in range(1, k):
+        top = dmin_df.orderBy(F.desc("_dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        rows.append((i, int(top.vec_id), math.floor(top._dmin * 1e6 + 0.5) / 1e6))
+        chosen.add(int(top.vec_id))
+        if i < k - 1:
+            dmin_df = dmin_df.filter(~F.col("vec_id").isin(chosen)).select(
+                "vec_id", "_v", F.least(F.col("_dmin"), d2_to(top._v)).alias("_dmin")
+            )
+    return spark.createDataFrame(
+        rows, "sel_order int, vec_id long, radius double"
+    )
+
+
 @register(
     "pipe_centroid_drift",
     """WITH long AS (
