@@ -1245,6 +1245,53 @@ def _lsh_bucket_sql(col: str, num_planes: int, dim: int = 64, plane_offset: int 
     return " + ".join(terms)
 
 
+def _lsh_balance_oracle(planes=(2, 3, 4, 5), dim: int = 64) -> str:
+    arms = []
+    for p in planes:
+        arms.append(
+            f"""SELECT CAST({p} AS INT) AS num_planes,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(MAX(n) AS BIGINT) AS max_bucket,
+                   FLOOR(AVG(n) * 10000 + 0.5) / 10000 AS mean_bucket,
+                   CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+            FROM (SELECT bucket, CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT {_lsh_bucket_sql('embedding', p, dim)} AS bucket
+                        FROM embeddings) b
+                  GROUP BY bucket) per"""
+        )
+    return " UNION ALL ".join(arms)
+
+
+@register("pipe_lsh_bucket_balance", _lsh_balance_oracle())
+def pipe_lsh_bucket_balance(spark, sf_dir):
+    """Sign-LSH bucket-balance audit — the capacity-planning report behind
+    every LSH knob in the registry (knn_graph's auto-planes, near-dup
+    bucketing): for plane counts 2..5, the bucket count, max/mean bucket
+    population, and the implied within-bucket candidate-pair total
+    (Σ n·(n−1)/2 — the actual join work). Each added plane should roughly
+    halve mean population and quarter candidate pairs; a max_bucket far
+    above the mean exposes a skewed projection (correlated dims) that
+    plane-count tuning alone won't fix. One map-only bucket pass + tiny
+    aggregate per arm; the report is 4 rows at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = None
+    for p in (2, 3, 4, 5):
+        per = (
+            S.random_hyperplane_buckets(emb, num_planes=p)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        arm = per.agg(
+            F.lit(p).cast("int").alias("num_planes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            pround(F.avg("n"), 4).alias("mean_bucket"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("candidate_pairs"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out
+
+
 @register(
     "pipe_ann_lsh",
     f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 4)} AS bucket
