@@ -6964,16 +6964,8 @@ def pipe_length_trim(spark, sf_dir):
     )
 
 
-def _pq_oracle(num_subspaces: int = 16, num_centroids: int = 32, k: int = 5, dim: int = 64) -> str:
-    """DuckDB mirror of similarity.pq_topk with iterations=1: seed codebook
-    (same md5 sample as the IVF family, sub-sliced), ONE per-subspace Lloyd
-    step (argmin assignment + per-(m, code, dim) mean — the same replay
-    pattern as _ivf_codebook_ctes), per-(vector, subspace) argmin codes,
-    query distance tables, ADC sum + asc rank. The L2² folds are the SAME
-    left fold as Spark's aggregate() (see similarity.l2sq); the only float
-    divergence is the Lloyd means' partial-sum order (~1e-16) against
-    assignment margins of ~1e-2."""
-    sub = dim // num_subspaces
+def _pq_d2_sql(sub: int):
+    """The per-subspace L2² fold used by every PQ oracle stage."""
 
     def d2(sv: str, cent: str) -> str:
         term = f"({sv}[i] - {cent}[i])"
@@ -6982,7 +6974,16 @@ def _pq_oracle(num_subspaces: int = 16, num_centroids: int = 32, k: int = 5, dim
             f"i -> {term} * {term}), (acc, x) -> acc + x)"
         )
 
-    return f"""WITH seeds AS (
+    return d2
+
+
+def _pq_cte_prefix(num_subspaces: int = 16, num_centroids: int = 32, dim: int = 64) -> str:
+    """Shared PQ CTE chain: seed codebook → one Lloyd step → per-(vector,
+    subspace) argmin ``codes`` + refined ``cents``/slices ``sl`` — the
+    prefix both the ADC top-k oracle and the distortion audit build on."""
+    sub = dim // num_subspaces
+    d2 = _pq_d2_sql(sub)
+    return f"""seeds AS (
           SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS centroid_id,
                  embedding AS v
           FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {num_centroids}),
@@ -7015,7 +7016,22 @@ def _pq_oracle(num_subspaces: int = 16, num_centroids: int = 32, k: int = 5, dim
             SELECT s.vec_id, s.m, c.centroid_id,
                    row_number() OVER (PARTITION BY s.vec_id, s.m
                        ORDER BY {d2('s.sv', 'c.c')} ASC, c.centroid_id) AS rn
-            FROM sl s JOIN cents c ON c.m = s.m) x WHERE rn = 1),
+            FROM sl s JOIN cents c ON c.m = s.m) x WHERE rn = 1)"""
+
+
+def _pq_oracle(num_subspaces: int = 16, num_centroids: int = 32, k: int = 5, dim: int = 64) -> str:
+    """DuckDB mirror of similarity.pq_topk with iterations=1: seed codebook
+    (same md5 sample as the IVF family, sub-sliced), ONE per-subspace Lloyd
+    step (argmin assignment + per-(m, code, dim) mean — the same replay
+    pattern as _ivf_codebook_ctes), per-(vector, subspace) argmin codes,
+    query distance tables, ADC sum + asc rank. The L2² folds are the SAME
+    left fold as Spark's aggregate() (see similarity.l2sq); the only float
+    divergence is the Lloyd means' partial-sum order (~1e-16) against
+    assignment margins of ~1e-2."""
+    sub = dim // num_subspaces
+    d2 = _pq_d2_sql(sub)
+
+    return f"""WITH {_pq_cte_prefix(num_subspaces, num_centroids, dim)},
         qt AS (
           SELECT s.vec_id AS query_id, s.m, c.centroid_id,
                  {d2('s.sv', 'c.c')} AS qd2
@@ -7031,6 +7047,58 @@ def _pq_oracle(num_subspaces: int = 16, num_centroids: int = 32, k: int = 5, dim
                          ORDER BY approx_d2 ASC, vec_id) AS INT) AS rank
           FROM adc) r
         WHERE rank <= {k}"""
+
+
+def _pq_distortion_oracle(num_subspaces: int = 16, num_centroids: int = 32, dim: int = 64) -> str:
+    d2 = _pq_d2_sql(dim // num_subspaces)
+    return f"""WITH {_pq_cte_prefix(num_subspaces, num_centroids, dim)},
+        err AS (
+          SELECT s.m, {d2('s.sv', 'c.c')} AS e
+          FROM sl s
+          JOIN codes k ON k.vec_id = s.vec_id AND k.m = s.m
+          JOIN cents c ON c.m = s.m AND c.centroid_id = k.code)
+        SELECT CAST(m AS INT) AS m, CAST(count(*) AS BIGINT) AS n_vecs,
+               FLOOR(AVG(e) * 1000000 + 0.5) / 1000000 AS mean_d2,
+               FLOOR(MAX(e) * 1000000 + 0.5) / 1000000 AS max_d2
+        FROM err GROUP BY m"""
+
+
+@register("pipe_pq_distortion", _pq_distortion_oracle())
+def pipe_pq_distortion(spark, sf_dir):
+    """PQ quantization-distortion audit — the index-quality metric that
+    complements recall (pipe_ann_pq pins WHAT the index retrieves; this
+    measures HOW MUCH geometry the codes throw away): per subspace, the
+    mean and max squared-L2 reconstruction error between each sub-vector
+    and its assigned centroid, on the same 16×32 one-Lloyd-step codebook.
+    A subspace whose mean_d2 towers over the others is where ADC ranking
+    error concentrates — the signal to give that subspace more centroids
+    (or re-order dimensions). Scale shape: codebook broadcasts, the error
+    pass is one map-side fold over the N·M slice frame, and the report is
+    M rows; at 100 TB this audit rides along with the encode pass for
+    free."""
+    from sql_query_engine_rs_spark.functions.similarity import (
+        _pq_slices,
+        l2sq,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, num_subspaces=16, num_centroids=32, dim=64, iterations=1)
+    codes = pq_encode(emb, cb, num_subspaces=16, dim=64)
+    sliced = _pq_slices(emb, 16, 64)
+    err = (
+        sliced.join(codes, on=["vec_id", "m"])
+        .join(
+            F.broadcast(cb.withColumnRenamed("centroid_id", "code")), on=["m", "code"]
+        )
+        .select("m", l2sq(F.col("_sv"), F.col("_centroid")).alias("_e"))
+    )
+    return err.groupBy(F.col("m").cast("int").alias("m")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        pround(F.avg("_e"), 6).alias("mean_d2"),
+        pround(F.max("_e"), 6).alias("max_d2"),
+    )
 
 
 @register("pipe_ann_pq", _pq_oracle())
