@@ -1092,6 +1092,38 @@ def _minhash_oracle(
 
 
 @register(
+    "pipe_jaccard_threshold_sweep",
+    f"""WITH pairs AS ({_minhash_oracle(threshold=0.5)})
+        SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(threshold)
+          ON pairs.jaccard_sim >= t.threshold
+        GROUP BY 1""",
+)
+def pipe_jaccard_threshold_sweep(spark, sf_dir):
+    """Dedup threshold tuning curve — surviving near-dup pair counts at
+    Jaccard cutoffs 0.5..0.9 from ONE MinHash pair scan (verify floor
+    0.5): how many more pairs each relaxation of the registered 0.8
+    threshold would merge. The 2-band×4-row LSH banding targets J≈0.8, so
+    counts at the low cutoffs are candidates-the-bands-recalled, not
+    exhaustive — which is exactly the deployed pipeline's behavior (the
+    report measures the knob you'd actually turn, banding included).
+    One pair scan + a broadcast 5-row threshold join; the sweep adds no
+    second pass over the corpus."""
+    pairs = D.minhash_lsh_candidates(
+        docs_parallel(spark, sf_dir), num_hashes=8, bands=2, ngram=3,
+        verify_threshold=0.5, max_band_size=256,
+    )
+    th = spark.createDataFrame([(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double")
+    return (
+        pairs.join(F.broadcast(th), pairs["jaccard_sim"] >= th["threshold"])
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
     "pipe_source_dup_matrix",
     f"""WITH pairs AS ({_minhash_oracle()}),
         j AS (SELECT LEAST(a.source, b.source) AS source_a,
@@ -1342,6 +1374,53 @@ def pipe_knn_graph(spark, sf_dir):
     make buckets, cosines, and ranks engine-portable, so DuckDB replays
     the full graph under the driver hash gate."""
     return S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3)
+
+
+@register(
+    "pipe_knn_label_purity",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
+                     FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                 FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        knn AS (
+          SELECT src_id, nbr_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_sim DESC, nbr_id) AS rank
+            FROM scored) r
+          WHERE rank <= 4),
+        lab AS (
+          SELECT la.label AS label, (la.label = lb.label) AS same
+          FROM knn k
+          JOIN embeddings la ON k.src_id = la.vec_id
+          JOIN embeddings lb ON k.nbr_id = lb.vec_id)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN same THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+               FLOOR(SUM(CASE WHEN same THEN 1 ELSE 0 END) * 1.0 / count(*)
+                     * 1000000 + 0.5) / 1000000 AS purity
+        FROM lab GROUP BY label""",
+)
+def pipe_knn_label_purity(spark, sf_dir):
+    """k-NN label purity — the standard no-training embedding-quality
+    metric: the fraction of each label's outgoing k-NN edges that land on
+    a same-label neighbor. Purity near 1 means the embedding separates the
+    classes (a kNN classifier would work); purity near 1/num_labels means
+    the embedding carries no label signal — run this before trusting any
+    embedding-conditioned filter or the SemDeDup family. Reuses the
+    registered knn_graph (skinny LSH-bucket self-join); labels join on by
+    id, so only (id, id, label) triples move after the graph."""
+    g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3)
+    emb = t(spark, sf_dir, "embeddings")
+    la = emb.select(F.col("vec_id").alias("src_id"), F.col("label").alias("_la"))
+    lb = emb.select(F.col("vec_id").alias("nbr_id"), F.col("label").alias("_lb"))
+    lab = g.select("src_id", "nbr_id").join(la, "src_id").join(lb, "nbr_id")
+    same = F.sum(F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0))
+    return lab.groupBy(F.col("_la").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        same.cast("bigint").alias("n_same_label"),
+        pround(same / F.count(F.lit(1)), 6).alias("purity"),
+    )
 
 
 @register(
