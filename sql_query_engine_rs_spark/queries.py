@@ -1728,6 +1728,56 @@ def ext_nth_value_window(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_hub_impact",
+    """WITH e0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e0 GROUP BY p),
+       hubs AS (SELECT p FROM deg ORDER BY d DESC, p LIMIT 5),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0),
+       hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hub_edges
+               FROM e0 JOIN hubs ON e0.p = hubs.p)
+       SELECT n_edges, n_hub_edges,
+              FLOOR(n_hub_edges * 1.0 / n_edges * 1000000 + 0.5) / 1000000
+                  AS hub_edge_share
+       FROM tot CROSS JOIN hit""",
+)
+def pipe_hub_impact(spark, sf_dir):
+    """Hub-impact audit on the bipartite order-part graph: what share of
+    all edges touches the top-5 highest-degree parts. The planning number
+    behind every hub-mitigation decision — if 5 nodes carry 30% of edges,
+    any traversal (PageRank, components, k-NN expansion) needs those keys
+    salted or handled on their own path; if the share is ~5·d̄/E, the
+    degree distribution is flat and no special-casing is needed. Companion
+    to pipe_graph_degree_dist (the distribution) and pipe_join_skew_audit
+    (the flat-table view of the same phenomenon). One distinct-pair scan,
+    a 16-ish-row TakeOrdered for the hubs, and a broadcast semi-join count
+    — the audit is O(edges) with a 1-row result."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
+        .distinct()
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    li = persist_tracked(li)
+    hubs = (
+        li.groupBy("_p")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .orderBy(F.desc("_d"), F.asc("_p"))
+        .limit(5)
+        .select("_p")
+    )
+    tot = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    hit = li.join(F.broadcast(hubs), "_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hub_edges")
+    )
+    return tot.crossJoin(hit).select(
+        "n_edges",
+        "n_hub_edges",
+        pround(F.col("n_hub_edges") / F.col("n_edges"), 6).alias("hub_edge_share"),
+    )
+
+
 def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled fixed-iteration PageRank over the bipartite order-part
     graph: iteration i is one contribution CTE (edge join + group by dst)
