@@ -1277,6 +1277,66 @@ def _lsh_bucket_sql(col: str, num_planes: int, dim: int = 64, plane_offset: int 
     return " + ".join(terms)
 
 
+@register(
+    "pipe_maxsim_late_interaction",
+    f"""WITH q AS (SELECT vec_id // 3 AS bag, vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 6),
+        cos AS (
+          SELECT q.bag, q.qid, e.label,
+                 FLOOR(({_cosine_sql('q.qv', 'e.embedding')}) * 1000000 + 0.5) / 1000000 AS c
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 6),
+        mx AS (SELECT bag, qid, label, MAX(c) AS m FROM cos GROUP BY 1, 2, 3),
+        score AS (
+          SELECT bag, label,
+                 FLOOR(SUM(m) * 1000000 + 0.5) / 1000000 AS maxsim
+          FROM mx GROUP BY 1, 2)
+        SELECT CAST(bag AS BIGINT) AS bag, label, maxsim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY bag
+                         ORDER BY maxsim DESC, label) AS INT) AS rank
+          FROM score) r
+        WHERE rank <= 3""",
+)
+def pipe_maxsim_late_interaction(spark, sf_dir):
+    """ColBERT-style MaxSim late interaction: each query is a BAG of
+    vectors (two 3-vector bags here; in production, per-token query
+    embeddings) scored against multi-vector documents (each label's
+    vector set stands in) as Σ_q max_v cos(q, v) — the retrieval scoring
+    family single-vector ANN cannot express, because relevance is summed
+    over per-token best matches rather than one pooled similarity. Top-3
+    labels per bag. Scale shape: the query bags broadcast (they are tiny
+    by construction); the corpus streams map-side through one cosine pass;
+    the per-(bag, query, doc) max and the per-(bag, doc) sum both collapse
+    with map-side partials, so the only shuffle carries (bag, doc, scalar)
+    rows; the final top-k is a per-bag window over #docs scored rows. The
+    per-query max is over ROUNDED cosines (ties to the larger raw value
+    are impossible cross-engine at 1e-6 granularity after identical
+    rounding), making the whole score chain hash-exact."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") / 3).cast("long").alias("bag"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 6).select(
+        "label", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    from sql_query_engine_rs_spark.functions.similarity import cosine
+
+    cos = corpus.crossJoin(F.broadcast(q)).select(
+        "bag", "qid", "label", pround(cosine(F.col("_qv"), F.col("_v")), 6).alias("_c")
+    )
+    mx = cos.groupBy("bag", "qid", "label").agg(F.max("_c").alias("_m"))
+    score = mx.groupBy("bag", "label").agg(pround(F.sum("_m"), 6).alias("maxsim"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bag").orderBy(F.desc("maxsim"), F.asc("label"))
+    return (
+        score.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("bag", "label", "maxsim", "rank")
+    )
+
+
 def _lsh_balance_oracle(planes=(2, 3, 4, 5), dim: int = 64) -> str:
     arms = []
     for p in planes:
