@@ -5597,6 +5597,69 @@ def pipe_bm25(spark, sf_dir):
     return top_k(out, 20, F.col("bm25").desc(), F.col("doc_id"))
 
 
+def _rrf_oracle() -> str:
+    """RRF fusion replay: the registered BM25 oracle as the text arm, a
+    brute-cosine top-20 (query = vec 0) as the vector arm, fused with
+    k=60 reciprocal ranks over a FULL OUTER join of the two lists."""
+    bm25_sql = QUERIES["pipe_bm25"].oracle
+    return f"""WITH b0 AS ({bm25_sql}),
+        b AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+              FROM b0),
+        qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        a0 AS (SELECT e.vec_id AS doc_id,
+                      FLOOR(({_cosine_sql('qv.v', 'e.embedding')}) * 1000000 + 0.5) / 1000000 AS c
+               FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0),
+        a AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+              FROM a0 ORDER BY c DESC, doc_id LIMIT 20),
+        fused AS (
+          SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+                 FLOOR((COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + a.r), 0))
+                       * 1000000 + 0.5) / 1000000 AS rrf_score
+          FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id)
+        SELECT doc_id, rrf_score, rank FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+          FROM fused) f
+        WHERE rank <= 10"""
+
+
+@register("pipe_rrf_fusion", _rrf_oracle())
+def pipe_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion — the standard hybrid-retrieval combiner:
+    the BM25 top-20 (lexical arm, the registered pipe_bm25 list) and the
+    brute-cosine top-20 for query vector 0 (semantic arm; doc_id == vec_id
+    across the corpus tables) fused as Σ 1/(60 + rank), full-outer so a
+    doc ranked by either arm scores, top-10 out. RRF is THE production
+    answer to 'BM25 and embeddings disagree' — rank-based, so no score
+    calibration between arms is needed. Scale shape: both arms are
+    top-k-bounded lists (TakeOrdered / per-query heaps upstream), so the
+    fusion join and final window touch at most 2k rows regardless of
+    corpus size; the corpus-wide work is whatever the arms already cost."""
+    from pyspark.sql import Window
+
+    bdf = QUERIES["pipe_bm25"].build(spark, sf_dir)
+    b = bdf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("_rb"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    a = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("_ra")
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("_rb")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("_ra")), F.lit(0.0)
+    )
+    fused = b.join(a, "doc_id", "full_outer").select(
+        "doc_id", pround(rrf, 6).alias("rrf_score")
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 @register(
     "pipe_inverted_index",
     """WITH tok AS (
