@@ -5597,6 +5597,112 @@ def pipe_bm25(spark, sf_dir):
     return top_k(out, 20, F.col("bm25").desc(), F.col("doc_id"))
 
 
+def _mmr_oracle(n_cand: int = 10, n_select: int = 4, lam: float = 0.5) -> str:
+    """Unrolled MMR greedy replay: candidates = cosine top-10 for query
+    vec 0 (rounded rel), pairwise candidate sims (rounded), then
+    selection i maximizes lam·rel − (1−lam)·max-sim-to-selected, ties to
+    min doc_id. All comparisons run on identically rounded doubles, so
+    the greedy path is engine-portable."""
+    cos_q = _cosine_sql("qv.v", "e.embedding")
+    cos_ab = _cosine_sql("x.embedding", "y.embedding")
+    sql = f"""WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        cand AS (
+          SELECT doc_id, rel FROM (
+            SELECT e.vec_id AS doc_id,
+                   FLOOR(({cos_q}) * 1000000 + 0.5) / 1000000 AS rel,
+                   row_number() OVER (ORDER BY FLOOR(({cos_q}) * 1000000 + 0.5) / 1000000 DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN qv WHERE e.vec_id != 0) c
+          WHERE rn <= {n_cand}),
+        sim AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb,
+                 FLOOR(({cos_ab}) * 1000000 + 0.5) / 1000000 AS s
+          FROM cand a JOIN cand b ON a.doc_id != b.doc_id
+          JOIN embeddings x ON x.vec_id = a.doc_id
+          JOIN embeddings y ON y.vec_id = b.doc_id),
+        s1 AS (SELECT doc_id, rel FROM cand ORDER BY rel DESC, doc_id LIMIT 1)"""
+    chosen = ["(SELECT doc_id FROM s1)"]
+    selects = [f"SELECT 1 AS sel_order, (SELECT doc_id FROM s1) AS doc_id, (SELECT rel FROM s1) AS mmr_score"]
+    for i in range(2, n_select + 1):
+        in_sel = ", ".join(chosen)
+        sql += f""",
+        r{i} AS (
+          SELECT c.doc_id,
+                 FLOOR(({lam} * c.rel - {1 - lam} * MAX(sim.s)) * 1000000 + 0.5) / 1000000 AS sc
+          FROM cand c JOIN sim ON sim.ida = c.doc_id AND sim.idb IN ({in_sel})
+          WHERE c.doc_id NOT IN ({in_sel})
+          GROUP BY c.doc_id, c.rel),
+        s{i} AS (SELECT doc_id, sc FROM r{i} ORDER BY sc DESC, doc_id LIMIT 1)"""
+        chosen.append(f"(SELECT doc_id FROM s{i})")
+        selects.append(f"SELECT {i}, (SELECT doc_id FROM s{i}), (SELECT sc FROM s{i})")
+    return sql + "\n" + " UNION ALL ".join(selects)
+
+
+@register("pipe_mmr_diversify", _mmr_oracle())
+def pipe_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance diversification — the rerank every
+    retrieval stack bolts onto its top-k: from the cosine top-10 for
+    query vector 0, greedily select 4 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected (λ=0.5) so
+    near-duplicate hits don't crowd the result list. Implemented as an
+    Arrow-batched ``applyInPandas`` kernel over the per-query candidate
+    group — the production shape: candidate lists are k-bounded BY
+    CONSTRUCTION, so each group's greedy loop runs in one python worker
+    on a tiny frame while thousands of queries diversify in parallel
+    across executors. Inputs to the kernel (relevances, pairwise sims)
+    are pre-rounded at 1e-6 by the distributed stage, so the greedy
+    comparisons are engine-portable and the unrolled DuckDB replay
+    hash-matches selection-for-selection."""
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    from sql_query_engine_rs_spark.functions.similarity import brute_force_topk, cosine
+
+    cand = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("rel")
+    )
+    ce = cand.join(emb.select("vec_id", "embedding"), cand["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "rel", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    a, b = ce.alias("a"), ce.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.lit(0).alias("query_id"),
+            F.col("a.doc_id").alias("ida"),
+            F.col("a.rel").alias("rel_a"),
+            F.col("b.doc_id").alias("idb"),
+            pround(cosine(F.col("a._v"), F.col("b._v")), 6).alias("s"),
+        )
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        rel = dict(zip(pdf["ida"], pdf["rel_a"]))
+        sim = {(r.ida, r.idb): r.s for r in pdf.itertuples()}
+        ids = sorted(rel)
+        first = max(ids, key=lambda d: (rel[d], -d))
+        sel = [first]
+        out = [(1, first, rel[first])]
+        lam = 0.5
+        for i in range(2, 5):
+            best = None
+            for c in ids:
+                if c in sel:
+                    continue
+                sc = lam * rel[c] - (1 - lam) * max(sim[(c, s)] for s in sel)
+                sc = math.floor(sc * 1e6 + 0.5) / 1e6
+                if best is None or (sc, -c) > (best[1], -best[0]):
+                    best = (c, sc)
+            sel.append(best[0])
+            out.append((i, best[0], best[1]))
+        return pd.DataFrame(out, columns=["sel_order", "doc_id", "mmr_score"])
+
+    return pairs.groupBy("query_id").applyInPandas(
+        mmr, "sel_order int, doc_id long, mmr_score double"
+    )
+
+
 def _rrf_oracle() -> str:
     """RRF fusion replay: the registered BM25 oracle as the text arm, a
     brute-cosine top-20 (query = vec 0) as the vector arm, fused with
