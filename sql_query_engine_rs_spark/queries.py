@@ -4078,6 +4078,64 @@ def pipe_ann_nprobe_sweep(spark, sf_dir):
     )
 
 
+def _ndcg_oracle(num_centroids: int = 8, nprobe: int = 2, k: int = 5, nq: int = 5) -> str:
+    """nDCG@k replay: the IVF arm (at a deliberately lossy nprobe) scored
+    against the exact cosine ranking; gain = (cos+1)/2, discount
+    1/log2(rank+1)."""
+    ivf = _ivf_oracle(num_centroids=num_centroids, nprobe=nprobe, k=k, nq=nq)
+    cos = _cosine_sql("qe.embedding", "ce.embedding")
+    return f"""WITH approx AS ({ivf}),
+        exact AS (
+          SELECT query_id, cos_sim, rank FROM (
+            SELECT qe.vec_id AS query_id, ce.vec_id,
+                   FLOOR(({cos}) * 1000000 + 0.5) / 1000000 AS cos_sim,
+                   row_number() OVER (PARTITION BY qe.vec_id ORDER BY
+                       FLOOR(({cos}) * 1000000 + 0.5) / 1000000 DESC, ce.vec_id) AS rank
+            FROM embeddings qe JOIN embeddings ce ON qe.vec_id != ce.vec_id
+            WHERE qe.vec_id < {nq}) x WHERE rank <= {k}),
+        dcg AS (SELECT query_id,
+                       SUM((cos_sim + 1) / 2 / log2(rank + 1)) AS dcg
+                FROM approx GROUP BY query_id),
+        idcg AS (SELECT query_id,
+                        SUM((cos_sim + 1) / 2 / log2(rank + 1)) AS idcg
+                 FROM exact GROUP BY query_id)
+        SELECT dcg.query_id,
+               FLOOR(dcg * 1000000 + 0.5) / 1000000 AS dcg,
+               FLOOR(idcg * 1000000 + 0.5) / 1000000 AS idcg,
+               FLOOR(dcg / idcg * 1000000 + 0.5) / 1000000 AS ndcg
+        FROM dcg JOIN idcg ON dcg.query_id = idcg.query_id"""
+
+
+@register("pipe_ann_ndcg", _ndcg_oracle())
+def pipe_ann_ndcg(spark, sf_dir):
+    """nDCG@5 of the IVF arm — the ranking-aware retrieval metric
+    completing the eval suite (recall says WHETHER the right docs came
+    back; nDCG says whether they came back IN THE RIGHT ORDER, weighted
+    toward the top): the IVF list at a deliberately lossy nprobe=2 scored
+    against the exact cosine ranking, gain (cos+1)/2, discount
+    1/log2(rank+1). Scale shape: both arms are query-bounded top-k lists;
+    the metric aggregates ≤ k rows per query — evaluation rides free on
+    the retrieval passes. A production eval sweeps this over the nprobe
+    grid exactly like pipe_ann_nprobe_sweep does for recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5)
+    approx = S.ivf_topk(emb, qv, k=5, num_centroids=8, nprobe=2)
+    exact = S.brute_force_topk(emb, qv, k=5)
+
+    def dcg_of(df, out):
+        term = (F.col("cos_sim") + 1) / 2 / F.log2(F.col("rank") + 1)
+        return df.groupBy("query_id").agg(F.sum(term).alias(out))
+
+    d = dcg_of(approx, "_dcg")
+    i = dcg_of(exact, "_idcg")
+    return d.join(i, "query_id").select(
+        "query_id",
+        pround(F.col("_dcg"), 6).alias("dcg"),
+        pround(F.col("_idcg"), 6).alias("idcg"),
+        pround(F.col("_dcg") / F.col("_idcg"), 6).alias("ndcg"),
+    )
+
+
 @register("pipe_ann_ivf", _ivf_oracle())
 def pipe_ann_ivf(spark, sf_dir):
     """IVF approximate nearest neighbors — the cell-partitioned scale path
