@@ -1124,6 +1124,52 @@ def pipe_jaccard_threshold_sweep(spark, sf_dir):
 
 
 @register(
+    "pipe_editdist_dedup",
+    f"""WITH pairs AS ({_minhash_oracle(threshold=0.5)}),
+        v AS (
+          SELECT p.id_a, p.id_b,
+                 levenshtein(a.text, b.text) AS dist,
+                 GREATEST(length(a.text), length(b.text)) AS maxlen
+          FROM pairs p
+          JOIN documents a ON p.id_a = a.doc_id
+          JOIN documents b ON p.id_b = b.doc_id)
+        SELECT id_a, id_b, CAST(dist AS BIGINT) AS edit_dist,
+               FLOOR(dist * 1.0 / maxlen * 1000000 + 0.5) / 1000000 AS edit_ratio
+        FROM v
+        WHERE dist * 1.0 / maxlen <= 0.2""",
+)
+def pipe_editdist_dedup(spark, sf_dir):
+    """Edit-distance-verified near-dups — the high-precision second
+    verifier real dedup stacks run after shingle Jaccard: MinHash
+    candidates (verify floor 0.5) re-checked with normalized Levenshtein
+    (dist / max length ≤ 0.2). Jaccard is bag-of-shingles — blind to
+    ordering and local edits; edit distance certifies the documents are
+    genuinely one revision apart, which is the evidence bar for
+    aggressive cross-source removal. Scale shape: Levenshtein is O(len²)
+    per pair, which is EXACTLY why it only ever runs on the LSH-bounded
+    candidate list (never corpus-wide) and why the candidates join the
+    text back by id after banding — the expensive verify touches pairs,
+    not the corpus. Both engines ship the same DP levenshtein, so the
+    distances are integers and hash-exact."""
+    docs = docs_parallel(spark, sf_dir)
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=2, ngram=3, verify_threshold=0.5, max_band_size=256
+    ).select("id_a", "id_b")
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    v = pairs.join(ta, "id_a").join(tb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+        F.greatest(F.length("_ta"), F.length("_tb")).alias("_maxlen"),
+    )
+    ratio = F.col("edit_dist") / F.col("_maxlen")
+    return v.filter(ratio <= 0.2).select(
+        "id_a", "id_b", "edit_dist", pround(ratio, 6).alias("edit_ratio")
+    )
+
+
+@register(
     "pipe_source_dup_matrix",
     f"""WITH pairs AS ({_minhash_oracle()}),
         j AS (SELECT LEAST(a.source, b.source) AS source_a,
