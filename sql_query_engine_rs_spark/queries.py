@@ -2301,6 +2301,21 @@ _ROUND6_STAGED = [
     "pipe_dup_clusters", "pipe_dedup_keeplist",
 ]
 
+# Round-7 staging head (this round's window was already full at 50): the
+# late-round-6 additions below are locally oracle-green (vanilla-session
+# sims at sf0.01) but have no driver row yet — they take the head of the
+# NEXT round's window, same discipline as round 6 inherited the 28
+# round-5 entries. Listed here so the restage is a copy, not a hunt:
+#   pipe_graph_pagerank, pipe_join_skew_audit, pipe_event_transitions,
+#   pipe_graph_degree_dist, ext_nth_value_window, pipe_ann_nprobe_sweep,
+#   pipe_fk_integrity, stream_event_transitions, pipe_emb_norm_audit,
+#   pipe_length_quality_hist, ext_yoy_growth, pipe_source_dup_matrix,
+#   pipe_centroid_drift, pipe_kcenter_coreset, pipe_lsh_bucket_balance,
+#   pipe_pq_distortion, pipe_knn_label_purity, pipe_jaccard_threshold_sweep,
+#   pipe_hub_impact, pipe_maxsim_late_interaction, pipe_rrf_fusion,
+#   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup
+# (plus any added after this comment; see SURVEY.md round-6 session log.)
+
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
 # then the r03-era cohort. Order within an era is arbitrary but fixed.
 _STALE_COHORT = [
@@ -5768,8 +5783,11 @@ def pipe_mmr_diversify(spark, sf_dir):
         "doc_id", "rel", F.col("embedding").cast("array<double>").alias("_v")
     )
     a, b = ce.alias("a"), ce.alias("b")
+    # the 10-row candidate side broadcasts (BroadcastNestedLoopJoin, the
+    # sanctioned k-bounded shape) — never an unbroadcast CartesianProduct
     pairs = (
-        a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(
             F.lit(0).alias("query_id"),
             F.col("a.doc_id").alias("ida"),
