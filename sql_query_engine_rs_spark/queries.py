@@ -1124,6 +1124,74 @@ def pipe_jaccard_threshold_sweep(spark, sf_dir):
 
 
 @register(
+    "pipe_dup_transitivity",
+    f"""WITH pairs AS ({_minhash_oracle()}),
+        und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+        wedge AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM und e1 JOIN und e2 ON e1.b = e2.a AND e2.b != e1.a),
+        closed AS (
+          SELECT count(*) AS n FROM wedge w
+          JOIN und e3 ON w.x = e3.a AND w.z = e3.b),
+        tot AS (SELECT count(*) AS n FROM wedge),
+        np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+        SELECT n_pairs,
+               CAST(tot.n AS BIGINT) AS n_wedges,
+               CAST(closed.n AS BIGINT) AS n_closed,
+               CASE WHEN tot.n > 0
+                    THEN FLOOR(closed.n * 1.0 / tot.n * 1000000 + 0.5) / 1000000
+                    END AS closure_rate
+        FROM np CROSS JOIN tot CROSS JOIN closed""",
+)
+def pipe_dup_transitivity(spark, sf_dir):
+    """Transitivity audit of the near-dup graph — the empirical check
+    behind the connected-components clustering design: duplicate_clusters
+    merges by transitive closure, which over-merges exactly when J ≥ 0.8
+    edges fail to triangulate (doc A ~ B ~ C but A !~ C). This reports the
+    wedge-closure rate (closed two-paths / all two-paths) of the verified
+    MinHash pair graph: near 1.0 certifies closure-based clustering is
+    faithful at this threshold; a low rate says clusters are chains and a
+    stricter threshold or star-rewrite (pipe_dedup_survivorship's rule)
+    should gate removals instead. Scale shape: all joins are on the skinny
+    undirected pair list (ids only, already LSH-bounded); wedge counting
+    is the standard two-hop self-join, and the result is one row."""
+    pairs = D.minhash_lsh_candidates(
+        docs_parallel(spark, sf_dir), num_hashes=8, bands=2, ngram=3,
+        verify_threshold=0.8, max_band_size=256,
+    ).select("id_a", "id_b")
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    und = persist_tracked(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        ).distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    wedge = e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e2.b") != F.col("e1.a"))).select(
+        F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
+    )
+    wedge = persist_tracked(wedge)
+    tot = wedge.agg(F.count(F.lit(1)).alias("_nw"))
+    closed = wedge.join(
+        e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
+    ).agg(F.count(F.lit(1)).alias("_nc"))
+    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return (
+        np_.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(closed))
+        .select(
+            "n_pairs",
+            F.col("_nw").cast("bigint").alias("n_wedges"),
+            F.col("_nc").cast("bigint").alias("n_closed"),
+            F.when(F.col("_nw") > 0, pround(F.col("_nc") / F.col("_nw"), 6)).alias(
+                "closure_rate"
+            ),
+        )
+    )
+
+
+@register(
     "pipe_editdist_dedup",
     f"""WITH pairs AS ({_minhash_oracle(threshold=0.5)}),
         v AS (
