@@ -3638,6 +3638,72 @@ def _dup_keeplist_oracle() -> str:
         WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"""
 
 
+def _mixture_shift_oracle() -> str:
+    return f"""WITH keep AS ({_dup_keeplist_oracle()}),
+        tok AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok
+          FROM documents),
+        pre AS (SELECT source, SUM(n_tok) AS t FROM tok GROUP BY source),
+        post AS (SELECT source, SUM(n_tok) AS t
+                 FROM tok JOIN keep USING (doc_id) GROUP BY source),
+        pt AS (SELECT SUM(t) AS tt FROM pre),
+        at AS (SELECT SUM(t) AS tt FROM post)
+        SELECT pre.source,
+               CAST(pre.t AS BIGINT) AS tokens_before,
+               CAST(post.t AS BIGINT) AS tokens_after,
+               FLOOR(pre.t * 1.0 / pt.tt * 1000000 + 0.5) / 1000000 AS share_before,
+               FLOOR(post.t * 1.0 / at.tt * 1000000 + 0.5) / 1000000 AS share_after,
+               FLOOR((post.t * 1.0 / at.tt - pre.t * 1.0 / pt.tt) * 1000000 + 0.5)
+                   / 1000000 AS share_delta
+        FROM pre JOIN post ON pre.source = post.source
+        CROSS JOIN pt CROSS JOIN at"""
+
+
+@register("pipe_dedup_mixture_shift", _mixture_shift_oracle())
+def pipe_dedup_mixture_shift(spark, sf_dir):
+    """How dedup silently rebalances the training mixture: per-source
+    token counts and corpus shares BEFORE vs AFTER the near-dup keep-list
+    (pipe_dedup_keeplist's deliverable), with the share delta. Sources
+    with high internal duplication lose weight when dedup runs — if
+    mixture weights (pipe_mixture_sample, pipe_lang_balance_weights) were
+    tuned pre-dedup, this report is the correction sheet; run it after
+    every dedup-policy change. One tokenize pass feeds both sides; the
+    keep-list join is a skinny doc_id semi-join; everything downstream is
+    #sources-row arithmetic with the two 1-row totals broadcast."""
+    keep = QUERIES["pipe_dedup_keeplist"].build(spark, sf_dir).select("doc_id")
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    tok = persist_tracked(
+        docs_parallel(spark, sf_dir).select(
+            "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("_n")
+        )
+    )
+    pre = tok.groupBy("source").agg(F.sum("_n").alias("_tb"))
+    post = (
+        tok.join(keep, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("_n").alias("_ta"))
+    )
+    pt = pre.agg(F.sum("_tb").alias("_ptt"))
+    at = post.agg(F.sum("_ta").alias("_att"))
+    return (
+        pre.join(post, "source")
+        .crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "source",
+            F.col("_tb").cast("bigint").alias("tokens_before"),
+            F.col("_ta").cast("bigint").alias("tokens_after"),
+            pround(F.col("_tb") / F.col("_ptt"), 6).alias("share_before"),
+            pround(F.col("_ta") / F.col("_att"), 6).alias("share_after"),
+            pround(F.col("_ta") / F.col("_att") - F.col("_tb") / F.col("_ptt"), 6).alias(
+                "share_delta"
+            ),
+        )
+    )
+
+
 @register("pipe_dedup_keeplist", _dup_keeplist_oracle())
 def pipe_dedup_keeplist(spark, sf_dir):
     """The dedup pipeline's actual DELIVERABLE: the list of documents to
