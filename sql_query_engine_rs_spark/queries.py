@@ -869,6 +869,51 @@ def pipe_token_gini(spark, sf_dir):
 
 
 @register(
+    "pipe_events_autocorr",
+    """WITH hourly AS (
+         SELECT epoch(date_trunc('hour', ts)) // 3600 AS h,
+                CAST(count(*) AS DOUBLE) AS n
+         FROM events GROUP BY 1),
+       lags AS (SELECT unnest([1, 6, 12, 24]) AS lag),
+       j AS (
+         SELECT l.lag, a.n AS x, b.n AS y
+         FROM hourly a
+         JOIN lags l ON TRUE
+         JOIN hourly b ON b.h = a.h + l.lag)
+       SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+              FLOOR(corr(x, y) * 1000000 + 0.5) / 1000000 AS autocorr
+       FROM j GROUP BY lag""",
+)
+def pipe_events_autocorr(spark, sf_dir):
+    """Seasonality detection on the ingest series: Pearson autocorrelation
+    of hourly event counts at lags 1/6/12/24 — a high lag-24 value is the
+    daily cycle every traffic-shaped corpus has, and the lag profile is
+    what picks the window length for pipe_ingest_anomaly's trailing
+    baseline (an anomaly detector whose window fights the seasonality
+    fires on every peak). Shape: the corpus-wide work is one hourly
+    rollup with map-side partials; the lag self-join and corr run on the
+    ~hours-count frame (tiny at any corpus size), joined via a broadcast
+    4-row lag table. corr() is the same two-pass-free sufficient-stats
+    aggregate on both engines, rounded at 1e-6."""
+    e = events_table(spark, sf_dir)
+    hourly = (
+        e.groupBy((F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast("long").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    lags = spark.createDataFrame([(1,), (6,), (12,), (24,)], "lag int")
+    a = hourly.select(F.col("h").alias("_ha"), F.col("n").alias("x"))
+    b = hourly.select(F.col("h").alias("_hb"), F.col("n").alias("y"))
+    j = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("_hb") == F.col("_ha") + F.col("lag"))
+    )
+    return j.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        pround(F.corr("x", "y"), 6).alias("autocorr"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
