@@ -914,6 +914,67 @@ def pipe_events_autocorr(spark, sf_dir):
 
 
 @register(
+    "pipe_basket_lift",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       tot AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM items),
+       freq AS (SELECT pk, CAST(count(*) AS DOUBLE) AS cnt FROM items GROUP BY pk),
+       pairs AS (
+         SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS pair_cnt
+         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2
+         HAVING count(*) >= 3),
+       scored AS (
+         SELECT part_a, part_b, pair_cnt,
+                FLOOR(pair_cnt * t.n_orders / (fa.cnt * fb.cnt) * 1000000 + 0.5)
+                  / 1000000 AS lift,
+                FLOOR(pair_cnt / fa.cnt * 1000000 + 0.5) / 1000000 AS confidence
+         FROM pairs
+         JOIN freq fa ON fa.pk = part_a
+         JOIN freq fb ON fb.pk = part_b
+         CROSS JOIN tot t)
+       SELECT * FROM scored ORDER BY lift DESC, part_a, part_b LIMIT 20""",
+)
+def pipe_basket_lift(spark, sf_dir):
+    """Market-basket association mining over the order->part bipartite
+    data: support / confidence / lift for part pairs co-purchased in the
+    same order, top-20 by lift at a min-support of 3 orders — the
+    co-occurrence recommender primitive (and, on corpora, the
+    "documents that always travel together" mirror of pipe_source_overlap).
+    Shape: the pair generator is a SELF-JOIN CO-PARTITIONED ON THE ORDER
+    KEY, so fan-out per order is bounded by C(basket,2) (baskets are <=13
+    here, <=7 in TPC-H — a constant, not a scale term) and the exchange
+    carries only (orderkey, partkey) pairs; part frequencies are a
+    dims-sized table AQE broadcasts back; the order count is a broadcast
+    1-row scalar; top-20 collapses to TakeOrderedAndProject. Ordering is
+    on the 1e-6-ROUNDED lift (identical integer-ratio doubles on both
+    engines) with (part_a, part_b) tie-breaks, so the cut is
+    deterministic cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    tot = items.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
+    freq = items.groupBy("pk").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok").alias("_okb"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("_okb")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+    scored = (
+        pairs.join(freq.select(F.col("pk").alias("part_a"), F.col("cnt").alias("_ca")), "part_a")
+        .join(freq.select(F.col("pk").alias("part_b"), F.col("cnt").alias("_cb")), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "pair_cnt",
+            pround(F.col("pair_cnt") * F.col("n_orders") / (F.col("_ca") * F.col("_cb")), 6).alias("lift"),
+            pround(F.col("pair_cnt") / F.col("_ca"), 6).alias("confidence"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "part_a", "part_b").limit(20)
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2426,7 +2487,9 @@ _ROUND6_STAGED = [
 #   pipe_centroid_drift, pipe_kcenter_coreset, pipe_lsh_bucket_balance,
 #   pipe_pq_distortion, pipe_knn_label_purity, pipe_jaccard_threshold_sweep,
 #   pipe_hub_impact, pipe_maxsim_late_interaction, pipe_rrf_fusion,
-#   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup
+#   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup,
+#   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
+#   pipe_basket_lift
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
