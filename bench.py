@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "pipe_dedup_mixture_shift",
     "pipe_events_autocorr",
     "pipe_basket_lift",
+    "pipe_rfm_segments",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -975,6 +975,69 @@ def pipe_basket_lift(spark, sf_dir):
 
 
 @register(
+    "pipe_rfm_segments",
+    """WITH maxd AS (SELECT max(o_orderdate) AS dmax FROM orders),
+       per_cust AS (
+         SELECT o_custkey AS ck,
+                date_diff('day', max(o_orderdate), (SELECT dmax FROM maxd)) AS recency_days,
+                CAST(count(*) AS BIGINT) AS freq,
+                FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS monetary
+         FROM orders GROUP BY 1),
+       scored AS (
+         SELECT ck, monetary,
+                NTILE(4) OVER (ORDER BY recency_days, ck) AS r,
+                NTILE(4) OVER (ORDER BY freq DESC, ck) AS f,
+                NTILE(4) OVER (ORDER BY monetary DESC, ck) AS m
+         FROM per_cust)
+       SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+              FLOOR(AVG(monetary) * 100 + 0.5) / 100 AS avg_monetary
+       FROM scored GROUP BY r, f, m""",
+)
+def pipe_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — the classic recency / frequency /
+    monetary quartile grid (r=1 most recent, f=1 most frequent, m=1
+    highest spend), with per-segment counts and mean spend: the
+    behavioral-cohort rollup every commerce warehouse runs, and on
+    corpora the same shape scores sources by (last-crawl recency,
+    doc count, token mass). Shape: the corpus-wide work is ONE
+    per-customer hash aggregate with map-side partials; the three NTILE
+    windows run over the customer-grain frame (dims-sized — orders of
+    magnitude below the fact table; for a dim too big for one sort,
+    swap NTILE for approx_percentile bucket edges, same note as
+    pipe_length_quality_hist); output is <= 64 segment rows. Determinism:
+    every window orders by (metric, custkey) — unique — and monetary is
+    pre-rounded 2dp floor-form so the quartile cuts are identical
+    cross-engine; the global max date is a broadcast 1-row scalar."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("dmax"))
+    per_cust = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            r2(F.sum("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff(F.col("dmax"), F.col("_last")))
+    )
+    w_r = Window.orderBy("recency_days", "ck")
+    w_f = Window.orderBy(F.col("freq").desc(), "ck")
+    w_m = Window.orderBy(F.col("monetary").desc(), "ck")
+    scored = per_cust.select(
+        "ck", "monetary",
+        F.ntile(4).over(w_r).alias("r"),
+        F.ntile(4).over(w_f).alias("f"),
+        F.ntile(4).over(w_m).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        r2(F.avg("monetary")).alias("avg_monetary"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2489,7 +2552,7 @@ _ROUND6_STAGED = [
 #   pipe_hub_impact, pipe_maxsim_late_interaction, pipe_rrf_fusion,
 #   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup,
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
-#   pipe_basket_lift
+#   pipe_basket_lift, pipe_rfm_segments
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
