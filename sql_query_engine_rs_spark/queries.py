@@ -1038,6 +1038,130 @@ def pipe_rfm_segments(spark, sf_dir):
 
 
 @register(
+    "pipe_winsorized_stats",
+    """WITH toks AS (
+         SELECT source,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS DOUBLE) AS n
+         FROM documents),
+       cuts AS (
+         SELECT source, quantile_cont(n, 0.05) AS lo, quantile_cont(n, 0.95) AS hi
+         FROM toks GROUP BY source)
+       SELECT t.source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              FLOOR(AVG(t.n) * 10000 + 0.5) / 10000 AS raw_mean,
+              FLOOR(AVG(LEAST(GREATEST(t.n, c.lo), c.hi)) * 10000 + 0.5) / 10000 AS winsor_mean,
+              CAST(count(*) FILTER (WHERE t.n < c.lo OR t.n > c.hi) AS BIGINT) AS n_clipped,
+              FLOOR(c.lo * 10000 + 0.5) / 10000 AS p05,
+              FLOOR(c.hi * 10000 + 0.5) / 10000 AS p95
+       FROM toks t JOIN cuts c ON c.source = t.source
+       GROUP BY t.source, c.lo, c.hi""",
+)
+def pipe_winsorized_stats(spark, sf_dir):
+    """Winsorized per-source length statistics — the outlier-robust mean
+    the raw average can't give on heavy-tailed corpora (one 10M-token
+    concatenation file drags a source's raw mean arbitrarily; the
+    p05/p95-clipped mean moves only by the clip mass). Reports raw vs
+    winsorized mean token count, the clip fraction, and the cut points
+    per source — the robust-stats sheet quality gates and mixture
+    weights should read instead of raw means. Shape: one tokenize pass
+    collapsed to a skinny (source, n) frame; exact percentiles aggregate
+    per source (sort is per-source, sized by docs/source — swap
+    percentile_approx in at corpus scale, noted here because exact cuts
+    are what the oracle pins); the cuts table is #sources rows and
+    BROADCAST back onto the skinny frame, so the winsorized re-aggregate
+    is map-side. percentile() (Spark) and quantile_cont (DuckDB) use the
+    same linear interpolation — verified bit-exact on this data."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))).cast("double").alias("n"),
+    )
+    cuts = toks.groupBy("source").agg(
+        F.expr("percentile(n, 0.05D)").alias("lo"),
+        F.expr("percentile(n, 0.95D)").alias("hi"),
+    )
+    j = toks.join(F.broadcast(cuts), "source")
+    return j.groupBy("source", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        pround(F.avg("n"), 4).alias("raw_mean"),
+        pround(F.avg(F.least(F.greatest(F.col("n"), F.col("lo")), F.col("hi"))), 4).alias("winsor_mean"),
+        F.count(F.when((F.col("n") < F.col("lo")) | (F.col("n") > F.col("hi")), 1)).cast("bigint").alias("n_clipped"),
+    ).select(
+        "source", "n_docs", "raw_mean", "winsor_mean", "n_clipped",
+        pround(F.col("lo"), 4).alias("p05"),
+        pround(F.col("hi"), 4).alias("p95"),
+    )
+
+
+@register(
+    "pipe_purchase_attribution",
+    """WITH seq AS (
+         SELECT user_id, event_id, event_type, ts, value,
+                last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+                  OVER w AS touch_type,
+                last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END IGNORE NULLS)
+                  OVER w AS touch_ts
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       attributed AS (
+         SELECT CASE WHEN touch_ts IS NOT NULL
+                      AND date_diff('second', touch_ts, ts) <= 3600
+                     THEN touch_type ELSE 'direct' END AS channel,
+                value
+         FROM seq WHERE event_type = 'purchase')
+       SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+              FLOOR(SUM(value) * 100 + 0.5) / 100 AS attributed_value,
+              FLOOR(count(*) * 1.0 / SUM(count(*)) OVER () * 1000000 + 0.5) / 1000000 AS share
+       FROM attributed GROUP BY channel""",
+)
+def pipe_purchase_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view within a 1-hour lookback, else
+    'direct' — the sessionless attribution rollup every event warehouse
+    runs (same machinery as crediting a converted training example to
+    the retrieval hop that surfaced it). Shape: ONE per-user ordered
+    window pass (partition by user — co-partitioned with every other
+    per-user operator, no second shuffle family) computing the carried
+    last-marketing-touch type and timestamp via IGNORE-NULLS last_value
+    over the preceding frame; the purchase filter then collapses to a
+    channels-sized aggregate. The two carried columns read from the SAME
+    frame row, so type/ts stay consistent; ordering (ts, event_id) is
+    unique, making the carry deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = e.select(
+        "user_id", "event_id", "event_type", "ts", "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    attributed = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & ((F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")) <= 3600),
+            F.col("touch_type"),
+        ).otherwise("direct").alias("channel"),
+        "value",
+    )
+    per = attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        r2(F.sum("value")).alias("attributed_value"),
+    )
+    tot = per.agg(F.sum("n_purchases").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "channel", "n_purchases", "attributed_value",
+        pround(F.col("n_purchases") * 1.0 / F.col("_tot"), 6).alias("share"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2552,7 +2676,8 @@ _ROUND6_STAGED = [
 #   pipe_hub_impact, pipe_maxsim_late_interaction, pipe_rrf_fusion,
 #   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup,
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
-#   pipe_basket_lift, pipe_rfm_segments
+#   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
+#   pipe_purchase_attribution
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
