@@ -2677,7 +2677,7 @@ _ROUND6_STAGED = [
 #   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup,
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
-#   pipe_purchase_attribution
+#   pipe_purchase_attribution, stream_purchase_attribution
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -4976,6 +4976,79 @@ def stream_event_transitions(spark, sf_dir):
             spark.table(sink)
             .groupBy("from_type", "to_type")
             .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        result = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
+    "stream_purchase_attribution",
+    """WITH seq AS (
+         SELECT user_id, event_id, event_type, ts, value,
+                last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS)
+                  OVER w AS touch_type,
+                last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END IGNORE NULLS)
+                  OVER w AS touch_ts
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       attributed AS (
+         SELECT CASE WHEN touch_ts IS NOT NULL
+                      AND date_diff('second', touch_ts, ts) <= 3600
+                     THEN touch_type ELSE 'direct' END AS channel,
+                value
+         FROM seq WHERE event_type = 'purchase')
+       SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+              FLOOR(SUM(value) * 100 + 0.5) / 100 AS attributed_value
+       FROM attributed GROUP BY channel""",
+)
+def stream_purchase_attribution(spark, sf_dir):
+    """The streaming twin of pipe_purchase_attribution, run as a REAL
+    stream: readStream over events -> ``last_touch_attribution_stateful``
+    (``applyInPandasWithState``: one (last-touch type, epoch) pair per
+    user in the state store; per-batch per-channel conversion DELTAS
+    emitted) -> update-mode availableNow drain -> a final sum over the
+    deltas. The oracle is the exact batch IGNORE-NULLS-last_value window
+    — the unified batch/streaming contract: the always-on deployment
+    attributes conversions as they arrive with O(users) state (2 scalars
+    per key), never re-running a window over history. Second-floor
+    epoch diffs make the 1-hour lookback decision identical on the
+    batch window, the streaming carry, and the DuckDB replay."""
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import last_touch_attribution_stateful
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_attr_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        deltas = last_touch_attribution_stateful(stream)
+        sink = f"stream_attr_{uuid.uuid4().hex[:8]}"
+        (
+            deltas.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = (
+            spark.table(sink)
+            .groupBy("channel")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_purchases"),
+                pround(F.sum("value_sum"), 2).alias("attributed_value"),
+            )
         )
         result = final.localCheckpoint(eager=True)
         spark.catalog.dropTempView(sink)

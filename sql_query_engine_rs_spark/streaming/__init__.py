@@ -202,6 +202,121 @@ def running_totals_stateful(
     )
 
 
+def last_touch_attribution_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    touch_types: tuple = ("click", "view"),
+    convert_type: str = "purchase",
+    lookback_s: int = 3600,
+) -> DataFrame:
+    """Streaming last-touch attribution — per-key (last marketing-touch
+    type, its epoch-second timestamp) held in the state store
+    (``applyInPandasWithState``); each micro-batch emits per-channel
+    (n, value) DELTAS for the conversions it contains, crediting each
+    conversion to the key's most recent touch within ``lookback_s``
+    seconds (else 'direct'). Summing the emissions reproduces the batch
+    IGNORE-NULLS-last_value window exactly — the unified batch/streaming
+    contract — with O(keys) state (2 scalars per key) instead of a
+    window over all history. Rows within a batch are sorted by
+    (ts, order_col), a unique total order; the carried touch seeds index
+    0 from state, so correctness only needs per-key batch-order delivery
+    (Kafka-partition-by-user in production; the registry drains one
+    ordered batch). The carry is pandas-vectorized (mask + ffill), and
+    the only floats are the summed conversion values. On a batch frame,
+    falls back to the equivalent window form (same output schema)."""
+    from pyspark.sql import functions as F
+
+    out_schema = "channel string, n long, value_sum double"
+    tt = list(touch_types)
+
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        is_touch = F.col(type_col).isin(tt)
+        seq = events.select(
+            F.col(type_col), F.col(ts_col), F.col(value_col),
+            F.last(F.when(is_touch, F.col(type_col)), ignorenulls=True).over(w).alias("_tt"),
+            F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w).alias("_tts"),
+        ).filter(F.col(type_col) == convert_type)
+        return seq.select(
+            F.when(
+                F.col("_tts").isNotNull()
+                & ((F.unix_timestamp(ts_col) - F.unix_timestamp("_tts")) <= lookback_s),
+                F.col("_tt"),
+            ).otherwise("direct").alias("channel"),
+            F.col(value_col),
+        ).groupBy("channel").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(value_col).alias("value_sum"),
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "touch_type string, touch_epoch long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_type, last_epoch = state.get
+        else:
+            last_type, last_epoch = None, None
+        out = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, order_col]).reset_index(drop=True)
+            # unit-independent epoch seconds (pandas may hand us ns- or
+            # us-resolution datetime64 depending on the Arrow path)
+            epoch = (
+                (pdf[ts_col] - pd.Timestamp("1970-01-01")).dt.total_seconds()
+            ).astype("int64")
+            is_touch = pdf[type_col].isin(tt)
+            carried_type = pdf[type_col].where(is_touch).shift(1).ffill()
+            carried_epoch = epoch.astype("float64").where(is_touch).shift(1).ffill()
+            if last_type is not None:
+                carried_type = carried_type.fillna(last_type)
+                carried_epoch = carried_epoch.fillna(float(last_epoch))
+            conv = pdf[type_col] == convert_type
+            if conv.any():
+                ct = carried_type[conv]
+                ce = carried_epoch[conv]
+                within = ce.notna() & ((epoch[conv] - ce) <= lookback_s)
+                channel = ct.where(within).fillna("direct")
+                out.append(
+                    pd.DataFrame(
+                        {"channel": channel, "value": pdf.loc[conv, value_col]}
+                    )
+                )
+            if is_touch.any():
+                last_idx = is_touch[is_touch].index[-1]
+                last_type = str(pdf[type_col].iloc[last_idx])
+                last_epoch = int(epoch.iloc[last_idx])
+        if last_type is not None:
+            state.update((last_type, last_epoch))
+        if out:
+            allp = pd.concat(out)
+            agg = allp.groupby("channel").agg(n=("value", "size"), value_sum=("value", "sum"))
+            yield agg.reset_index()
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def transition_counts_stateful(
     events: DataFrame,
     key_col: str = "user_id",

@@ -511,3 +511,71 @@ def test_transition_state_carries_across_batches(spark, tmp_path):
     }
     spark.catalog.dropTempView("tr_carry")
     assert got == {("A", "B"): 1, ("B", "C"): 1, ("A", "A"): 1}
+
+
+def test_attribution_state_carries_across_batches(spark, tmp_path):
+    """The last-touch (type, epoch) state must survive micro-batch
+    boundaries: a purchase in batch N is credited to a click/view from
+    batch N-1 iff it lands within the 1-hour lookback. Three single-file
+    batches: u1's batch-2 purchase credits the batch-1 click; u1's
+    batch-3 purchase is 2h after that click -> 'direct'; u2's purchase
+    has no prior touch at all -> 'direct'."""
+    import glob as g
+    import os
+    import shutil
+
+    from sql_query_engine_rs_spark.streaming import last_touch_attribution_stateful
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        (
+            spark.createDataFrame(
+                rows, "event_id long, user_id long, ts string, event_type string, value double"
+            )
+            .select(
+                "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.copy(g.glob(tmp + "/part-*.parquet")[0], os.path.join(src_dir, name))
+
+    add_file([(1, 1, "2026-01-01 10:00:00", "click", 0.0)], "f1.parquet")
+    add_file(
+        [
+            (2, 1, "2026-01-01 10:30:00", "purchase", 10.0),
+            (3, 2, "2026-01-01 10:00:00", "purchase", 5.0),
+        ],
+        "f2.parquet",
+    )
+    add_file([(4, 1, "2026-01-01 12:30:00", "purchase", 7.0)], "f3.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = last_touch_attribution_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_carry")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.channel): (r.n, r.v)
+        for r in spark.table("attr_carry").groupBy("channel").agg(
+            F.sum("n").alias("n"), F.sum("value_sum").alias("v")
+        ).collect()
+    }
+    spark.catalog.dropTempView("attr_carry")
+    assert got == {"click": (1, 10.0), "direct": (2, 12.0)}
