@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "pipe_winsorized_stats",
     "pipe_purchase_attribution",
     "stream_purchase_attribution",
+    "pipe_cov_spectrum",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

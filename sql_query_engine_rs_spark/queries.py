@@ -1162,6 +1162,108 @@ def pipe_purchase_attribution(spark, sf_dir):
 
 
 @register(
+    "pipe_cov_spectrum",
+    """WITH ex AS (
+         SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)),
+       mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
+       m2 AS (
+         SELECT a.i AS i, b.i AS j, avg(a.x * b.x) AS exy
+         FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+         GROUP BY 1, 2),
+       cov AS (
+         SELECT m2.i, m2.j,
+                FLOOR((exy - ma.m * mb.m) * 1000000000 + 0.5) / 1000000000 AS c
+         FROM m2
+         JOIN mu ma ON ma.i = m2.i
+         JOIN mu mb ON mb.i = m2.j),
+       v0 AS (SELECT i, 1.0 AS v FROM mu),
+       v1 AS (SELECT cov.i, SUM(c * v0.v) AS v FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+       v2 AS (SELECT cov.i, SUM(c * v1.v) AS v FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+       v3 AS (SELECT cov.i, SUM(c * v2.v) AS v FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+       v4 AS (SELECT cov.i, SUM(c * v3.v) AS v FROM cov JOIN v3 ON v3.i = cov.j GROUP BY 1),
+       v5 AS (SELECT cov.i, SUM(c * v4.v) AS v FROM cov JOIN v4 ON v4.i = cov.j GROUP BY 1),
+       ray AS (
+         SELECT SUM(v4.v * v5.v) / SUM(v4.v * v4.v) AS top_eig
+         FROM v4 JOIN v5 ON v4.i = v5.i),
+       base AS (
+         SELECT CAST(count(*) FILTER (WHERE i = j) AS INT) AS d,
+                SUM(CASE WHEN i = j THEN c END) AS trace,
+                SUM(c * c) AS frob2
+         FROM cov)
+       SELECT d,
+              FLOOR(trace * 1000000 + 0.5) / 1000000 AS trace,
+              FLOOR(frob2 * 1000000 + 0.5) / 1000000 AS frob2,
+              FLOOR(top_eig * 1000000 + 0.5) / 1000000 AS top_eig,
+              FLOOR(top_eig / trace * 1000000 + 0.5) / 1000000 AS top_share,
+              FLOOR(trace * trace / frob2 * 1000000 + 0.5) / 1000000 AS eff_rank
+       FROM base, ray""",
+)
+def pipe_cov_spectrum(spark, sf_dir):
+    """Embedding covariance-spectrum audit — trace, Frobenius mass, the
+    top eigenvalue via a fixed 4-step power iteration (Rayleigh
+    quotient), the top eigenvalue's share of total variance, and the
+    participation-ratio effective rank trace²/‖C‖²_F: the anisotropy /
+    dimensional-collapse health check (an embedding model whose variance
+    concentrates in a few directions retrieves poorly regardless of
+    recall knobs — Ethayarajh-style anisotropy, measured corpus-side).
+    Shape: the ONLY corpus-sized pass is the second-moment aggregate —
+    posexplode + a per-vector d² pair expansion collapsed map-side to a
+    d×d frame (d is a model constant: N·d² is linear in N, and only
+    (i, j, partial-sum) triples enter the exchange); everything after —
+    centering, the 4 unrolled mat-vec hops, the Rayleigh ratio — runs on
+    d² = 4,096-row frames, KBs at any corpus size. Determinism: the
+    covariance is snapped to a 1e-9 grid before iterating, so both
+    engines run the identical matrix; the fixed-iteration estimate (not
+    converged-to-tolerance) is the pinned contract, same discipline as
+    pipe_graph_pagerank's fixed 3 rounds."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    ex = emb.select("vec_id", F.posexplode("_v").alias("i", "x"))
+    mu = ex.groupBy("i").agg(F.avg("x").alias("m"))
+    a = ex.select("vec_id", F.col("i").alias("_ia"), F.col("x").alias("_xa"))
+    b = ex.select(F.col("vec_id").alias("_vb"), F.col("i").alias("_jb"), F.col("x").alias("_xb"))
+    m2 = (
+        a.join(b, F.col("vec_id") == F.col("_vb"))
+        .groupBy(F.col("_ia").alias("i"), F.col("_jb").alias("j"))
+        .agg(F.avg(F.col("_xa") * F.col("_xb")).alias("exy"))
+    )
+    cov = (
+        m2.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("_ma"))), "i")
+        .join(F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("_mb"))), "j")
+        .select("i", "j", pround(F.col("exy") - F.col("_ma") * F.col("_mb"), 9).alias("c"))
+    )
+    v = mu.select("i", F.lit(1.0).alias("v"))
+    vs = [v]
+    for _ in range(5):
+        v = (
+            cov.join(vs[-1].select(F.col("i").alias("j"), F.col("v").alias("_vj")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("_vj")).alias("v"))
+        )
+        vs.append(v)
+    ray = (
+        vs[4].select("i", F.col("v").alias("_v4"))
+        .join(vs[5].select("i", F.col("v").alias("_v5")), "i")
+        .agg((F.sum(F.col("_v4") * F.col("_v5")) / F.sum(F.col("_v4") * F.col("_v4"))).alias("top_eig"))
+    )
+    base = cov.agg(
+        F.count(F.when(F.col("i") == F.col("j"), 1)).cast("int").alias("d"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))).alias("trace"),
+        F.sum(F.col("c") * F.col("c")).alias("frob2"),
+    )
+    return base.crossJoin(F.broadcast(ray)).select(
+        "d",
+        pround(F.col("trace"), 6).alias("trace"),
+        pround(F.col("frob2"), 6).alias("frob2"),
+        pround(F.col("top_eig"), 6).alias("top_eig"),
+        pround(F.col("top_eig") / F.col("trace"), 6).alias("top_share"),
+        pround(F.col("trace") * F.col("trace") / F.col("frob2"), 6).alias("eff_rank"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2677,7 +2779,8 @@ _ROUND6_STAGED = [
 #   pipe_mmr_diversify, pipe_ann_ndcg, pipe_editdist_dedup,
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
-#   pipe_purchase_attribution, stream_purchase_attribution
+#   pipe_purchase_attribution, stream_purchase_attribution,
+#   pipe_cov_spectrum
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
