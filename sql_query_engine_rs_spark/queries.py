@@ -1263,6 +1263,121 @@ def pipe_cov_spectrum(spark, sf_dir):
     )
 
 
+_MORTON_DUCK = " + ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i}) + (((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+_MORTON_SPARK = " + ".join(
+    f"shiftleft(shiftright(l_partkey, {i}) & 1, {2 * i})"
+    f" + shiftleft(shiftright(l_suppkey, {i}) & 1, {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "pipe_zorder_layout",
+    f"""WITH base AS (
+         SELECT l_partkey AS pk, l_suppkey AS sk,
+                {_MORTON_DUCK} AS mort
+         FROM lineitem),
+       rng AS (
+         SELECT CAST(max(pk) - min(pk) AS DOUBLE) AS rp,
+                CAST(max(sk) - min(sk) AS DOUBLE) AS rs
+         FROM base),
+       laid AS (
+         SELECT 'by_partkey' AS layout, pk, sk,
+                row_number() OVER (ORDER BY pk, sk) AS rn FROM base
+         UNION ALL
+         SELECT 'by_suppkey', pk, sk,
+                row_number() OVER (ORDER BY sk, pk) FROM base
+         UNION ALL
+         SELECT 'zorder', pk, sk,
+                row_number() OVER (ORDER BY mort) FROM base),
+       chunks AS (
+         SELECT layout, (rn - 1) // 1000 AS chunk,
+                min(pk) AS lo_p, max(pk) AS hi_p,
+                min(sk) AS lo_s, max(sk) AS hi_s
+         FROM laid GROUP BY 1, 2)
+       SELECT layout, CAST(count(*) AS BIGINT) AS n_chunks,
+              FLOOR(AVG((hi_p - lo_p) / rng.rp) * 1000000 + 0.5) / 1000000 AS mean_width_pk,
+              FLOOR(AVG((hi_s - lo_s) / rng.rs) * 1000000 + 0.5) / 1000000 AS mean_width_sk,
+              FLOOR(AVG((hi_p - lo_p) / rng.rp * (hi_s - lo_s) / rng.rs) * 1000000 + 0.5)
+                / 1000000 AS mean_area
+       FROM chunks, rng GROUP BY layout""",
+)
+def pipe_zorder_layout(spark, sf_dir):
+    """Data-layout / data-skipping experiment — the write-time decision
+    that dominates 100 TB scan cost: lay the fact table out by column A,
+    by column B, or by their Z-ORDER (Morton bit-interleave), cut it
+    into 1000-row "files", and measure each file's normalized min-max
+    width per dimension (what parquet row-group / file-skipping stats
+    see). Single-column sort gives ~0 width on its own column and ~FULL
+    width on the other (point queries on B scan every file); Z-order
+    bounds BOTH (measured here: 0.05/0.71 vs 0.017/1.0), trading a
+    wider primary for single-predicate skippability on either column;
+    mean_area is the conjunctive two-predicate metric (on this data the
+    7-bit suppkey domain makes the interleave unbalanced, so the area
+    numbers honestly show Z-order is NOT free — the audit exists to
+    measure that tradeoff per table, not to assume it).
+    The Morton key is a 32-term shift/mask expression evaluated
+    JVM-side (whole-stage codegen; same unrolled arithmetic in the
+    oracle); both keys fit 16 bits at every test SF (rank/hash first at
+    wider domains — noted, not needed here). The per-layout global sort
+    IS the measured operation (a write-time layout pass, exactly what
+    a real Z-order OPTIMIZE does); chunk min/max are order-invariant
+    under sort-key ties because tied rows are identical in the measured
+    columns (Morton is a bijection of (pk, sk)). Integer min/max +
+    global-range division make every output hash-exact."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    base = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+        F.expr(_MORTON_SPARK).alias("mort"),
+    )
+    rng = base.agg(
+        (F.max("pk") - F.min("pk")).cast("double").alias("rp"),
+        (F.max("sk") - F.min("sk")).cast("double").alias("rs"),
+    )
+    layouts = [
+        ("by_partkey", Window.orderBy("pk", "sk")),
+        ("by_suppkey", Window.orderBy("sk", "pk")),
+        ("zorder", Window.orderBy("mort")),
+    ]
+    laid = None
+    for name, w in layouts:
+        part = base.select(
+            F.lit(name).alias("layout"), "pk", "sk",
+            F.row_number().over(w).alias("rn"),
+        )
+        laid = part if laid is None else laid.unionAll(part)
+    chunks = (
+        laid.withColumn("chunk", ((F.col("rn") - 1) / F.lit(1000)).cast("long"))
+        .groupBy("layout", "chunk")
+        .agg(
+            F.min("pk").alias("lo_p"), F.max("pk").alias("hi_p"),
+            F.min("sk").alias("lo_s"), F.max("sk").alias("hi_s"),
+        )
+    )
+    return (
+        chunks.crossJoin(F.broadcast(rng))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            pround(F.avg((F.col("hi_p") - F.col("lo_p")) / F.col("rp")), 6).alias("mean_width_pk"),
+            pround(F.avg((F.col("hi_s") - F.col("lo_s")) / F.col("rs")), 6).alias("mean_width_sk"),
+            pround(
+                F.avg(
+                    (F.col("hi_p") - F.col("lo_p")) / F.col("rp")
+                    * (F.col("hi_s") - F.col("lo_s")) / F.col("rs")
+                ),
+                6,
+            ).alias("mean_area"),
+        )
+    )
+
+
 @register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
@@ -2780,7 +2895,7 @@ _ROUND6_STAGED = [
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
 #   pipe_purchase_attribution, stream_purchase_attribution,
-#   pipe_cov_spectrum
+#   pipe_cov_spectrum, pipe_zorder_layout
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
