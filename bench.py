@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "stream_purchase_attribution",
     "pipe_cov_spectrum",
     "pipe_zorder_layout",
+    "pipe_delete_cascade_audit",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

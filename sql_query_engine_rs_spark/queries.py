@@ -1379,6 +1379,68 @@ def pipe_zorder_layout(spark, sf_dir):
 
 
 @register(
+    "pipe_delete_cascade_audit",
+    """WITH forget AS (SELECT c_custkey AS ck FROM customer WHERE c_custkey % 97 = 0),
+       aff_orders AS (
+         SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT ck FROM forget)),
+       stats AS (
+         SELECT 'customer' AS tbl,
+                (SELECT CAST(count(*) AS BIGINT) FROM forget) AS n_affected,
+                (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total
+         UNION ALL
+         SELECT 'orders',
+                (SELECT CAST(count(*) AS BIGINT) FROM aff_orders),
+                (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         UNION ALL
+         SELECT 'lineitem',
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)),
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem))
+       SELECT tbl, n_affected, n_total,
+              FLOOR(n_affected * 1.0 / n_total * 1000000 + 0.5) / 1000000 AS share
+       FROM stats""",
+)
+def pipe_delete_cascade_audit(spark, sf_dir):
+    """Right-to-be-forgotten impact audit: given a deletion cohort (here
+    the deterministic c_custkey % 97 set standing in for a GDPR request
+    batch), count the rows that must cascade out of each downstream
+    table — the dry-run every compliance pipeline executes before the
+    actual DELETE/MERGE, and at training-data scale the same shape
+    answers "how many documents/examples does revoking source X
+    remove". Shape: the cohort is a SKINNY BROADCAST (ids only) probed
+    with LEFT SEMI joins — orders semi-joins the cohort, lineitem
+    semi-joins the affected-order keys co-partitioned on the order key;
+    per-table tallies are 1-row aggregates unioned into a fixed
+    3-row report, so the audit reads each fact table exactly once with
+    no wide shuffle at any corpus size."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    forget = c.filter(F.col("c_custkey") % 97 == 0).select(F.col("c_custkey").alias("ck"))
+    aff_orders = o.join(
+        F.broadcast(forget), F.col("o_custkey") == F.col("ck"), "left_semi"
+    ).select("o_orderkey")
+    aff_li = li.join(
+        aff_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def one(tbl, aff_df, tot_df):
+        a = aff_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_affected"))
+        b = tot_df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        return a.crossJoin(b).select(F.lit(tbl).alias("tbl"), "n_affected", "n_total")
+
+    stats = (
+        one("customer", forget, c)
+        .unionAll(one("orders", aff_orders, o))
+        .unionAll(one("lineitem", aff_li, li))
+    )
+    return stats.select(
+        "tbl", "n_affected", "n_total",
+        pround(F.col("n_affected") * 1.0 / F.col("n_total"), 6).alias("share"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2895,7 +2957,7 @@ _ROUND6_STAGED = [
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
 #   pipe_purchase_attribution, stream_purchase_attribution,
-#   pipe_cov_spectrum, pipe_zorder_layout
+#   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
