@@ -1441,6 +1441,36 @@ def pipe_delete_cascade_audit(spark, sf_dir):
 
 
 @register(
+    "ext_limit_offset",
+    """SELECT c_custkey, c_name,
+              FLOOR(c_acctbal * 100 + 0.5) / 100 AS acctbal
+       FROM customer
+       ORDER BY c_acctbal DESC, c_custkey
+       LIMIT 20 OFFSET 40""",
+)
+def ext_limit_offset(spark, sf_dir):
+    """OFFSET/LIMIT pagination (page 3 of 20 under a total order) — the
+    remaining piece of the ORDER BY/LIMIT family (reference can't sort at
+    all: `src/binder/statement/mod.rs:23-43` todo!()s ORDER BY). The
+    ordering carries a unique (acctbal, custkey) tie-break, so the page
+    cut is deterministic cross-engine. Scale note: OFFSET is inherently
+    skip-N work (the sort must still produce the first N+20 rows —
+    Spark plans a global sort + offset); for deep pagination at corpus
+    scale use KEYSET pagination instead — WHERE (acctbal, custkey) <
+    last-seen-key ORDER BY ... LIMIT 20 — which prunes with the
+    predicate rather than discarding rows; this entry pins the OFFSET
+    semantics, the keyset form is plain filter+TakeOrdered already
+    covered by the filter/order family."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .select("c_custkey", "c_name", r2(F.col("c_acctbal")).alias("acctbal"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2957,7 +2987,8 @@ _ROUND6_STAGED = [
 #   pipe_dup_transitivity, pipe_dedup_mixture_shift, pipe_events_autocorr,
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
 #   pipe_purchase_attribution, stream_purchase_attribution,
-#   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit
+#   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit,
+#   ext_limit_offset
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
