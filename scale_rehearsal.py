@@ -120,6 +120,15 @@ HEAVY = [
     "pipe_source_overlap",
     "pipe_distinct_ngrams",
     "stream_event_transitions",
+    # round-6 final wave: three global layout sorts over the fact table
+    # (sort is n log n — the one deliberately superlinear entry, expected
+    # ratio ~copy_multiple x log growth); the order-key co-partitioned
+    # basket self-join (fan-out bounded by C(basket,2), expected linear);
+    # the N*d^2 second-moment pass behind the covariance spectrum
+    # (d fixed -> linear in N, everything downstream is d^2-sized)
+    "pipe_zorder_layout",
+    "pipe_basket_lift",
+    "pipe_cov_spectrum",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100

@@ -1471,6 +1471,41 @@ def ext_limit_offset(spark, sf_dir):
 
 
 @register(
+    "pipe_partitioned_write_prune",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM documents WHERE lang = 'en' GROUP BY source""",
+)
+def pipe_partitioned_write_prune(spark, sf_dir):
+    """Hive-style partitioned layout + partition PRUNING, end to end: the
+    corpus is written out partitioned by ``lang`` (the write-time layout
+    decision for any column that downstream jobs filter on — at 100 TB a
+    per-language training run must touch only its language's directories),
+    then read back with a lang predicate and aggregated. The read-back
+    scan resolves the predicate at the DIRECTORY level (PartitionFilters
+    in the plan — pinned in tests/test_sources.py for this exact layout
+    machinery, and the partition column never appears in a data file),
+    so the aggregate's input I/O is the selected partition only, not a
+    scan-and-discard of the corpus. The oracle aggregates the source
+    table under the same predicate — identical results prove the
+    round-trip loses nothing (partition columns come back typed as
+    written via the string-cast convention). Write targets a per-build
+    temp dir (overwrite mode), same discipline as pipe_ann_ivf_bucketed."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="part_prune_")
+    from sql_query_engine_rs_spark.sources import write
+
+    write(d, "parquet", path, partition_by=["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -2988,7 +3023,7 @@ _ROUND6_STAGED = [
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
 #   pipe_purchase_attribution, stream_purchase_attribution,
 #   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit,
-#   ext_limit_offset
+#   ext_limit_offset, pipe_partitioned_write_prune
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
