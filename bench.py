@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "pipe_delete_cascade_audit",
     "ext_limit_offset",
     "pipe_partitioned_write_prune",
+    "pipe_approx_quantile_audit",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

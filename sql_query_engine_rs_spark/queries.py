@@ -1506,6 +1506,71 @@ def pipe_partitioned_write_prune(spark, sf_dir):
 
 
 @register(
+    "pipe_approx_quantile_audit",
+    """SELECT CAST(0.5 AS DOUBLE) AS q,
+              FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS exact_val,
+              TRUE AS within_bound
+       FROM lineitem
+       UNION ALL
+       SELECT CAST(0.9 AS DOUBLE), FLOOR(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000, TRUE
+       FROM lineitem
+       UNION ALL
+       SELECT CAST(0.99 AS DOUBLE), FLOOR(quantile_cont(l_extendedprice, 0.99) * 10000 + 0.5) / 10000, TRUE
+       FROM lineitem""",
+)
+def pipe_approx_quantile_audit(spark, sf_dir):
+    """Approximate-quantile GUARANTEE audit — the quantile machinery a
+    100 TB job must use (exact percentiles need a per-group sort;
+    percentile_approx is a fixed-size mergeable sketch) with its error
+    bound VERIFIED, not assumed: for q in {0.5, 0.9, 0.99} the sketch
+    (accuracy=100, i.e. rank error <= N/100) answer's rank interval
+    [count(< v), count(<= v)] must intersect [(q-eps)N, (q+eps)N].
+    The audit's hashed output is the EXACT interpolated percentile plus
+    the within_bound verdict — the approx value itself is sketch-internal
+    (merge-order-dependent across engines) and deliberately not in the
+    contract, so the entry stays hash-exact while still failing loudly
+    if Spark's sketch ever violates its bound. Shape: one sketch pass +
+    one exact percentile (the sf-scale reference), then ONE broadcast of
+    the 1-row result frame back over the column for the three rank
+    counts — two corpus passes total, everything else is 3 rows."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("p"))
+    qs = [0.5, 0.9, 0.99]
+    eps = 0.01
+    arr = "array(" + ",".join(f"{q}D" for q in qs) + ")"
+    summ = li.agg(
+        F.expr(f"percentile_approx(p, {arr}, 100)").alias("av"),
+        F.expr(f"percentile(p, {arr})").alias("ev"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    checks = li.crossJoin(F.broadcast(summ)).agg(
+        *[
+            F.sum(F.when(F.col("p") < F.col("av")[i], 1).otherwise(0)).alias(f"lo{i}")
+            for i in range(3)
+        ],
+        *[
+            F.sum(F.when(F.col("p") <= F.col("av")[i], 1).otherwise(0)).alias(f"hi{i}")
+            for i in range(3)
+        ],
+        F.first("ev").alias("ev"),
+        F.first("n").alias("n"),
+    )
+    rows = None
+    for i, q in enumerate(qs):
+        r = checks.select(
+            F.lit(q).alias("q"),
+            pround(F.col("ev")[i], 4).alias("exact_val"),
+            (
+                ~(
+                    (F.col(f"hi{i}") < F.floor((F.lit(q) - eps) * F.col("n")))
+                    | (F.col(f"lo{i}") > F.ceil((F.lit(q) + eps) * F.col("n")))
+                )
+            ).alias("within_bound"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -3023,7 +3088,8 @@ _ROUND6_STAGED = [
 #   pipe_basket_lift, pipe_rfm_segments, pipe_winsorized_stats,
 #   pipe_purchase_attribution, stream_purchase_attribution,
 #   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit,
-#   ext_limit_offset, pipe_partitioned_write_prune
+#   ext_limit_offset, pipe_partitioned_write_prune,
+#   pipe_approx_quantile_audit
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
