@@ -1322,12 +1322,17 @@ def pipe_zorder_layout(spark, sf_dir):
     The Morton key is a 32-term shift/mask expression evaluated
     JVM-side (whole-stage codegen; same unrolled arithmetic in the
     oracle); both keys fit 16 bits at every test SF (rank/hash first at
-    wider domains — noted, not needed here). The per-layout global sort
-    IS the measured operation (a write-time layout pass, exactly what
-    a real Z-order OPTIMIZE does); chunk min/max are order-invariant
-    under sort-key ties because tied rows are identical in the measured
-    columns (Morton is a bijection of (pk, sk)). Integer min/max +
-    global-range division make every output hash-exact."""
+    wider domains — noted, not needed here). Chunk min/max are
+    order-invariant under sort-key ties because tied rows are identical
+    in the measured columns (Morton is a bijection of (pk, sk)); integer
+    min/max + global-range division make every output hash-exact.
+    Scale note: exact 1000-row chunking needs a global rank, which Spark
+    plans as a single-partition Window (pinned in tests/test_plans.py) —
+    fine for an AUDIT, which at corpus scale runs on a uniform sample
+    (width statistics are sample-stable); the production WRITE path is
+    repartitionByRange + sortWithinPartitions (distributed, but its
+    sampled range boundaries are nondeterministic — per-file footer
+    stats replace this entry's exact chunk stats there)."""
     li = t(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 

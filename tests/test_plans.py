@@ -623,3 +623,31 @@ def test_moments_merge_partials_then_fold(spark, sf_dir):
     assert r["shuffle_joins"] == 0 and r["broadcast_joins"] == 0
     rows = df.collect()
     assert len(rows) == 1 and rows[0].n > 0
+
+
+def test_partitioned_write_prune_directory_pruning(spark, sf_dir):
+    """The partitioned-layout entry must resolve its lang predicate at the
+    DIRECTORY level: the read-back scan carries a PartitionFilters entry on
+    lang (directory pruning), lang is absent from the data-file ReadSchema,
+    and the Morton/None data filters don't re-test it row-wise."""
+    df = QUERIES["pipe_partitioned_write_prune"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "lang" in pf
+    rs = plan.split("ReadSchema: ")[1].split("\n", 1)[0]
+    assert "lang" not in rs
+
+
+def test_zorder_layout_no_python_and_three_sorts(spark, sf_dir):
+    """The Morton key is pure JVM arithmetic (no Python boundary), and the
+    three layouts are exactly three global-rank Window sorts (Exchange
+    SinglePartition — the audit's documented exact-chunking harness; the
+    production write path is repartitionByRange, see the docstring)."""
+    df = QUERIES["pipe_zorder_layout"].build(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    assert "BatchEvalPython" not in formatted and "ArrowEvalPython" not in formatted
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window\b", formatted)) == 3
+    assert "SinglePartition" in formatted
