@@ -1576,6 +1576,100 @@ def pipe_approx_quantile_audit(spark, sf_dir):
 
 
 @register(
+    "pipe_traffic_heatmap",
+    """SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events GROUP BY 1, 2""",
+)
+def pipe_traffic_heatmap(spark, sf_dir):
+    """Hour-of-day × day-of-week traffic heatmap (events + distinct
+    users per cell) — the capacity-planning seasonal profile behind
+    pipe_events_autocorr's lag numbers: the 24×7 grid is what you
+    actually schedule compaction/ingest-scaling around. Shape: one
+    map-side-partial rollup to <= 168 cells; the distinct-user count
+    goes through the standard two-phase aggregate keyed by (cell,
+    user) — the only exchange, skinny at any scale. DOW convention:
+    Spark dayofweek is 1=Sunday..7, DuckDB dow is 0=Sunday..6 —
+    offset on the Spark side (same parity rule as
+    ext_date_arithmetic)."""
+    e = events_table(spark, sf_dir)
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "pipe_conversion_latency",
+    """WITH firsts AS (
+         SELECT user_id,
+                min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_any
+         FROM events GROUP BY user_id),
+       conv AS (
+         SELECT user_id,
+                date_diff('second',
+                          first_signup,
+                          (SELECT min(ts) FROM events e
+                           WHERE e.user_id = firsts.user_id
+                             AND e.event_type = 'purchase'
+                             AND e.ts >= firsts.first_signup)) / 60.0 AS latency_min
+         FROM firsts WHERE first_signup IS NOT NULL),
+       ok AS (SELECT latency_min FROM conv WHERE latency_min IS NOT NULL)
+       SELECT CAST(count(*) AS BIGINT) AS n_converted,
+              FLOOR(quantile_cont(latency_min, 0.25) * 10000 + 0.5) / 10000 AS p25_min,
+              FLOOR(quantile_cont(latency_min, 0.5) * 10000 + 0.5) / 10000 AS p50_min,
+              FLOOR(quantile_cont(latency_min, 0.9) * 10000 + 0.5) / 10000 AS p90_min
+       FROM ok""",
+)
+def pipe_conversion_latency(spark, sf_dir):
+    """Conversion-latency distribution: minutes from each user's FIRST
+    signup to their first purchase AT OR AFTER it, summarized as
+    p25/p50/p90 — the time-to-convert metric funnels
+    (ext_funnel_stages) count but don't time, and the same shape
+    measures label-delay in any event-feedback training loop. Shape:
+    ONE per-user aggregate computes both firsts via conditional mins
+    (map-side partials); the conditional "first purchase >= signup"
+    needs a second conditional min keyed to the user's own signup, done
+    with a self-aggregate per user — in Spark a min over a CASE against
+    the user's signup carried on the same grouped pass via a two-step
+    groupBy (events joined back to the per-user signup, broadcast-sized
+    per-user frame co-partitioned on user) — everything after is a
+    168-row-or-less percentile over per-user scalars. Second-floor
+    timestamp diffs and the verified-identical linear-interpolation
+    percentiles keep it hash-exact."""
+    e = events_table(spark, sf_dir)
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.first("first_signup").alias("first_signup"),
+        )
+        .select(
+            ((F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")) / 60.0).alias("latency_min")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        pround(F.expr("percentile(latency_min, 0.25D)"), 4).alias("p25_min"),
+        pround(F.expr("percentile(latency_min, 0.5D)"), 4).alias("p50_min"),
+        pround(F.expr("percentile(latency_min, 0.9D)"), 4).alias("p90_min"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -3094,7 +3188,8 @@ _ROUND6_STAGED = [
 #   pipe_purchase_attribution, stream_purchase_attribution,
 #   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit,
 #   ext_limit_offset, pipe_partitioned_write_prune,
-#   pipe_approx_quantile_audit
+#   pipe_approx_quantile_audit, pipe_traffic_heatmap,
+#   pipe_conversion_latency
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
