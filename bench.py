@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "pipe_approx_quantile_audit",
     "pipe_traffic_heatmap",
     "pipe_conversion_latency",
+    "pipe_schema_evolution",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

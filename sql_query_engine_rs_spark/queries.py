@@ -1670,6 +1670,58 @@ def pipe_conversion_latency(spark, sf_dir):
 
 
 @register(
+    "pipe_schema_evolution",
+    """WITH unioned AS (
+         SELECT doc_id, n_chars, NULL AS lang, NULL AS source
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, n_chars, lang, source
+         FROM documents WHERE doc_id % 2 = 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(doc_id) AS BIGINT) AS n_doc_id,
+              CAST(count(n_chars) AS BIGINT) AS n_n_chars,
+              CAST(count(lang) AS BIGINT) AS n_lang,
+              CAST(count(source) AS BIGINT) AS n_source,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM unioned""",
+)
+def pipe_schema_evolution(spark, sf_dir):
+    """Schema evolution across parquet batches — the data-lake reality
+    that a 100 TB corpus accumulated over years never has ONE schema:
+    an old shard written with (doc_id, n_chars) and a new shard written
+    with (doc_id, n_chars, lang, source) land in the same directory,
+    and the read must reconcile them. Spark's mergeSchema read unions
+    the footers (absent columns read as NULL for the old shard — never
+    positional misbinding); the audit reports per-column non-null
+    counts, the column-completeness sheet you consult before filtering
+    on a late-added column. The oracle replays the evolution as a typed
+    UNION ALL. Scale note: mergeSchema reconciles from file FOOTERS
+    (a driver-side merge over file metadata, not a data scan) — at huge
+    file counts pin the schema explicitly and evolve via the catalog,
+    which this audit is the precursor to. Shards are written to a
+    per-build temp dir, same discipline as pipe_partitioned_write_prune."""
+    import tempfile
+
+    d = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang", "source")
+    old.write.mode("overwrite").parquet(base + "/shard_old")
+    new.write.mode("overwrite").parquet(base + "/shard_new")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        base + "/shard_old", base + "/shard_new"
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("doc_id").cast("bigint").alias("n_doc_id"),
+        F.count("n_chars").cast("bigint").alias("n_n_chars"),
+        F.count("lang").cast("bigint").alias("n_lang"),
+        F.count("source").cast("bigint").alias("n_source"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
     "ext_events_window",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
               count(*) AS n_events, FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
@@ -3189,7 +3241,7 @@ _ROUND6_STAGED = [
 #   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit,
 #   ext_limit_offset, pipe_partitioned_write_prune,
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
-#   pipe_conversion_latency
+#   pipe_conversion_latency, pipe_schema_evolution
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
