@@ -73,7 +73,8 @@ def main() -> None:
     load_employee(db)
     sys.stdout.write(
         "sql-query-engine-rs-spark REPL — employee table pre-loaded.\n"
-        "Meta: \\dt, \\load csv|parquet|json|orc <name> <path>, \\explain <sql>, \\plan <sql>, "
+        "Meta: \\dt, \\load csv|parquet|json|orc <name> <path>, "
+        "\\load memory <name> <schema> <json-rows>, \\explain <sql>, \\plan <sql>, "
         "\\bench <query> [trials]. Ctrl-D or 'exit' quits.\n"
     )
     repl(db)
