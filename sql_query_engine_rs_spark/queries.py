@@ -3241,7 +3241,8 @@ _ROUND6_STAGED = [
 #   pipe_cov_spectrum, pipe_zorder_layout, pipe_delete_cascade_audit,
 #   ext_limit_offset, pipe_partitioned_write_prune,
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
-#   pipe_conversion_latency, pipe_schema_evolution
+#   pipe_conversion_latency, pipe_schema_evolution,
+#   pipe_bucketed_join_audit
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12207,4 +12208,59 @@ def pipe_entropy_rate(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_bigrams"),
         "cond_entropy_nats",
         "joint_entropy_nats",
+    )
+
+
+# =====================================================================
+# Round-6 late batch: physical-layout co-location, sparse similarity,
+# clustering, time-series monitoring, data-quality contracts, linkage
+# =====================================================================
+
+@register(
+    "pipe_bucketed_join_audit",
+    """SELECT o.o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n_items,
+              FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1""",
+)
+def pipe_bucketed_join_audit(spark, sf_dir):
+    """Bucketed-table co-located join — the write-time layout decision that
+    deletes the shuffle from every future fact-fact join. Both orders and
+    lineitem are written ``bucketBy(8, orderkey) + sortBy`` (Spark's
+    hash-bucketed layout: row → bucket file by ``hash(key) % n``), then the
+    read-back join runs SortMergeJoin with NO Exchange on either side —
+    bucket files align one-to-one, so at 100 TB the recurring daily join
+    pays zero network instead of reshuffling both fact tables every run
+    (pinned in tests/test_plans.py: zero Exchange operators under the
+    join). The oracle replays the same join on the raw tables — identical
+    results prove the bucketed round-trip loses nothing. Bucket count is
+    the capacity knob: pick ``total_size / target_partition_size`` (e.g.
+    ~8k buckets for 100 TB at 12 GB splits) and keep it IDENTICAL across
+    co-joined tables, because only equal bucket counts join exchange-free.
+    Data files land in a per-build temp dir (table metadata is overwritten
+    in the session catalog), same discipline as pipe_partitioned_write_prune."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bja_")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", base + "/lineitem_b").mode("overwrite")
+        .saveAsTable("bja_lineitem_b")
+    )
+    (
+        orders.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", base + "/orders_b").mode("overwrite")
+        .saveAsTable("bja_orders_b")
+    )
+    lb = spark.table("bja_lineitem_b")
+    ob = spark.table("bja_orders_b")
+    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
     )

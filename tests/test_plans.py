@@ -651,3 +651,24 @@ def test_zorder_layout_no_python_and_three_sorts(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Window\b", formatted)) == 3
     assert "SinglePartition" in formatted
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """The bucketed-table join must be exchange-free: both sides written
+    bucketBy(8, orderkey), so the SortMergeJoin reads bucket files aligned
+    one-to-one with NO Exchange below the join (the groupBy above it may
+    shuffle; only the join inputs are asserted). Broadcast is disabled for
+    the assertion so the tiny test SF can't hide the bucketed SMJ path."""
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["pipe_bucketed_join_audit"].build(spark, sf_dir)
+        lb = spark.table("bja_lineitem_b")
+        ob = spark.table("bja_orders_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        simple = explain_str(joined, "simple")
+        assert "SortMergeJoin" in simple
+        assert "Exchange" not in simple, f"bucketed join must not shuffle:\n{simple}"
+        assert df.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
