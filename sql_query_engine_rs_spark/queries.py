@@ -3242,7 +3242,7 @@ _ROUND6_STAGED = [
 #   ext_limit_offset, pipe_partitioned_write_prune,
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
-#   pipe_bucketed_join_audit
+#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12263,4 +12263,103 @@ def pipe_bucketed_join_audit(spark, sf_dir):
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+    )
+
+
+@register(
+    "pipe_sparse_cosine_dups",
+    """WITH tk AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       tf AS (
+         SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+         FROM tk, UNNEST(toks) u(t) GROUP BY 1, 2),
+       n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       w AS (
+         SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dfq.df) AS w
+         FROM tf CROSS JOIN n JOIN dfq ON tf.term = dfq.term),
+       nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+       dotp AS (
+         SELECT q.doc_id AS qid, c.doc_id AS cid, sum(q.w * c.w) AS d
+         FROM w q JOIN w c ON q.term = c.term
+         WHERE q.doc_id < 20 AND c.doc_id != q.doc_id
+         GROUP BY 1, 2),
+       cos AS (
+         SELECT qid, cid,
+                FLOOR(d / (nq.nrm * nc.nrm) * 1000000 + 0.5) / 1000000 AS cos_sim
+         FROM dotp
+         JOIN nrm nq ON nq.doc_id = qid
+         JOIN nrm nc ON nc.doc_id = cid)
+       SELECT qid AS query_id, cid AS doc_id, cos_sim, rank FROM (
+         SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, cid) AS INT) AS rank
+         FROM cos) r
+       WHERE rank <= 3""",
+)
+def pipe_sparse_cosine_dups(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join via the inverted index — the
+    lexical near-dup / similarity-search twin of the dense-embedding family:
+    docs become sparse bag-of-words vectors (w = tf · ln(N/df)) and pairwise
+    cosine is computed WITHOUT materializing any vectors, as a posting-list
+    self-join on term followed by a per-pair partial-product sum. Probe docs
+    (doc_id < 20) each report their top-3 most similar corpus docs.
+
+    Scale shape: the classic sparse similarity join. The inverted index
+    (term → postings) is the only wide frame and it's (term, doc, weight) —
+    never text; the join key is TERM, so fan-out per term is df(term) ×
+    probe-postings. At 100 TB the two standard prunings bound it: drop
+    stop-terms above a df cap (they add join cost but ~no cosine mass — the
+    prefix-filtering family), and block by rare terms first (see
+    pipe_containment_dups for the rare-gram variant). Probe postings
+    broadcast (probe set × vocab is small by construction); the per-pair
+    dot collapses with map-side partials, so the shuffle carries (qid, cid,
+    scalar). Cross-engine: weights/dot are double with identical formulas;
+    ranking is over the 1e-6-rounded cosine with doc-id tie-break, the
+    embedding_topk convention."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+    tf = persist_tracked(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    w = persist_tracked(
+        tf.join(dfq, "term")
+        .join(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"))
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    probe = w.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), "term", F.col("w").alias("wq")
+    )
+    dotp = (
+        w.join(F.broadcast(probe), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", F.col("doc_id").alias("cid"))
+        .agg(F.sum(F.col("w") * F.col("wq")).alias("d"))
+    )
+    cos = (
+        dotp.join(nrm.select(F.col("doc_id").alias("qid"), F.col("nrm").alias("nq")), "qid")
+        .join(nrm.select(F.col("doc_id").alias("cid"), F.col("nrm").alias("nc")), "cid")
+        .select(
+            "qid", "cid",
+            pround(F.col("d") / (F.col("nq") * F.col("nc")), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wdw = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        cos.withColumn("rank", F.row_number().over(wdw).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("doc_id"),
+            "cos_sim",
+            "rank",
+        )
     )
