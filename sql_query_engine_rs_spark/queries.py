@@ -3242,7 +3242,7 @@ _ROUND6_STAGED = [
 #   ext_limit_offset, pipe_partitioned_write_prune,
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
-#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups
+#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12362,4 +12362,119 @@ def pipe_sparse_cosine_dups(spark, sf_dir):
             "cos_sim",
             "rank",
         )
+    )
+
+
+def _kmeans_dist_sql(vec: str, cen: str) -> str:
+    """Squared-L2 in DuckDB with the l2sq fold contract (left fold from the
+    first element; 0.0 + x1 == x1, so it matches Spark's aggregate exactly)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+        f"i -> ({vec}[i] - {cen}[i]) * ({vec}[i] - {cen}[i])), (a, x) -> a + x)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Two unrolled Lloyd iterations: assign under c0 -> mean-update c1,
+    assign under c1 -> mean-update c2, final report under c2. Argmin is the
+    deterministic two-step (min dist, then min cid at exact-equal dist),
+    matching Spark's min(struct(dist, cid)) lexicographic fold."""
+    parts = [
+        """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+           c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < 8)"""
+    ]
+    prev = "c0"
+    for it in (1, 2):
+        d = _kmeans_dist_sql("e.v", f"{prev}.c")
+        parts.append(
+            f"""d{it} AS (SELECT e.vec_id, {prev}.cid, {d} AS dist
+                  FROM e CROSS JOIN {prev}),
+           m{it} AS (SELECT vec_id, min(dist) AS md FROM d{it} GROUP BY 1),
+           a{it} AS (SELECT d{it}.vec_id, min(cid) AS cid
+                  FROM d{it} JOIN m{it} ON d{it}.vec_id = m{it}.vec_id
+                                       AND d{it}.dist = m{it}.md
+                  GROUP BY 1),
+           p{it} AS (SELECT a{it}.cid, i AS pos, avg(e.v[i]) AS val
+                  FROM e JOIN a{it} ON e.vec_id = a{it}.vec_id,
+                       UNNEST(range(1, 65)) r(i)
+                  GROUP BY 1, 2),
+           c{it} AS (SELECT cid, list(val ORDER BY pos) AS c FROM p{it} GROUP BY cid)"""
+        )
+        prev = f"c{it}"
+    d = _kmeans_dist_sql("e.v", "c2.c")
+    parts.append(
+        f"""df AS (SELECT e.vec_id, c2.cid, {d} AS dist FROM e CROSS JOIN c2),
+           mf AS (SELECT vec_id, min(dist) AS md FROM df GROUP BY 1),
+           af AS (SELECT df.vec_id, min(cid) AS cid, min(md) AS dist
+                  FROM df JOIN mf ON df.vec_id = mf.vec_id AND df.dist = mf.md
+                  GROUP BY 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+               FLOOR(sum(dist) * 10000 + 0.5) / 10000 AS inertia
+        FROM af GROUP BY cid"""
+    )
+
+
+@register("pipe_kmeans_lloyd", _kmeans_oracle())
+def pipe_kmeans_lloyd(spark, sf_dir):
+    """K-means (k=8) with TWO full Lloyd iterations as pure DataFrame ops —
+    the clustering engine under semdedup/IVF, here run end-to-end with no
+    driver-side centroid collect at all: assignment is a broadcast
+    cross-join + min(struct(dist, cid)) argmin (deterministic tie-break:
+    lexicographic struct ordering = min cid at equal dist, mirrored exactly
+    by the oracle's two-step min), and the centroid update is
+    posexplode → per-(cid, dim) mean → array rebuild. Output: per-cluster
+    membership count and inertia under the final centroids.
+
+    Scale shape: per iteration, the corpus streams map-side against k
+    broadcast centroids (k·dim doubles — kilobytes even at k=65k), the
+    argmin collapses per row, and the update shuffles (cid, dim, partial
+    sum) — k·dim rows after map-side combine, independent of N. Iteration
+    count is the driver loop bound (fixed at 2 here; convergence-driven in
+    production with the same per-iteration plan). The posexplode update
+    frame is N·dim rows pre-combine — at 100 TB pin dims into a struct-of
+    -partials instead (see pipe_moments_merge) or use Spark MLlib's
+    KMeans which implements exactly this loop natively."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+    from sql_query_engine_rs_spark.functions.similarity import l2sq
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = persist_tracked(emb)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(c_df):
+        d = emb.crossJoin(F.broadcast(c_df)).select(
+            "vec_id", "cid", l2sq(F.col("v"), F.col("c")).alias("dist")
+        )
+        return d.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+
+    for _ in range(2):
+        a = assign(cent)
+        cent = persist_tracked(
+            emb.join(a.select("vec_id", "cid"), "vec_id")
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s.getField("val"),
+                ).alias("c")
+            )
+        )
+    final = assign(cent)
+    return final.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        pround(F.sum("dist"), 4).alias("inertia"),
     )
