@@ -3242,7 +3242,7 @@ _ROUND6_STAGED = [
 #   ext_limit_offset, pipe_partitioned_write_prune,
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
-#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd
+#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12477,4 +12477,100 @@ def pipe_kmeans_lloyd(spark, sf_dir):
     return final.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         pround(F.sum("dist"), 4).alias("inertia"),
+    )
+
+
+@register(
+    "pipe_ewma_anomaly",
+    """WITH RECURSIVE h AS (
+         SELECT event_type, date_trunc('hour', ts) AS hr,
+                CAST(count(*) AS DOUBLE) AS x
+         FROM events GROUP BY 1, 2),
+       o AS (
+         SELECT event_type, x,
+                row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+         FROM h),
+       r AS (
+         SELECT event_type, rn, x AS e, 0 AS n_anom,
+                CAST(0.0 AS DOUBLE) AS maxdev
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.event_type, o.rn,
+                0.3 * o.x + 0.7 * r.e,
+                r.n_anom + CASE WHEN abs(o.x - r.e) / r.e > 0.3 THEN 1 ELSE 0 END,
+                greatest(r.maxdev, abs(o.x - r.e) / r.e)
+         FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+       last AS (SELECT event_type, max(rn) AS mr FROM r GROUP BY 1)
+       SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_hours,
+              FLOOR(r.e * 10000 + 0.5) / 10000 AS ewma,
+              CAST(r.n_anom AS BIGINT) AS n_anomalies,
+              FLOOR(r.maxdev * 10000 + 0.5) / 10000 AS max_dev
+       FROM r JOIN last ON r.event_type = last.event_type AND r.rn = last.mr""",
+)
+def pipe_ewma_anomaly(spark, sf_dir):
+    """EWMA ingest-rate anomaly monitor: per event type, the hourly count
+    series is smoothed with an exponentially weighted moving average
+    (α = 0.3, seeded at the first hour) and each hour is flagged when it
+    deviates > 30% from the forecast (the EWMA BEFORE absorbing it) — the
+    recursive control-chart the batch SQL family can't express without
+    WITH RECURSIVE, here a single JVM array fold: sort the (hour, count)
+    structs per series, fold left with e' = 0.3·x + 0.7·e carrying
+    (ewma, n_anomalies, max_deviation) as a struct accumulator. Oracle
+    replays the identical recurrence as a recursive CTE — same multiply/
+    add sequence, so the doubles agree bit for bit before the 4-dp round.
+
+    Scale shape: the heavy step is the (type, hour) pre-aggregation —
+    map-side combine then a skinny shuffle keyed by type+hour; the fold
+    itself touches one array of HOURS-many scalars per series (a series
+    spanning years is ~10⁴ doubles — trivially collect_list-able; the
+    per-key state is bounded by the calendar, not the corpus). For
+    unbounded/live series the same recurrence runs incrementally as the
+    streaming custom-state twin (stream_custom_state keeps running
+    per-key state exactly like this fold's accumulator)."""
+    e = events_table(spark, sf_dir)
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    ser = h.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hr", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r.getField("x"))
+
+    acc0 = F.struct(
+        F.lit(None).cast("double").alias("e"),
+        F.lit(0).cast("int").alias("n_anom"),
+        F.lit(0.0).alias("maxdev"),
+    )
+
+    def step(acc, x):
+        e_prev = acc.getField("e")
+        dev = F.abs(x - e_prev) / e_prev
+        return F.when(
+            e_prev.isNull(),
+            F.struct(
+                x.alias("e"),
+                F.lit(0).cast("int").alias("n_anom"),
+                F.lit(0.0).alias("maxdev"),
+            ),
+        ).otherwise(
+            F.struct(
+                (F.lit(0.3) * x + F.lit(0.7) * e_prev).alias("e"),
+                (acc.getField("n_anom") + F.when(dev > 0.3, 1).otherwise(0))
+                .cast("int")
+                .alias("n_anom"),
+                F.greatest(acc.getField("maxdev"), dev).alias("maxdev"),
+            )
+        )
+
+    folded = ser.select(
+        "event_type",
+        F.size(F.col("s")).cast("bigint").alias("n_hours"),
+        F.aggregate(xs, acc0, step).alias("acc"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        pround(F.col("acc.e"), 4).alias("ewma"),
+        F.col("acc.n_anom").cast("bigint").alias("n_anomalies"),
+        pround(F.col("acc.maxdev"), 4).alias("max_dev"),
     )
