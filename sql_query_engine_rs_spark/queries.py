@@ -3242,7 +3242,8 @@ _ROUND6_STAGED = [
 #   ext_limit_offset, pipe_partitioned_write_prune,
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
-#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly
+#   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
+#   pipe_cusum_changepoint
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12573,4 +12574,82 @@ def pipe_ewma_anomaly(spark, sf_dir):
         pround(F.col("acc.e"), 4).alias("ewma"),
         F.col("acc.n_anom").cast("bigint").alias("n_anomalies"),
         pround(F.col("acc.maxdev"), 4).alias("max_dev"),
+    )
+
+
+@register(
+    "pipe_cusum_changepoint",
+    """WITH d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                avg(value) AS x
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, avg(x) AS mu FROM d GROUP BY 1),
+       c AS (
+         SELECT d.event_type, day,
+                sum(x - mu) OVER (PARTITION BY d.event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS cusum
+         FROM d JOIN m ON d.event_type = m.event_type),
+       r AS (
+         SELECT event_type, day,
+                FLOOR(abs(cusum) * 10000 + 0.5) / 10000 AS acs,
+                row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY FLOOR(abs(cusum) * 10000 + 0.5) / 10000 DESC, day) AS rk,
+                count(*) OVER (PARTITION BY event_type) AS n_days
+         FROM c)
+       SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+              CAST(day AS VARCHAR) AS changepoint_day,
+              acs AS max_abs_cusum
+       FROM r WHERE rk = 1""",
+)
+def pipe_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection per event-type series: daily means are
+    centered on the series mean and cumulatively summed; the day where
+    |CUSUM| peaks is the single most likely level-shift point (the
+    classic offline CUSUM estimator — a drifting metric bows the CUSUM
+    curve, and its extremum localizes the break). Reported per type with
+    the peak magnitude; tie-break at equal (4-dp-rounded) peaks is the
+    earliest day, deterministic on both engines.
+
+    Scale shape: the (type, day) pre-aggregation collapses the raw events
+    with map-side partials into a calendar-bounded frame; the series mean
+    is a per-type scalar joined back (broadcast-sized); the running sum is
+    one window pass over day-ordered rows — both engines add in the SAME
+    ascending-day sequence, so the cusum doubles agree to the last bit
+    (only the series mean carries ~1e-16 accumulation-order noise, far
+    under the 4-dp round). At 100 TB the per-type window partitions are
+    days-of-history long, never corpus-sized; for many series, partitions
+    parallelize across types."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    d = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.avg("value").alias("x"))
+    m = d.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.join(F.broadcast(m), "event_type").withColumn(
+        "cusum", F.sum(F.col("x") - F.col("mu")).over(run)
+    )
+    acs = pround(F.abs(F.col("cusum")), 4)
+    part = Window.partitionBy("event_type")
+    rk = Window.partitionBy("event_type").orderBy(acs.desc(), F.col("day"))
+    return (
+        c.select(
+            "event_type",
+            "day",
+            acs.alias("acs"),
+            F.row_number().over(rk).alias("rk"),
+            F.count(F.lit(1)).over(part).cast("bigint").alias("n_days"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.col("acs").alias("max_abs_cusum"),
+        )
     )
