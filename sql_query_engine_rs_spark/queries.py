@@ -3243,7 +3243,7 @@ _ROUND6_STAGED = [
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
-#   pipe_cusum_changepoint
+#   pipe_cusum_changepoint, pipe_dq_expectations
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12652,4 +12652,134 @@ def pipe_cusum_changepoint(spark, sf_dir):
             F.col("day").cast("string").alias("changepoint_day"),
             F.col("acs").alias("max_abs_cusum"),
         )
+    )
+
+
+_DQ_PRIORITIES = "('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"
+_DQ_LANGS = "('en', 'de', 'fr', 'es')"
+
+
+@register(
+    "pipe_dq_expectations",
+    f"""WITH checks AS (
+         SELECT 'orders_totalprice_positive' AS rule,
+                CAST(count(*) AS BIGINT) AS n_checked,
+                CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         FROM orders
+         UNION ALL
+         SELECT 'orders_date_range', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                            OR o_orderdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orders_priority_domain', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN o_orderpriority NOT IN {_DQ_PRIORITIES} THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         UNION ALL
+         SELECT 'lineitem_quantity_range', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 40) THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'lineitem_discount_max', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'documents_lang_domain', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN lang NOT IN {_DQ_LANGS} THEN 1 ELSE 0 END) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'documents_text_nonempty', CAST(count(*) AS BIGINT),
+                CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM documents)
+       SELECT rule, n_checked, n_violations,
+              FLOOR(CAST(n_violations AS DOUBLE) / n_checked * 1000000 + 0.5) / 1000000
+                  AS violation_rate
+       FROM checks""",
+)
+def pipe_dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectations — the contract gate every
+    production ingest runs before data reaches training: each rule is a
+    named predicate (range, domain, non-null/non-empty, referential
+    integrity) and the report is one row per rule with checked/violation
+    counts and the violation rate. Rules here span three tables and all
+    four families; two rules are deliberately tighter than the data
+    (date upper bound, quantity cap, discount cap, lang domain) so the
+    report demonstrates nonzero detections, and the FK + domain + text
+    rules pass — a report of all-zeros tests nothing.
+
+    Scale shape: ALL rules for a table evaluate in ONE scan as conditional
+    aggregates (sum(CASE WHEN violated)) — adding a rule adds a column,
+    never a pass; the stack to (rule, counts) rows explodes an 8-element
+    array per TABLE-aggregate row, not per data row. The FK rule is the
+    one join — broadcast (dimension side) at any scale where the dimension
+    fits, else the standard shuffled anti-join. The whole report is
+    map-side + one 1-row-per-table shuffle; at 100 TB it costs one read
+    of each table, which is the floor for any full-data contract check
+    (sampled variants trade coverage for cost upstream of this shape)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    d = t(spark, sf_dir, "documents")
+    c = t(spark, sf_dir, "customer")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    n = F.count(F.lit(1)).cast("bigint")
+
+    def stack(agg_df, rules):
+        pairs = F.array(*[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col("_n").alias("n_checked"),
+                F.col(f"_v{i}").alias("n_violations"),
+            )
+            for i, r in enumerate(rules)
+        ])
+        return agg_df.select(F.explode(pairs).alias("p")).select(
+            "p.rule", "p.n_checked", "p.n_violations"
+        )
+
+    o_agg = o.agg(
+        n.alias("_n"),
+        viol(~(F.col("o_totalprice") > 0)).alias("_v0"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") > F.lit("2000-12-31").cast("timestamp"))
+        ).alias("_v1"),
+        viol(
+            ~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+        ).alias("_v2"),
+    )
+    o_rules = stack(
+        o_agg,
+        ["orders_totalprice_positive", "orders_date_range", "orders_priority_domain"],
+    )
+    fk_agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .agg(n.alias("_n"), viol(F.col("c_custkey").isNull()).alias("_v0"))
+    )
+    fk_rule = stack(fk_agg, ["orders_custkey_fk"])
+    li_agg = li.agg(
+        n.alias("_n"),
+        viol(~F.col("l_quantity").between(1, 40)).alias("_v0"),
+        viol(F.col("l_discount") > 0.08).alias("_v1"),
+    )
+    li_rules = stack(li_agg, ["lineitem_quantity_range", "lineitem_discount_max"])
+    d_agg = d.agg(
+        n.alias("_n"),
+        viol(~F.col("lang").isin("en", "de", "fr", "es")).alias("_v0"),
+        viol(F.length(F.trim(F.col("text"))) == 0).alias("_v1"),
+    )
+    d_rules = stack(d_agg, ["documents_lang_domain", "documents_text_nonempty"])
+
+    report = o_rules.unionByName(fk_rule).unionByName(li_rules).unionByName(d_rules)
+    return report.withColumn(
+        "violation_rate",
+        pround(F.col("n_violations").cast("double") / F.col("n_checked"), 6),
     )
