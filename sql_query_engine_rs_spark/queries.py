@@ -3243,7 +3243,7 @@ _ROUND6_STAGED = [
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
-#   pipe_cusum_changepoint, pipe_dq_expectations
+#   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12783,3 +12783,97 @@ def pipe_dq_expectations(spark, sf_dir):
         "violation_rate",
         pround(F.col("n_violations").cast("double") / F.col("n_checked"), 6),
     )
+
+
+_JS_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def _js_oracle() -> str:
+    srcs = _JS_SOURCES
+    cols = []
+    for s in srcs:
+        cols.append(
+            f"coalesce(sum(CASE WHEN source = '{s}' THEN p END), 0.0) AS p_{s}"
+        )
+    sels = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            half = (
+                f"0.5 * sum(CASE WHEN p_{a} > 0 THEN p_{a} * ln(p_{a} / ((p_{a} + p_{b}) / 2)) ELSE 0.0 END)"
+                f" + 0.5 * sum(CASE WHEN p_{b} > 0 THEN p_{b} * ln(p_{b} / ((p_{a} + p_{b}) / 2)) ELSE 0.0 END)"
+            )
+            sels.append(
+                f"SELECT '{a}' AS src_a, '{b}' AS src_b, "
+                f"CAST(sum(CASE WHEN p_{a} > 0 OR p_{b} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms, "
+                f"FLOOR(({half}) * 1000000 + 0.5) / 1000000 AS jsd_nats FROM mat"
+            )
+    src_list = ", ".join(f"'{s}'" for s in srcs)
+    return (
+        """WITH tk AS (
+             SELECT source, t AS term
+             FROM (SELECT source,
+                          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+                   FROM documents WHERE source IN (""" + src_list + """)) d,
+                  UNNEST(toks) u(t)),
+           cnt AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY 1, 2),
+           tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+           p AS (SELECT cnt.source, term, c / n AS p FROM cnt JOIN tot ON cnt.source = tot.source),
+           mat AS (SELECT term, """ + ", ".join(cols) + """ FROM p GROUP BY term)
+        """ + " UNION ALL ".join(sels)
+    )
+
+
+@register("pipe_js_source_divergence", _js_oracle())
+def pipe_js_source_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions — the symmetric, bounded ([0, ln 2]) companion to
+    pipe_kl_source_drift for corpus mixing: near-zero pairs are
+    interchangeable sources (dedup/reweight them together), near-ln2
+    pairs cover disjoint vocabulary (both earn mixture mass). Probe set:
+    4 sources → 6 pairs.
+
+    Scale shape: one tokenize pass over the probe sources, a (source,
+    term) count shuffle (vocab-bounded per source), then the term ×
+    source probability MATRIX via pivot — the JSD for every pair reads
+    from the same matrix as conditional aggregates, so adding a pair
+    adds an expression, not a join or a pass (contrast the naive
+    per-pair full-outer-join which re-shuffles the vocab per pair).
+    Matrix height = union vocab, width = probe sources; at 100 TB both
+    are bounded by the probe set, never the corpus. Zero-mass terms
+    contribute 0 by the CASE guard (0·ln0 := 0), keeping the estimator
+    exact on disjoint supports."""
+    srcs = list(_JS_SOURCES)
+    d = docs_parallel(spark, sf_dir).filter(F.col("source").isin(srcs))
+    tk = d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+    cnt = tk.groupBy("source", "term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(F.broadcast(tot), "source").select(
+        "source", "term", (F.col("c") / F.col("n")).alias("p")
+    )
+    mat = (
+        p.groupBy("term").pivot("source", srcs).agg(F.first("p")).na.fill(0.0)
+    )
+    outs = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            pa, pb = F.col(a), F.col(b)
+            m = (pa + pb) / 2
+            half = (
+                F.lit(0.5) * F.sum(F.when(pa > 0, pa * F.log(pa / m)).otherwise(0.0))
+                + F.lit(0.5) * F.sum(F.when(pb > 0, pb * F.log(pb / m)).otherwise(0.0))
+            )
+            outs.append(
+                mat.agg(
+                    F.sum(F.when((pa > 0) | (pb > 0), 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("n_terms"),
+                    pround(half, 6).alias("jsd_nats"),
+                ).select(
+                    F.lit(a).alias("src_a"), F.lit(b).alias("src_b"),
+                    "n_terms", "jsd_nats",
+                )
+            )
+    out = outs[0]
+    for o_df in outs[1:]:
+        out = out.unionByName(o_df)
+    return out
