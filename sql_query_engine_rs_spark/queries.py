@@ -3243,7 +3243,8 @@ _ROUND6_STAGED = [
 #   pipe_approx_quantile_audit, pipe_traffic_heatmap,
 #   pipe_conversion_latency, pipe_schema_evolution,
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
-#   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence
+#   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
+#   pipe_record_linkage
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12877,3 +12878,118 @@ def pipe_js_source_divergence(spark, sf_dir):
     for o_df in outs[1:]:
         out = out.unionByName(o_df)
     return out
+
+
+@register(
+    "pipe_record_linkage",
+    """WITH dirty AS (
+         SELECT c_custkey AS did,
+                CASE c_custkey % 3
+                  WHEN 0 THEN substr(c_name, 1, 4) || substr(c_name, 6)
+                  WHEN 1 THEN replace(c_name, '#', '=')
+                  ELSE c_name || 'x'
+                END AS dname,
+                CASE c_custkey % 3
+                  WHEN 0 THEN 'delete' WHEN 1 THEN 'substitute' ELSE 'insert'
+                END AS corruption,
+                c_nationkey, c_mktsegment
+         FROM customer),
+       cand AS (
+         SELECT d.did, d.corruption, c.c_custkey,
+                levenshtein(d.dname, c.c_name) AS lev
+         FROM dirty d
+         JOIN customer c ON d.c_nationkey = c.c_nationkey
+                        AND d.c_mktsegment = c.c_mktsegment
+         WHERE levenshtein(d.dname, c.c_name) <= 2),
+       best AS (
+         SELECT did, corruption, c_custkey, lev FROM (
+           SELECT *, row_number() OVER (PARTITION BY did
+                       ORDER BY lev, c_custkey) AS rk
+           FROM cand) r
+         WHERE rk = 1),
+       dn AS (SELECT corruption, CAST(count(*) AS BIGINT) AS n_dirty
+              FROM dirty GROUP BY 1),
+       bn AS (SELECT corruption,
+                     CAST(count(*) AS BIGINT) AS n_linked,
+                     CAST(sum(CASE WHEN c_custkey = did THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+              FROM best GROUP BY 1)
+       SELECT dn.corruption, n_dirty,
+              coalesce(n_linked, 0) AS n_linked,
+              coalesce(n_correct, 0) AS n_correct,
+              FLOOR(CAST(coalesce(n_correct, 0) AS DOUBLE)
+                    / coalesce(n_linked, 1) * 1000000 + 0.5) / 1000000 AS precision
+       FROM dn LEFT JOIN bn ON dn.corruption = bn.corruption""",
+)
+def pipe_record_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage (entity resolution): a deterministically
+    corrupted copy of the customer roster (one edit per record — a
+    character deletion, a substitution, or an insertion, keyed by custkey
+    mod 3) is linked back to the clean roster by BLOCKING on intact
+    metadata (nation, market segment) and scoring Levenshtein distance
+    within each block; best match per dirty record = min (distance,
+    custkey). The report grades the linker per corruption class:
+    linked/correct counts and precision — the fuzzy-join machinery behind
+    author/URL/entity canonicalization in corpus curation.
+
+    Scale shape: blocking is THE scale lever — the quadratic pairwise edit
+    distance runs only inside (nation × segment) blocks, so pair count is
+    Σ|block|² not N²; the join key is the block key (skinny shuffle,
+    names only ride as payload), and the edit distance is a JVM builtin
+    (no Python). At 100 TB: multiple redundant blocking keys (phonetic,
+    q-gram — see pipe_containment_dups' rare-gram blocking) union their
+    candidates to recover cross-block matches, and a per-block pair cap
+    (the max_band_size discipline) bounds flood blocks. Best-match is the
+    standard per-entity top-1 window. The mod-3 corruption classes make
+    the oracle exact and give each class a known ground truth (every dirty
+    record's true match IS in its block at distance 1)."""
+    c = t(spark, sf_dir, "customer")
+    dirty = c.select(
+        F.col("c_custkey").alias("did"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.substring("c_name", 1, 4), F.expr("substring(c_name, 6)")),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.regexp_replace("c_name", "#", "="))
+        .otherwise(F.concat(F.col("c_name"), F.lit("x")))
+        .alias("dname"),
+        F.when(F.col("c_custkey") % 3 == 0, "delete")
+        .when(F.col("c_custkey") % 3 == 1, "substitute")
+        .otherwise("insert")
+        .alias("corruption"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    cand = (
+        dirty.join(c, ["c_nationkey", "c_mktsegment"])
+        .withColumn("lev", F.levenshtein(F.col("dname"), F.col("c_name")))
+        .filter(F.col("lev") <= 2)
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("did").orderBy("lev", "c_custkey")
+    best = (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("did", "corruption", "c_custkey", "lev")
+    )
+    dn = dirty.groupBy("corruption").agg(F.count(F.lit(1)).cast("bigint").alias("n_dirty"))
+    bn = best.groupBy("corruption").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_linked"),
+        F.sum(F.when(F.col("c_custkey") == F.col("did"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    return (
+        dn.join(bn, "corruption", "left")
+        .select(
+            "corruption",
+            "n_dirty",
+            F.coalesce("n_linked", F.lit(0)).cast("bigint").alias("n_linked"),
+            F.coalesce("n_correct", F.lit(0)).cast("bigint").alias("n_correct"),
+            pround(
+                F.coalesce("n_correct", F.lit(0)).cast("double")
+                / F.coalesce("n_linked", F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )
