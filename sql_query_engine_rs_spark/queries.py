@@ -3244,7 +3244,7 @@ _ROUND6_STAGED = [
 #   pipe_conversion_latency, pipe_schema_evolution,
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
 #   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
-#   pipe_record_linkage
+#   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -12992,4 +12992,143 @@ def pipe_record_linkage(spark, sf_dir):
                 6,
             ).alias("precision"),
         )
+    )
+
+
+@register(
+    "pipe_welch_ttest",
+    """WITH s AS (
+         SELECT count(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n2,
+                avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+                avg(CASE WHEN event_type = 'purchase' THEN value END) AS m2,
+                var_samp(CASE WHEN event_type = 'click' THEN value END) AS v1,
+                var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v2
+         FROM events)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              FLOOR((m1 - m2) * 1000000 + 0.5) / 1000000 AS mean_diff,
+              FLOOR((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 10000 + 0.5) / 10000 AS t_stat,
+              FLOOR(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                    / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))
+                    * 100 + 0.5) / 100 AS welch_df,
+              abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) > 1.96 AS significant
+       FROM s""",
+)
+def pipe_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test between the value
+    distributions of two event populations (click vs purchase) — the
+    hypothesis test behind every A/B readout and every "did this pipeline
+    change shift the metric" check, computed entirely from five
+    sufficient statistics (counts, means, sample variances) with the
+    Welch–Satterthwaite degrees of freedom.
+
+    Scale shape: ONE scan, conditional aggregates only — the sufficient
+    statistics are classic mergeable partials (count/sum/sum-of-squares
+    under the hood), so the whole test costs a map-side combine plus a
+    1-row reduce at any corpus size; no shuffle carries data rows. The
+    1.96 threshold is the normal approximation, appropriate at these df;
+    exact t-quantiles are a lookup on the reported df."""
+    e = events_table(spark, sf_dir)
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    buy = F.when(F.col("event_type") == "purchase", F.col("value"))
+    s = e.agg(
+        F.count(click).alias("n1"),
+        F.count(buy).alias("n2"),
+        F.avg(click).alias("m1"),
+        F.avg(buy).alias("m2"),
+        F.var_samp(click).alias("v1"),
+        F.var_samp(buy).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    tstat = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df_num = se2 * se2
+    df_den = (
+        (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+        + (F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")) / (F.col("n2") - 1)
+    )
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        pround(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        pround(tstat, 4).alias("t_stat"),
+        pround(df_num / df_den, 2).alias("welch_df"),
+        (F.abs(tstat) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "pipe_ks_test",
+    """WITH g AS (
+         SELECT n_chars AS x,
+                CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS DOUBLE) AS c1,
+                CAST(count(CASE WHEN source = 'src1' THEN 1 END) AS DOUBLE) AS c2
+         FROM documents WHERE source IN ('src0', 'src1')
+         GROUP BY 1),
+       n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+       cum AS (
+         SELECT x,
+                sum(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s1,
+                sum(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s2
+         FROM g),
+       d AS (
+         SELECT x,
+                FLOOR(abs(s1 / n1 - s2 / n2) * 1000000 + 0.5) / 1000000 AS dd
+         FROM cum CROSS JOIN n),
+       best AS (
+         SELECT x, dd FROM (
+           SELECT *, row_number() OVER (ORDER BY dd DESC, x) AS rk FROM d) r
+         WHERE rk = 1)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              best.dd AS ks_d, CAST(best.x AS BIGINT) AS ks_at_x,
+              best.dd > 1.36 * sqrt((n1 + n2) / (n1 * n2)) AS significant
+       FROM best CROSS JOIN n""",
+)
+def pipe_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test between the document-length
+    distributions of two sources — the nonparametric distribution-shift
+    detector that complements pipe_js_source_divergence (token-level) at
+    the metadata level: D = sup_x |F̂₁(x) − F̂₂(x)| over the merged
+    empirical CDFs, with the location of the supremum (where the
+    distributions pull apart most) and the α=0.05 two-sample threshold
+    1.36·√((n₁+n₂)/(n₁·n₂)).
+
+    Scale shape: the ECDFs never materialize per-row ranks — values
+    collapse to per-distinct-value counts first (domain-bounded frame),
+    then ONE ordered running-sum window over the merged distinct values
+    builds both CDFs simultaneously; the sup is a top-1 window. The
+    single global window is ordered by a domain-bounded key (distinct
+    lengths), not corpus rows — for a continuous metric at 100 TB,
+    pre-bucket to fixed quantile bins (pipe_quantile_rollup's sketch)
+    and run the same shape over bins. Counts are integers and both
+    engines divide the same operands, so D agrees exactly; tie-break at
+    equal rounded D is the smallest x."""
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    g = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.when(F.col("source") == "src0", 1)).cast("double").alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).cast("double").alias("c2"),
+    )
+    n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    from pyspark.sql import Window
+
+    run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "x",
+        F.sum("c1").over(run).alias("s1"),
+        F.sum("c2").over(run).alias("s2"),
+    )
+    dd = cum.crossJoin(F.broadcast(n)).select(
+        "x",
+        pround(F.abs(F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")), 6).alias("dd"),
+    )
+    rk = Window.orderBy(F.col("dd").desc(), F.col("x"))
+    best = dd.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") == 1)
+    return best.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("dd").alias("ks_d"),
+        F.col("x").cast("bigint").alias("ks_at_x"),
+        (
+            F.col("dd")
+            > F.lit(1.36) * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2")))
+        ).alias("significant"),
     )
