@@ -3244,7 +3244,8 @@ _ROUND6_STAGED = [
 #   pipe_conversion_latency, pipe_schema_evolution,
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
 #   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
-#   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test
+#   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
+#   pipe_bootstrap_ci
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13131,4 +13132,171 @@ def pipe_ks_test(spark, sf_dir):
             F.col("dd")
             > F.lit(1.36) * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2")))
         ).alias("significant"),
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_matrix_oracle() -> str:
+    pairs = []
+    cols = _CORR_COLS
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            pairs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"CAST(count(*) AS BIGINT) AS n, "
+                f"FLOOR(corr({a}, {b}) * 1000000 + 0.5) / 1000000 AS pearson_r "
+                f"FROM lineitem"
+            )
+    return " UNION ALL ".join(pairs)
+
+
+@register("pipe_corr_matrix", _corr_matrix_oracle())
+def pipe_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    columns (long format, upper triangle) — the first profiling artifact
+    of any feature-engineering pass: near-±1 pairs are redundant features
+    (drop one before training), near-0 pairs are independent signals.
+
+    Scale shape: correlation is five mergeable sufficient statistics per
+    pair (Σx, Σy, Σxy, Σx², n) — every pair computes in the SAME single
+    scan as map-side partials + a 1-row reduce; adding a column to the
+    matrix adds expressions, never a pass. The all-pairs expression count
+    is C(k,2) — for wide feature tables (k ~ 10³) cap to a target column
+    list or two-level it (correlate against a pivot column first). Both
+    engines compute textbook sample correlation; the 1e-6 round absorbs
+    accumulation-order noise."""
+    li = t(spark, sf_dir, "lineitem")
+    cols = _CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(pround(F.corr(a, b), 6).alias(f"r_{i}_{cols.index(b)}"))
+            names.append((a, b, f"r_{i}_{cols.index(b)}"))
+    one = li.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n").alias("n"),
+            F.col(rc).alias("pearson_r"),
+        )
+        for a, b, rc in names
+    ])
+    return one.select(F.explode(rows).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.pearson_r"
+    )
+
+
+_POISSON_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+_BOOT_B = 50
+
+
+def _md5_u16_sql(expr: str) -> str:
+    """Uniform-ish integer 0..65535 from the first 4 md5 hex nibbles of
+    ``expr`` — DuckDB twin of Spark's conv(substring(md5(x),1,4),16,10)."""
+    val = lambda k: (
+        f"(ascii(substr(md5({expr}), {k}, 1)) - 48 - "
+        f"CASE WHEN ascii(substr(md5({expr}), {k}, 1)) >= 97 THEN 39 ELSE 0 END)"
+    )
+    return f"((({val(1)} * 16 + {val(2)}) * 16 + {val(3)}) * 16 + {val(4)})"
+
+
+def _bootstrap_oracle() -> str:
+    u = _md5_u16_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    w_case = (
+        f"CASE WHEN {u} / 65536.0 < {_POISSON_CUM[0]} THEN 0 "
+        + " ".join(
+            f"WHEN {u} / 65536.0 < {c} THEN {i + 1}"
+            for i, c in enumerate(_POISSON_CUM[1:])
+        )
+        + " ELSE 6 END"
+    )
+    return f"""WITH rep AS (
+         SELECT b, {w_case} AS w, n_chars
+         FROM documents, UNNEST(range(1, {_BOOT_B + 1})) r(b)),
+       means AS (
+         SELECT b, CAST(sum(w * n_chars) AS DOUBLE) / sum(w) AS mean_b
+         FROM rep GROUP BY b),
+       pt AS (SELECT avg(n_chars) AS point_mean, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents)
+       SELECT n_docs, CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+              FLOOR(point_mean * 1000000 + 0.5) / 1000000 AS point_mean,
+              FLOOR(quantile_cont(mean_b, 0.025) * 1000000 + 0.5) / 1000000 AS ci_lo,
+              FLOOR(quantile_cont(mean_b, 0.975) * 1000000 + 0.5) / 1000000 AS ci_hi
+       FROM means CROSS JOIN pt GROUP BY n_docs, point_mean"""
+
+
+@register("pipe_bootstrap_ci", _bootstrap_oracle())
+def pipe_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap confidence interval for the corpus mean document
+    length — THE resampling method that works on distributed data: a true
+    multinomial bootstrap needs global coordination (each replicate draws
+    exactly N rows), but drawing each row's replicate-b multiplicity as an
+    independent Poisson(1) approximates it with a purely PER-ROW decision
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012). Multiplicities are derandomized through the md5 hash of
+    (doc_id, replicate), the repo's standard cross-engine PRNG, so both
+    engines draw identical weights; replicate means are exact integer-sum
+    ratios, and the 95% interval is the 2.5/97.5 percentile of the B=50
+    replicate means (linear interpolation, the repo's pinned convention).
+
+    Scale shape: the explode is B × N rows but only (b, w, metric) ride —
+    map-side combine collapses to B partial sums per partition, so the
+    shuffle carries B·partitions tiny rows and the final frame is B rows.
+    At 100 TB, B=50 error bars on any mergeable metric cost ~one scan —
+    this is how production dashboards get uncertainty without a second
+    pass."""
+    d = docs_parallel(spark, sf_dir)
+    rep = d.select(
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 65536.0
+    )
+    w = F.when(u < _POISSON_CUM[0], 0)
+    for i, c in enumerate(_POISSON_CUM[1:]):
+        w = w.when(u < c, i + 1)
+    w = w.otherwise(6)
+    rep = d.select("doc_id", "n_chars").select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).withColumn("w", w)
+    means = rep.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("n_chars")).cast("double") / F.sum("w")).alias("mean_b")
+    )
+    pt = d.agg(
+        F.avg("n_chars").alias("point_mean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return means.crossJoin(F.broadcast(pt)).groupBy("n_docs", "point_mean").agg(
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+        pround(F.expr("percentile(mean_b, 0.025D)"), 6).alias("ci_lo"),
+        pround(F.expr("percentile(mean_b, 0.975D)"), 6).alias("ci_hi"),
+    ).select(
+        "n_docs",
+        "n_replicates",
+        pround(F.col("point_mean"), 6).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
     )
