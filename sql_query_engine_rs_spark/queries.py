@@ -3245,7 +3245,7 @@ _ROUND6_STAGED = [
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
 #   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
 #   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
-#   pipe_bootstrap_ci
+#   pipe_bootstrap_ci, pipe_ols_two_feature
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13299,4 +13299,99 @@ def pipe_bootstrap_ci(spark, sf_dir):
         pround(F.col("point_mean"), 6).alias("point_mean"),
         "ci_lo",
         "ci_hi",
+    )
+
+
+@register(
+    "pipe_ols_two_feature",
+    """WITH s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+                sum(l_extendedprice) AS sy,
+                sum(l_quantity * l_quantity) AS sx1x1,
+                sum(l_quantity * l_discount) AS sx1x2,
+                sum(l_discount * l_discount) AS sx2x2,
+                sum(l_quantity * l_extendedprice) AS sx1y,
+                sum(l_discount * l_extendedprice) AS sx2y,
+                sum(l_extendedprice * l_extendedprice) AS syy
+         FROM lineitem),
+       c AS (
+         SELECT n,
+                sx1x1 - sx1 * sx1 / n AS s11,
+                sx1x2 - sx1 * sx2 / n AS s12,
+                sx2x2 - sx2 * sx2 / n AS s22,
+                sx1y - sx1 * sy / n AS s1y,
+                sx2y - sx2 * sy / n AS s2y,
+                syy - sy * sy / n AS stot,
+                sx1 / n AS m1, sx2 / n AS m2, sy / n AS my
+         FROM s),
+       b AS (
+         SELECT n, m1, m2, my, s1y, s2y, stot,
+                (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+                (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+         FROM c)
+       SELECT CAST(n AS BIGINT) AS n,
+              FLOOR((my - b1 * m1 - b2 * m2) * 10000 + 0.5) / 10000 AS intercept,
+              FLOOR(b1 * 10000 + 0.5) / 10000 AS coef_quantity,
+              FLOOR(b2 * 10000 + 0.5) / 10000 AS coef_discount,
+              FLOOR((b1 * s1y + b2 * s2y) / stot * 1000000 + 0.5) / 1000000 AS r_squared
+       FROM b""",
+)
+def pipe_ols_two_feature(spark, sf_dir):
+    """Two-feature ordinary least squares in closed form — price ~
+    quantity + discount — solved from the normal equations with NOTHING
+    but one pass of sufficient statistics (the 10 raw sums), then the
+    2×2 centered system by Cramer's rule; extends ext_regr_agg's
+    single-feature regr_slope to the multivariate case the SQL-standard
+    aggregates stop at. Reports intercept, coefficients, and R².
+
+    Scale shape: the textbook distributed-ML pattern — all ten sums are
+    map-side-combinable partials, so a 100 TB fit costs one scan and a
+    1-row reduce regardless of cluster size; for k features the same
+    shape needs k(k+3)/2 sums and a driver-side k×k solve (k ≤ ~10³
+    before the Gram matrix itself needs distributing — then it's
+    Spark MLlib's summarizer + normal-equation solver, which is this
+    exact shape internally). Centered moments are computed by the
+    subtractive formula from raw sums — fine at these magnitudes (no
+    catastrophic cancellation: values are O(10)–O(10⁴)), identical on
+    both engines before the round."""
+    li = t(spark, sf_dir, "lineitem")
+    q, disc, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("sx1"),
+        F.sum(disc).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(q * q).alias("sx1x1"),
+        F.sum(q * disc).alias("sx1x2"),
+        F.sum(disc * disc).alias("sx2x2"),
+        F.sum(q * y).alias("sx1y"),
+        F.sum(disc * y).alias("sx2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    c = s.select(
+        "n",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / F.col("n")).alias("s11"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / F.col("n")).alias("s12"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / F.col("n")).alias("s22"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / F.col("n")).alias("s1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / F.col("n")).alias("s2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("stot"),
+        (F.col("sx1") / F.col("n")).alias("m1"),
+        (F.col("sx2") / F.col("n")).alias("m2"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s22") * F.col("s1y") - F.col("s12") * F.col("s2y")) / det
+    b2 = (F.col("s11") * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    b = c.select(
+        "n", "m1", "m2", "my", "s1y", "s2y", "stot",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    return b.select(
+        F.col("n").cast("bigint").alias("n"),
+        pround(F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"), 4).alias("intercept"),
+        pround(F.col("b1"), 4).alias("coef_quantity"),
+        pround(F.col("b2"), 4).alias("coef_discount"),
+        pround((F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("stot"), 6).alias("r_squared"),
     )
