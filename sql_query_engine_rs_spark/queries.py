@@ -3245,7 +3245,7 @@ _ROUND6_STAGED = [
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
 #   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
 #   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
-#   pipe_bootstrap_ci, pipe_ols_two_feature
+#   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13395,3 +13395,89 @@ def pipe_ols_two_feature(spark, sf_dir):
         pround(F.col("b2"), 4).alias("coef_discount"),
         pround((F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("stot"), 6).alias("r_squared"),
     )
+
+
+@register(
+    "stream_ewma_monitor",
+    """WITH RECURSIVE h AS (
+         SELECT event_type, date_trunc('hour', ts) AS hr,
+                CAST(count(*) AS DOUBLE) AS x
+         FROM events GROUP BY 1, 2),
+       o AS (
+         SELECT event_type, x,
+                row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+         FROM h),
+       r AS (
+         SELECT event_type, rn, x AS e, 0 AS n_anom,
+                CAST(0.0 AS DOUBLE) AS maxdev
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.event_type, o.rn,
+                0.3 * o.x + 0.7 * r.e,
+                r.n_anom + CASE WHEN abs(o.x - r.e) / r.e > 0.3 THEN 1 ELSE 0 END,
+                greatest(r.maxdev, abs(o.x - r.e) / r.e)
+         FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1),
+       last AS (SELECT event_type, max(rn) AS mr FROM r GROUP BY 1)
+       SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_hours,
+              FLOOR(r.e * 10000 + 0.5) / 10000 AS ewma,
+              CAST(r.n_anom AS BIGINT) AS n_anomalies,
+              FLOOR(r.maxdev * 10000 + 0.5) / 10000 AS max_dev
+       FROM r JOIN last ON r.event_type = last.event_type AND r.rn = last.mr""",
+)
+def stream_ewma_monitor(spark, sf_dir):
+    """The streaming twin of pipe_ewma_anomaly, run as a REAL stream: the
+    hourly (type, hour, count) series — in production the output of an
+    upstream windowed-counts stage — is streamed through ``ewma_stateful``
+    (``applyInPandasWithState``: four scalars of state per key; each
+    micro-batch sorted by event time and folded from the carried state)
+    with an update-mode availableNow drain; the final reading per key is
+    the emission with the highest n_hours (monotone, so the recovery is
+    micro-batch-split-independent). Oracle: the identical recursive EWMA
+    replay the batch twin pins — batch fold, streaming state, and
+    recursive CTE all execute the same float64 recurrence, so all three
+    agree bit for bit before the 4-dp round. This is the always-on shape
+    for ingest-rate monitoring at 100 TB: per-key state is O(1), emissions
+    are per-batch deltas, and no history is ever re-scanned."""
+    import tempfile
+    import uuid
+
+    from sql_query_engine_rs_spark.streaming import ewma_stateful
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        e = events_table(spark, sf_dir)
+        hourly = e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+        src_dir = tempfile.mkdtemp(prefix="ewma_stream_")
+        hourly.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(hourly.schema).parquet(src_dir)
+        out = ewma_stateful(stream)
+        sink = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        final = (
+            spark.table(sink)
+            .groupBy("event_type")
+            .agg(
+                F.max("n_hours").cast("bigint").alias("n_hours"),
+                pround(F.max_by("ewma", "n_hours"), 4).alias("ewma"),
+                F.max_by("n_anomalies", "n_hours").cast("bigint").alias("n_anomalies"),
+                pround(F.max_by("max_dev", "n_hours"), 4).alias("max_dev"),
+            )
+        )
+        result = final.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)

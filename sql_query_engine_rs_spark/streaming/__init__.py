@@ -202,6 +202,92 @@ def running_totals_stateful(
     )
 
 
+def ewma_stateful(
+    series: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "hr",
+    x_col: str = "x",
+    alpha: float = 0.3,
+    dev_threshold: float = 0.3,
+) -> DataFrame:
+    """Streaming EWMA control chart via ``applyInPandasWithState``: per key,
+    the exponentially weighted moving average of an ordered series with
+    anomaly counting (|x − forecast| / forecast > threshold) — the always-on
+    twin of the batch array-fold (queries.pipe_ewma_anomaly). State is four
+    scalars per key (ewma, n_anomalies, max_deviation, n_seen); each
+    micro-batch's rows are sorted by event time and folded from the carried
+    state, so any batch split of the same ordered input yields the same
+    final emission. Arithmetic is IEEE float64 with the exact recurrence
+    e' = α·x + (1−α)·e the batch twin and the DuckDB recursive-CTE oracle
+    use — bit-identical across all three.
+
+    On a batch frame, falls back to the same fold via ``applyInPandas``
+    (identical output schema and values — the unified contract).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+    out_schema = (
+        f"{key_col} string, n_hours long, ewma double, "
+        "n_anomalies long, max_dev double"
+    )
+
+    def fold(rows: "pd.DataFrame", e, n_anom, maxdev, n_seen):
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        for x in (float(v) for v in rows[x_col]):
+            if n_seen == 0:
+                e = x
+            else:
+                dev = abs(x - e) / e
+                if dev > dev_threshold:
+                    n_anom += 1
+                if dev > maxdev:
+                    maxdev = dev
+                e = alpha * x + (1.0 - alpha) * e
+            n_seen += 1
+        return e, n_anom, maxdev, n_seen
+
+    if not series.isStreaming:
+        def batch_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            e, n_anom, maxdev, n_seen = fold(pdf, 0.0, 0, 0.0, 0)
+            return pd.DataFrame({
+                key_col: [pdf[key_col].iloc[0]],
+                "n_hours": [n_seen],
+                "ewma": [e],
+                "n_anomalies": [n_anom],
+                "max_dev": [maxdev],
+            })
+
+        return series.groupBy(key_col).applyInPandas(batch_fn, schema=out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "e double, n_anom long, maxdev double, n_seen long"
+
+    def update(key, pdfs, state: GroupState):
+        e, n_anom, maxdev, n_seen = (
+            state.get if state.exists else (0.0, 0, 0.0, 0)
+        )
+        batch = pd.concat(list(pdfs))
+        e, n_anom, maxdev, n_seen = fold(batch, e, n_anom, maxdev, n_seen)
+        state.update((e, n_anom, maxdev, n_seen))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "n_hours": [n_seen],
+            "ewma": [e],
+            "n_anomalies": [n_anom],
+            "max_dev": [maxdev],
+        })
+
+    return series.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def last_touch_attribution_stateful(
     events: DataFrame,
     key_col: str = "user_id",

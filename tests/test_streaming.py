@@ -579,3 +579,26 @@ def test_attribution_state_carries_across_batches(spark, tmp_path):
     }
     spark.catalog.dropTempView("attr_carry")
     assert got == {"click": (1, 10.0), "direct": (2, 12.0)}
+
+
+def test_ewma_stateful_batch_streaming_contract(spark, sf_dir):
+    """ewma_stateful's batch fallback (applyInPandas fold) and the
+    registered streaming drain (applyInPandasWithState) must produce the
+    same readings — the unified batch/streaming contract for the EWMA
+    control chart."""
+    from sql_query_engine_rs_spark.queries import QUERIES, events_table
+    from sql_query_engine_rs_spark.streaming import ewma_stateful
+
+    e = events_table(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    batch = {
+        r.event_type: (r.n_hours, round(r.ewma, 4), r.n_anomalies, round(r.max_dev, 4))
+        for r in ewma_stateful(hourly).collect()
+    }
+    stream = {
+        r.event_type: (r.n_hours, r.ewma, r.n_anomalies, r.max_dev)
+        for r in QUERIES["stream_ewma_monitor"].build(spark, sf_dir).collect()
+    }
+    assert batch == stream
