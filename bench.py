@@ -212,6 +212,25 @@ BENCH_QUERIES = [
     "pipe_traffic_heatmap",
     "pipe_conversion_latency",
     "pipe_schema_evolution",
+    # round-6 late batch: physical-layout co-location (bucketed write +
+    # exchange-free join), sparse-postings cosine, the DataFrame Lloyd
+    # loop, time-series monitoring (batch + streaming EWMA, CUSUM), the
+    # data-quality contract scan, distribution tests, resampling, and
+    # closed-form regression
+    "pipe_bucketed_join_audit",
+    "pipe_sparse_cosine_dups",
+    "pipe_kmeans_lloyd",
+    "pipe_ewma_anomaly",
+    "pipe_cusum_changepoint",
+    "pipe_dq_expectations",
+    "pipe_js_source_divergence",
+    "pipe_record_linkage",
+    "pipe_welch_ttest",
+    "pipe_ks_test",
+    "pipe_corr_matrix",
+    "pipe_bootstrap_ci",
+    "pipe_ols_two_feature",
+    "stream_ewma_monitor",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite
