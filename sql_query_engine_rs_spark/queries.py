@@ -3245,7 +3245,8 @@ _ROUND6_STAGED = [
 #   pipe_bucketed_join_audit, pipe_sparse_cosine_dups, pipe_kmeans_lloyd, pipe_ewma_anomaly,
 #   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
 #   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
-#   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor
+#   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor,
+#   pipe_chi2_association, pipe_permutation_test
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13394,6 +13395,187 @@ def pipe_ols_two_feature(spark, sf_dir):
         pround(F.col("b1"), 4).alias("coef_quantity"),
         pround(F.col("b2"), 4).alias("coef_discount"),
         pround((F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("stot"), 6).alias("r_squared"),
+    )
+
+
+@register(
+    "pipe_chi2_association",
+    """WITH obs AS (
+         SELECT event_type, extract(dow FROM ts) AS dow,
+                CAST(count(*) AS DOUBLE) AS o
+         FROM events GROUP BY 1, 2),
+       rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY 1),
+       ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY 1),
+       n AS (SELECT sum(o) AS n,
+                    CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                    CAST(count(DISTINCT dow) AS BIGINT) AS nc
+             FROM obs),
+       chi AS (
+         SELECT sum((o - r * c / n.n) * (o - r * c / n.n) / (r * c / n.n)) AS chi2,
+               (max(nr) - 1) * (max(nc) - 1) AS df,
+               max(n.n) AS n, max(nr) AS nr, max(nc) AS nc
+         FROM obs
+         JOIN rt ON obs.event_type = rt.event_type
+         JOIN ct ON obs.dow = ct.dow
+         CROSS JOIN n)
+       SELECT CAST(n AS BIGINT) AS n, CAST(df AS BIGINT) AS df,
+              FLOOR(chi2 * 10000 + 0.5) / 10000 AS chi2,
+              FLOOR(sqrt(chi2 / (n * (CASE WHEN nr < nc THEN nr ELSE nc END - 1)))
+                    * 1000000 + 0.5) / 1000000 AS cramers_v
+       FROM chi""",
+)
+def pipe_chi2_association(spark, sf_dir):
+    """Chi-squared test of independence between two categorical columns
+    (event type × day-of-week) with Cramér's V effect size — the
+    categorical companion to pipe_welch_ttest/pipe_ks_test: does event
+    mix depend on weekday, does language depend on source, does label
+    depend on shard. V ∈ [0,1] normalizes χ² so effect sizes compare
+    across table shapes.
+
+    Scale shape: the contingency table is the ONLY corpus-sized pass —
+    one (r × c)-bounded groupBy with map-side combine; marginals, the
+    expected matrix, and the χ² sum all compute over the r·c cell frame
+    (35 cells here). Every term is exact integer-count arithmetic until
+    the final divisions, so both engines agree to fp-noise under the
+    round. Day-of-week convention pinned: Spark's dayofweek() is
+    1=Sunday..7, DuckDB's extract(dow) is 0=Sunday..6 — the Spark side
+    subtracts 1."""
+    e = events_table(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+    )
+    ex = F.col("r") * F.col("c") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum((F.col("o") - ex) * (F.col("o") - ex) / ex).alias("chi2"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1)).alias("df"),
+            F.max("n").alias("n"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    return chi.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("df").cast("bigint").alias("df"),
+        pround(F.col("chi2"), 4).alias("chi2"),
+        pround(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least(F.col("nr"), F.col("nc")) - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def _perm_test_oracle() -> str:
+    u = _md5_u16_sql("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    return f"""WITH base AS (
+         SELECT event_id, value,
+                CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS grp
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       obs AS (
+         SELECT avg(CASE WHEN grp = 1 THEN value END)
+                - avg(CASE WHEN grp = 0 THEN value END) AS d_obs
+         FROM base),
+       rep AS (
+         SELECT b,
+                CASE WHEN {u} % 2 = 0 THEN 1 ELSE 0 END AS pgrp,
+                value
+         FROM base, UNNEST(range(1, {_BOOT_B + 1})) r(b)),
+       dist AS (
+         SELECT b, avg(CASE WHEN pgrp = 1 THEN value END)
+                   - avg(CASE WHEN pgrp = 0 THEN value END) AS d_perm
+         FROM rep GROUP BY b),
+       p AS (
+         SELECT CAST(sum(CASE WHEN abs(d_perm) >= abs(d_obs) THEN 1 ELSE 0 END) AS DOUBLE)
+                / {_BOOT_B} AS p_value
+         FROM dist CROSS JOIN obs)
+       SELECT CAST({_BOOT_B} AS BIGINT) AS n_permutations,
+              FLOOR(d_obs * 1000000 + 0.5) / 1000000 AS observed_diff,
+              FLOOR(p_value * 1000000 + 0.5) / 1000000 AS p_value
+       FROM p CROSS JOIN obs"""
+
+
+@register("pipe_permutation_test", _perm_test_oracle())
+def pipe_permutation_test(spark, sf_dir):
+    """Permutation test for the click-vs-purchase mean-value difference —
+    the assumption-free companion to pipe_welch_ttest: under H₀ the group
+    labels are exchangeable, so the null distribution is rebuilt by
+    re-randomizing labels B=50 times and the p-value is the fraction of
+    permuted |mean diffs| ≥ the observed one. Label draws are
+    derandomized through md5(event_id:b) (the repo's cross-engine PRNG),
+    so both engines run the IDENTICAL 50 pseudo-permutations — a
+    coin-flip relabeling (approximate-permutation variant: group sizes
+    vary binomially, standard for massive data).
+
+    Scale shape: same as pipe_bootstrap_ci — the B-fold explode carries
+    only (b, label-bit, value) and collapses to B partial sums via
+    map-side combine; observed diff is one conditional-agg scan. At
+    100 TB, B resampling replicates cost ~one scan total, which is why
+    hash-derandomized resampling is THE uncertainty method for
+    distributed pipelines (no global shuffle of labels ever happens)."""
+    e = events_table(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = e.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("grp"),
+    )
+    obs = base.agg(
+        (
+            F.avg(F.when(F.col("grp") == 1, F.col("value")))
+            - F.avg(F.when(F.col("grp") == 0, F.col("value")))
+        ).alias("d_obs")
+    )
+    rep = base.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u_int = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rep = rep.withColumn("pgrp", F.when(u_int % 2 == 0, 1).otherwise(0))
+    dist = rep.groupBy("b").agg(
+        (
+            F.avg(F.when(F.col("pgrp") == 1, F.col("value")))
+            - F.avg(F.when(F.col("pgrp") == 0, F.col("value")))
+        ).alias("d_perm")
+    )
+    p = dist.crossJoin(F.broadcast(obs)).agg(
+        (
+            F.sum(F.when(F.abs(F.col("d_perm")) >= F.abs(F.col("d_obs")), 1).otherwise(0)).cast("double")
+            / F.lit(_BOOT_B)
+        ).alias("p_value")
+    )
+    return p.crossJoin(F.broadcast(obs)).select(
+        F.lit(_BOOT_B).cast("bigint").alias("n_permutations"),
+        pround(F.col("d_obs"), 6).alias("observed_diff"),
+        pround(F.col("p_value"), 6).alias("p_value"),
     )
 
 
