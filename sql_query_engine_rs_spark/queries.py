@@ -3246,7 +3246,8 @@ _ROUND6_STAGED = [
 #   pipe_cusum_changepoint, pipe_dq_expectations, pipe_js_source_divergence,
 #   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
 #   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor,
-#   pipe_chi2_association, pipe_permutation_test
+#   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
+#   pipe_freshness_decay
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13475,6 +13476,150 @@ def pipe_chi2_association(spark, sf_dir):
             ),
             6,
         ).alias("cramers_v"),
+    )
+
+
+@register(
+    "pipe_mannwhitney_u",
+    """WITH g AS (
+         SELECT value AS v,
+                CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS c1,
+                CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS c2
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1),
+       r AS (
+         SELECT v, c1, c2, c1 + c2 AS c,
+                sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  - (c1 + c2) AS s_prev
+         FROM g),
+       agg AS (
+         SELECT sum(c1) AS n1, sum(c2) AS n2,
+                sum(c1 * (s_prev + (c + 1) / 2)) AS r1,
+                sum(c * c * c - c) AS tie_term
+         FROM r),
+       stat AS (
+         SELECT n1, n2,
+                r1 - n1 * (n1 + 1) / 2 AS u1,
+                n1 * n2 / 2 AS mu,
+                n1 * n2 / 12 *
+                  ((n1 + n2 + 1) - tie_term / ((n1 + n2) * (n1 + n2 - 1))) AS var
+         FROM agg)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              FLOOR(u1 * 100 + 0.5) / 100 AS u1,
+              FLOOR((u1 - mu) / sqrt(var) * 10000 + 0.5) / 10000 AS z,
+              abs((u1 - mu) / sqrt(var)) > 1.96 AS significant
+       FROM stat""",
+)
+def pipe_mannwhitney_u(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (click vs purchase values) — the
+    nonparametric mean-shift test that needs RANKS, computed here without
+    ever globally sorting rows: values collapse to per-distinct-value
+    group counts, ONE running-sum window over the distinct values yields
+    midrank averages (s_prev + (c+1)/2 — exact for ties), and U, the
+    normal approximation z, and the tie-corrected variance all come from
+    four aggregate sums. The trick matters because the textbook
+    formulation (rank every row, sum group-1 ranks) is a global sort +
+    window over N rows; this shape's only ordered pass is over the
+    DISTINCT value domain.
+
+    Scale shape: per-distinct-value counts via map-side combine; the
+    running sum is ordered by the domain, not the corpus — for truly
+    continuous unbounded metrics, pre-quantize to a fixed grid (midranks
+    then approximate within grid resolution, a documented trade). All
+    arithmetic is exact counts until the final z division, so both
+    engines agree under the round."""
+    e = events_table(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double").alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("c1") + F.col("c2")
+    r = g.select(
+        "v", "c1", "c2", c.alias("c"),
+        (F.sum(c).over(run) - c).alias("s_prev"),
+    )
+    agg = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (F.col("s_prev") + (F.col("c") + 1) / 2)).alias("r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_term"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
+    mu = F.col("n1") * F.col("n2") / 2
+    var = (
+        F.col("n1") * F.col("n2") / 12
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
+    )
+    z = (u1 - mu) / F.sqrt(var)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        pround(u1, 2).alias("u1"),
+        pround(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "pipe_freshness_decay",
+    """WITH mx AS (SELECT max(ts) AS ref FROM events),
+       w AS (
+         SELECT event_type,
+                exp(-0.05 * (floor(epoch(ref)) - floor(epoch(ts))) / 86400.0) AS w
+         FROM events CROSS JOIN mx),
+       a AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                sum(w) AS sw, sum(w * w) AS sww
+         FROM w GROUP BY 1)
+       SELECT event_type, n,
+              FLOOR(sw * 10000 + 0.5) / 10000 AS effective_weight,
+              FLOOR(sw * sw / sww * 100 + 0.5) / 100 AS effective_sample_size,
+              FLOOR(sw / n * 1000000 + 0.5) / 1000000 AS mean_weight
+       FROM a""",
+)
+def pipe_freshness_decay(spark, sf_dir):
+    """Temporal freshness-decay weighting: every event earns
+    w = exp(−λ·age_days) against the corpus's event-time frontier
+    (λ=0.05 ≈ 14-day half-life) and the report gives, per type, the
+    total retained weight, Kish's effective sample size (Σw)²/Σw² —
+    how many 'fresh-equivalent' samples the decayed corpus still
+    contains — and the mean weight. This is the recency-weighting stage
+    of any continually-trained model's data mix: downstream samplers
+    draw proportionally to w (pipe_weighted_sample), and ESS tells you
+    when a source has rotted below usefulness.
+
+    Scale shape: the frontier is a 1-row broadcast; the weight is a
+    per-row map expression; the three sums collapse map-side — one scan,
+    skinny shuffle, at any corpus size. Epoch-second diffs keep the
+    exponent identical cross-engine (both engines exp() the same double);
+    4-dp/1e-6 rounds absorb accumulation-order noise."""
+    e = events_table(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("ref"))
+    w = e.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.exp(
+            F.lit(-0.05)
+            * (F.unix_timestamp("ref") - F.unix_timestamp("ts"))
+            / 86400.0
+        ).alias("w"),
+    )
+    a = w.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sww"),
+    )
+    return a.select(
+        "event_type",
+        "n",
+        pround(F.col("sw"), 4).alias("effective_weight"),
+        pround(F.col("sw") * F.col("sw") / F.col("sww"), 2).alias("effective_sample_size"),
+        pround(F.col("sw") / F.col("n"), 6).alias("mean_weight"),
     )
 
 
