@@ -129,6 +129,19 @@ HEAVY = [
     "pipe_zorder_layout",
     "pipe_basket_lift",
     "pipe_cov_spectrum",
+    # round-6 late batch: the DataFrame Lloyd loop (k fixed -> linear in N,
+    # k*dim-row update shuffles), the sparse-postings cosine join (probe set
+    # fixed -> postings fan-out linear in corpus), and the Poisson bootstrap
+    # (a B-fold map-side explode, linear by construction). pipe_record_linkage
+    # is deliberately NOT here: its registered (nation, segment) blocking is
+    # corpus-size-independent, so block sizes — and the in-block pair scan —
+    # grow linearly with N and the op is the DOCUMENTED quadratic under a
+    # fixed blocking scheme (the docstring's finer-keys-plus-caps discipline
+    # is the production answer; rehearsing the fixed scheme would measure
+    # the known caveat, not a regression).
+    "pipe_kmeans_lloyd",
+    "pipe_sparse_cosine_dups",
+    "pipe_bootstrap_ci",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
