@@ -12962,10 +12962,15 @@ def pipe_record_linkage(spark, sf_dir):
         "c_nationkey",
         "c_mktsegment",
     )
+    # thresholded levenshtein: the banded DP early-exits once the distance
+    # provably exceeds 2 (returns -1), turning the O(len^2) kernel into
+    # O(len*k) on the ~all-pairs-within-block frame — the standard bounded
+    # edit-distance trick for linkage (results identical: the filter keeps
+    # the same <= 2 set, so the untresholded oracle matches hash-for-hash)
     cand = (
         dirty.join(c, ["c_nationkey", "c_mktsegment"])
-        .withColumn("lev", F.levenshtein(F.col("dname"), F.col("c_name")))
-        .filter(F.col("lev") <= 2)
+        .withColumn("lev", F.levenshtein(F.col("dname"), F.col("c_name"), 2))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= 2))
     )
     from pyspark.sql import Window
 
