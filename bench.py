@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "pipe_permutation_test",
     "pipe_mannwhitney_u",
     "pipe_freshness_decay",
+    "pipe_seasonal_decompose",
+    "pipe_feature_hashing",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

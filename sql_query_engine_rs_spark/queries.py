@@ -3247,7 +3247,7 @@ _ROUND6_STAGED = [
 #   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
 #   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor,
 #   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
-#   pipe_freshness_decay
+#   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13625,6 +13625,137 @@ def pipe_freshness_decay(spark, sf_dir):
         pround(F.col("sw"), 4).alias("effective_weight"),
         pround(F.col("sw") * F.col("sw") / F.col("sww"), 2).alias("effective_sample_size"),
         pround(F.col("sw") / F.col("n"), 6).alias("mean_weight"),
+    )
+
+
+@register(
+    "pipe_seasonal_decompose",
+    """WITH h AS (
+         SELECT event_type, date_trunc('hour', ts) AS hr,
+                extract(hour FROM ts) AS hod,
+                CAST(count(*) AS DOUBLE) AS x
+         FROM events GROUP BY 1, 2, 3),
+       m AS (SELECT event_type, avg(x) AS mu FROM h GROUP BY 1),
+       s AS (SELECT event_type, hod, avg(x) AS hod_mean FROM h GROUP BY 1, 2),
+       dec AS (
+         SELECT h.event_type, h.x, m.mu, s.hod_mean,
+                h.x - s.hod_mean AS resid
+         FROM h
+         JOIN m ON h.event_type = m.event_type
+         JOIN s ON h.event_type = s.event_type AND h.hod = s.hod),
+       agg AS (
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                max(mu) AS mu,
+                var_samp(x) AS var_total,
+                var_samp(resid) AS var_resid,
+                max(hod_mean) - min(hod_mean) AS seasonal_range
+         FROM dec GROUP BY 1)
+       SELECT event_type, n_hours,
+              FLOOR(mu * 10000 + 0.5) / 10000 AS mean_rate,
+              FLOOR(seasonal_range * 10000 + 0.5) / 10000 AS seasonal_range,
+              FLOOR((1 - var_resid / var_total) * 1000000 + 0.5) / 1000000
+                  AS seasonal_strength
+       FROM agg""",
+)
+def pipe_seasonal_decompose(spark, sf_dir):
+    """Seasonal decomposition of the hourly ingest series (STL-lite): the
+    hour-of-day profile is the seasonal component (mean rate per hod),
+    the residual is the series minus its hod mean, and seasonal STRENGTH
+    = 1 − Var(residual)/Var(series) — near 1 means the daily cycle
+    explains the traffic (schedule capacity by the profile), near 0 means
+    no diurnal structure (the autocorr/ewma monitors own it). Complements
+    pipe_events_autocorr (detects periodicity) by QUANTIFYING and
+    removing it.
+
+    Scale shape: the (type, hour) frame is calendar-bounded; the profile
+    is a 24-row-per-type aggregate joined back broadcast-sized; variances
+    are single-pass aggregates over the calendar frame. One corpus-sized
+    pass total (the hourly pre-agg), everything after is bounded by
+    types × hours."""
+    e = events_table(spark, sf_dir)
+    h = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    m = h.groupBy("event_type").agg(F.avg("x").alias("mu"))
+    s = h.groupBy("event_type", "hod").agg(F.avg("x").alias("hod_mean"))
+    dec = (
+        h.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(s), ["event_type", "hod"])
+        .select(
+            "event_type", "x", "mu", "hod_mean",
+            (F.col("x") - F.col("hod_mean")).alias("resid"),
+        )
+    )
+    agg = dec.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.max("mu").alias("mu"),
+        F.var_samp("x").alias("var_total"),
+        F.var_samp("resid").alias("var_resid"),
+        (F.max("hod_mean") - F.min("hod_mean")).alias("seasonal_range"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        pround(F.col("mu"), 4).alias("mean_rate"),
+        pround(F.col("seasonal_range"), 4).alias("seasonal_range"),
+        pround(1 - F.col("var_resid") / F.col("var_total"), 6).alias("seasonal_strength"),
+    )
+
+
+def _feature_hash_oracle() -> str:
+    b = _md5_bucket256_sql("term")
+    return f"""WITH tk AS (
+         SELECT DISTINCT t AS term
+         FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x != '') AS toks
+               FROM documents) d, UNNEST(toks) u(t)),
+       hashed AS (SELECT term, {b} % 64 AS bucket FROM tk),
+       occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms
+               FROM hashed GROUP BY 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+              CAST(sum(n_terms) AS BIGINT) AS vocab,
+              CAST(max(n_terms) AS BIGINT) AS max_bucket,
+              CAST(sum(CASE WHEN n_terms > 1 THEN n_terms - 1 ELSE 0 END) AS BIGINT)
+                  AS n_collided,
+              FLOOR(CAST(sum(CASE WHEN n_terms > 1 THEN n_terms - 1 ELSE 0 END) AS DOUBLE)
+                    / sum(n_terms) * 1000000 + 0.5) / 1000000 AS collision_rate
+       FROM occ"""
+
+
+@register("pipe_feature_hashing", _feature_hash_oracle())
+def pipe_feature_hashing(spark, sf_dir):
+    """Feature-hashing (hashing-trick) collision audit: the vocabulary is
+    hashed into 64 buckets (md5 → bucket, the repo's cross-engine hash)
+    and the report gives buckets used, max load, and the collision rate —
+    the diagnostic you run before replacing a vocabulary dictionary with
+    a hashed feature space for ML featurization (collisions alias
+    features; the rate vs bucket-count curve tells you the dimension to
+    ship). With vocab 31 into 64 buckets the birthday regime is visible:
+    a fifth of terms collide despite 2× headroom.
+
+    Scale shape: hashing needs NO vocabulary build — the audit's distinct
+    pass is the only shuffle and exists only to measure collisions; the
+    production featurizer maps tokens to buckets statelessly per row,
+    which is exactly why the trick scales (no dictionary broadcast, no
+    OOV). Bucket count is the knob: collisions fall as 1/buckets."""
+    d = docs_parallel(spark, sf_dir)
+    terms = d.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    hashed = terms.select(
+        "term",
+        (F.conv(F.substring(F.md5(F.col("term")), 1, 2), 16, 10).cast("int") % 64).alias("bucket"),
+    )
+    occ = hashed.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n_terms"))
+    coll = F.sum(F.when(F.col("n_terms") > 1, F.col("n_terms") - 1).otherwise(0))
+    return occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.sum("n_terms").cast("bigint").alias("vocab"),
+        F.max("n_terms").cast("bigint").alias("max_bucket"),
+        coll.cast("bigint").alias("n_collided"),
+        pround(coll.cast("double") / F.sum("n_terms"), 6).alias("collision_rate"),
     )
 
 
