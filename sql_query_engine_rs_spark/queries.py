@@ -3247,7 +3247,8 @@ _ROUND6_STAGED = [
 #   pipe_record_linkage, pipe_welch_ttest, pipe_ks_test, pipe_corr_matrix,
 #   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor,
 #   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
-#   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing
+#   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing,
+#   pipe_wasserstein_drift, pipe_benford_audit
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13701,6 +13702,132 @@ def pipe_seasonal_decompose(spark, sf_dir):
         pround(F.col("mu"), 4).alias("mean_rate"),
         pround(F.col("seasonal_range"), 4).alias("seasonal_range"),
         pround(1 - F.col("var_resid") / F.col("var_total"), 6).alias("seasonal_strength"),
+    )
+
+
+@register(
+    "pipe_wasserstein_drift",
+    """WITH g AS (
+         SELECT n_chars AS x,
+                CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS DOUBLE) AS c1,
+                CAST(count(CASE WHEN source = 'src1' THEN 1 END) AS DOUBLE) AS c2
+         FROM documents WHERE source IN ('src0', 'src1')
+         GROUP BY 1),
+       n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+       cum AS (
+         SELECT x,
+                sum(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s1,
+                sum(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s2,
+                lead(x) OVER (ORDER BY x) AS nx
+         FROM g),
+       seg AS (
+         SELECT abs(s1 / n1 - s2 / n2) * (nx - x) AS seg_area
+         FROM cum CROSS JOIN n WHERE nx IS NOT NULL)
+       SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              FLOOR(sum(seg_area) * 10000 + 0.5) / 10000 AS w1_distance
+       FROM seg CROSS JOIN n GROUP BY n1, n2""",
+)
+def pipe_wasserstein_drift(spark, sf_dir):
+    """1-Wasserstein (earth-mover) distance between two sources'
+    document-length distributions — the drift metric that, unlike KS
+    (pipe_ks_test, sup-norm) and JS (pipe_js_source_divergence,
+    vocab-level), measures HOW FAR mass must move, in the metric's own
+    units (characters): W₁ = ∫|F̂₁−F̂₂| dx, computed exactly on the merged
+    ECDFs as Σ |ΔCDF|·(next_x − x) over distinct values. The number a
+    drift ALERT thresholds on ("lengths shifted by ~N chars") where KS
+    only says "they differ".
+
+    Scale shape: identical machinery to pipe_ks_test — per-distinct-value
+    counts, one domain-ordered running-sum window (plus a lead() for the
+    segment widths), a final sum; the ordered pass is over the value
+    DOMAIN, not corpus rows; pre-bucket continuous metrics to quantile
+    grids at 100 TB. All-integer counts until the final divisions."""
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    g = d.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.when(F.col("source") == "src0", 1)).cast("double").alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).cast("double").alias("c2"),
+    )
+    n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    from pyspark.sql import Window
+
+    run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    lead_w = Window.orderBy("x")
+    cum = g.select(
+        "x",
+        F.sum("c1").over(run).alias("s1"),
+        F.sum("c2").over(run).alias("s2"),
+        F.lead("x").over(lead_w).alias("nx"),
+    )
+    seg = (
+        cum.crossJoin(F.broadcast(n))
+        .filter(F.col("nx").isNotNull())
+        .select(
+            (
+                F.abs(F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2"))
+                * (F.col("nx") - F.col("x"))
+            ).alias("seg_area"),
+            "n1",
+            "n2",
+        )
+    )
+    return seg.groupBy("n1", "n2").agg(
+        pround(F.sum("seg_area"), 4).alias("w1_distance")
+    ).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "w1_distance",
+    )
+
+
+@register(
+    "pipe_benford_audit",
+    """WITH d AS (
+         SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                     AS BIGINT) AS digit
+         FROM orders WHERE o_totalprice >= 1),
+       obs AS (SELECT digit, CAST(count(*) AS DOUBLE) AS o FROM d GROUP BY 1),
+       n AS (SELECT sum(o) AS n FROM obs),
+       cmp AS (
+         SELECT digit, o, n.n,
+                log10(1 + 1.0 / digit) AS p_benford,
+                o / n.n AS p_obs
+         FROM obs CROSS JOIN n)
+       SELECT CAST(digit AS BIGINT) AS digit,
+              CAST(o AS BIGINT) AS n_obs,
+              FLOOR(p_obs * 1000000 + 0.5) / 1000000 AS p_obs,
+              FLOOR(p_benford * 1000000 + 0.5) / 1000000 AS p_benford,
+              FLOOR(abs(p_obs - p_benford) * 1000000 + 0.5) / 1000000 AS abs_dev
+       FROM cmp""",
+)
+def pipe_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns:
+    naturally-generated multiplicative amounts follow
+    P(d) = log₁₀(1 + 1/d); synthetic, capped, or hand-entered data
+    doesn't. The report gives observed vs Benford share per leading
+    digit with absolute deviations (here the TPC-H-ish uniform pricing
+    deliberately FAILS Benford — deviations make the detection visible,
+    the point of the audit).
+
+    Scale shape: leading digit is a per-row string op, the frame
+    collapses to ≤ 9 rows via map-side combine, and the expected shares
+    are constants — one scan at any size. Pure integer counts until the
+    final divisions; log10 of integer constants agrees cross-engine."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cmp = obs.crossJoin(F.broadcast(n))
+    return cmp.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("o").cast("bigint").alias("n_obs"),
+        pround(F.col("o") / F.col("n"), 6).alias("p_obs"),
+        pround(F.log10(1 + 1.0 / F.col("digit")), 6).alias("p_benford"),
+        pround(F.abs(F.col("o") / F.col("n") - F.log10(1 + 1.0 / F.col("digit"))), 6).alias("abs_dev"),
     )
 
 
