@@ -3248,7 +3248,7 @@ _ROUND6_STAGED = [
 #   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor,
 #   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
 #   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing,
-#   pipe_wasserstein_drift, pipe_benford_audit
+#   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13828,6 +13828,79 @@ def pipe_benford_audit(spark, sf_dir):
         pround(F.col("o") / F.col("n"), 6).alias("p_obs"),
         pround(F.log10(1 + 1.0 / F.col("digit")), 6).alias("p_benford"),
         pround(F.abs(F.col("o") / F.col("n") - F.log10(1 + 1.0 / F.col("digit"))), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "pipe_forecast_backtest",
+    """WITH h AS (
+         SELECT event_type, date_trunc('hour', ts) AS hr,
+                CAST(count(*) AS DOUBLE) AS x
+         FROM events GROUP BY 1, 2),
+       o AS (
+         SELECT event_type, hr, x,
+                lag(x, 168) OVER (PARTITION BY event_type ORDER BY hr) AS fc_weekly,
+                lag(x, 24) OVER (PARTITION BY event_type ORDER BY hr) AS fc_daily
+         FROM h),
+       sc AS (
+         SELECT event_type,
+                CAST(count(fc_weekly) AS BIGINT) AS n_scored,
+                avg(abs(x - fc_weekly)) AS mae_weekly,
+                avg(abs(x - CASE WHEN fc_weekly IS NOT NULL THEN fc_daily END)) AS mae_daily
+         FROM o GROUP BY 1)
+       SELECT event_type, n_scored,
+              FLOOR(mae_weekly * 10000 + 0.5) / 10000 AS mae_weekly,
+              FLOOR(mae_daily * 10000 + 0.5) / 10000 AS mae_daily,
+              mae_weekly < mae_daily AS weekly_wins
+       FROM sc""",
+)
+def pipe_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest over the hourly ingest series:
+    forecast(t) = value(t−168h) (same hour last week) vs the cheaper
+    value(t−24h) (same hour yesterday), scored by MAE on the hours where
+    the weekly forecast exists (same scoring window for both, so the
+    comparison is fair) — the baseline every capacity-planning forecast
+    must beat, and the drift guard for the seasonal profile
+    (pipe_seasonal_decompose quantifies the cycle; this measures how well
+    the cycle PREDICTS). weekly_wins reports which horizon carries more
+    signal on this corpus.
+
+    Scale shape: one corpus-sized pre-aggregation to the calendar-bounded
+    (type, hour) frame; the lags are a single per-type window pass
+    (ordered by hour — partitions are series-length, never corpus-sized);
+    the scores collapse per type. At 100 TB this is the nightly-forecast
+    eval job: one scan + one window over ~10⁴ rows per series. The lag
+    fetch is positional over a DENSE hourly grid (this corpus has every
+    hour populated); gappy series need a gap-fill first
+    (ext_resample_gapfill) or a time-keyed as-of self-join."""
+    e = events_table(spark, sf_dir)
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hr")
+    o = h.select(
+        "event_type", "hr", "x",
+        F.lag("x", 168).over(w).alias("fc_weekly"),
+        F.lag("x", 24).over(w).alias("fc_daily"),
+    )
+    sc = o.groupBy("event_type").agg(
+        F.count("fc_weekly").cast("bigint").alias("n_scored"),
+        F.avg(F.abs(F.col("x") - F.col("fc_weekly"))).alias("mae_weekly"),
+        F.avg(
+            F.abs(
+                F.col("x")
+                - F.when(F.col("fc_weekly").isNotNull(), F.col("fc_daily"))
+            )
+        ).alias("mae_daily"),
+    )
+    return sc.select(
+        "event_type",
+        "n_scored",
+        pround(F.col("mae_weekly"), 4).alias("mae_weekly"),
+        pround(F.col("mae_daily"), 4).alias("mae_daily"),
+        (F.col("mae_weekly") < F.col("mae_daily")).alias("weekly_wins"),
     )
 
 
