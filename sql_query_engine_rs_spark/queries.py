@@ -3248,7 +3248,8 @@ _ROUND6_STAGED = [
 #   pipe_bootstrap_ci, pipe_ols_two_feature, stream_ewma_monitor,
 #   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
 #   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing,
-#   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest
+#   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest,
+#   pipe_sax_motifs
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -13901,6 +13902,109 @@ def pipe_forecast_backtest(spark, sf_dir):
         pround(F.col("mae_weekly"), 4).alias("mae_weekly"),
         pround(F.col("mae_daily"), 4).alias("mae_daily"),
         (F.col("mae_weekly") < F.col("mae_daily")).alias("weekly_wins"),
+    )
+
+
+@register(
+    "pipe_sax_motifs",
+    """WITH d AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(count(*) AS DOUBLE) AS x
+         FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, avg(x) AS mu, stddev_samp(x) AS sd
+             FROM d GROUP BY 1),
+       z AS (
+         SELECT d.event_type, day, (x - mu) / sd AS z
+         FROM d JOIN m ON d.event_type = m.event_type),
+       sym AS (
+         SELECT event_type, day,
+                CASE WHEN z < -0.6745 THEN 'a'
+                     WHEN z < 0 THEN 'b'
+                     WHEN z < 0.6745 THEN 'c'
+                     ELSE 'd' END AS s
+         FROM z),
+       mot AS (
+         SELECT event_type,
+                s || lead(s, 1) OVER (PARTITION BY event_type ORDER BY day)
+                  || lead(s, 2) OVER (PARTITION BY event_type ORDER BY day) AS motif
+         FROM sym),
+       cnt AS (
+         SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n
+         FROM mot WHERE motif IS NOT NULL GROUP BY 1, 2),
+       top AS (
+         SELECT event_type, motif, n,
+                CAST(count(DISTINCT motif) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS n_distinct_motifs,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, motif) AS rk
+         FROM cnt)
+       SELECT event_type, motif AS top_motif, n AS n_occurrences,
+              n_distinct_motifs
+       FROM top WHERE rk = 1""",
+)
+def pipe_sax_motifs(spark, sf_dir):
+    """SAX (Symbolic Aggregate approXimation) motif discovery over the
+    daily ingest series: each day's count is z-normalized within its
+    series and discretized to a 4-letter alphabet at the Gaussian
+    equiprobable breakpoints (−0.6745, 0, 0.6745); sliding 3-day words
+    are the motifs, and the report gives each series' most frequent word
+    (lexicographic tie-break) plus motif diversity. Symbolization is THE
+    classic trick for time-series pattern mining at scale — after it,
+    motif counting, anomaly detection (rare words), and similarity all
+    become plain string group-bys instead of numeric subsequence
+    matching.
+
+    Scale shape: one corpus pass to the calendar-bounded daily frame;
+    per-series mean/std broadcast back; symbols are per-row CASEs; the
+    3-day words come from two lead() calls in ONE ordered window pass per
+    series; motif counting is a vocab-bounded (≤ 4³ words) group-by.
+    Breakpoint comparisons are safe cross-engine: z sits ~1e-15-exact and
+    a breakpoint collision needs z to hit ±0.6745 to the last bit."""
+    e = events_table(spark, sf_dir)
+    d = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    m = d.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    z = d.join(F.broadcast(m), "event_type").select(
+        "event_type", "day", ((F.col("x") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    s = (
+        F.when(F.col("z") < -0.6745, "a")
+        .when(F.col("z") < 0, "b")
+        .when(F.col("z") < 0.6745, "c")
+        .otherwise("d")
+    )
+    sym = z.select("event_type", "day", s.alias("s"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    mot = sym.select(
+        "event_type",
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+        ).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    cnt = mot.groupBy("event_type", "motif").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    part = Window.partitionBy("event_type")
+    rk = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("motif"))
+    return (
+        cnt.select(
+            "event_type", "motif", "n",
+            F.size(F.collect_set("motif").over(part)).cast("bigint").alias("n_distinct_motifs"),
+            F.row_number().over(rk).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("motif").alias("top_motif"),
+            F.col("n").alias("n_occurrences"),
+            "n_distinct_motifs",
+        )
     )
 
 
