@@ -3249,7 +3249,7 @@ _ROUND6_STAGED = [
 #   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
 #   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing,
 #   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest,
-#   pipe_sax_motifs
+#   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -14005,6 +14005,144 @@ def pipe_sax_motifs(spark, sf_dir):
             F.col("n").alias("n_occurrences"),
             "n_distinct_motifs",
         )
+    )
+
+
+@register(
+    "pipe_auc_roc",
+    """WITH s AS (
+         SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+         FROM embeddings),
+       g AS (
+         SELECT score,
+                CAST(sum(pos) AS DOUBLE) AS c_pos,
+                CAST(sum(1 - pos) AS DOUBLE) AS c_neg
+         FROM s GROUP BY 1),
+       r AS (
+         SELECT c_pos, c_neg, c_pos + c_neg AS c,
+                sum(c_pos + c_neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+                  - (c_pos + c_neg) AS s_prev
+         FROM g),
+       agg AS (
+         SELECT sum(c_pos) AS np, sum(c_neg) AS nn,
+                sum(c_pos * (s_prev + (c + 1) / 2)) AS r_pos
+         FROM r)
+       SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+              FLOOR((r_pos - np * (np + 1) / 2) / (np * nn) * 1000000 + 0.5)
+                  / 1000000 AS auc
+       FROM agg""",
+)
+def pipe_auc_roc(spark, sf_dir):
+    """ROC-AUC of a scalar score predicting a binary label (embedding dim 1
+    as the score, label 0 as the positive class — the mechanics, not the
+    model, are the point) — THE ranking-quality metric for every
+    classifier-based curation filter (quality, toxicity, language
+    confidence), computed by the rank identity AUC = (R₊ − n₊(n₊+1)/2) /
+    (n₊·n₋): no thresholds swept, no curve materialized, and ties handled
+    exactly via midranks (AUC = P(s₊ > s₋) + ½P(tie), the proper
+    convention).
+
+    Scale shape: identical to pipe_mannwhitney_u (AUC IS the rescaled
+    U statistic): per-distinct-score counts via map-side combine, ONE
+    running-sum window over the score domain for midranks, three final
+    sums. No global row sort, no N² pair comparisons — the standard
+    distributed-AUC shape (pre-bucket continuous scores to a fixed grid
+    at 100 TB; AUC is then exact within grid resolution)."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.col("embedding").getItem(0).cast("double").alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.sum("pos").cast("double").alias("c_pos"),
+        F.sum(1 - F.col("pos")).cast("double").alias("c_neg"),
+    )
+    from pyspark.sql import Window
+
+    run = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("c_pos") + F.col("c_neg")
+    r = g.select(
+        "c_pos", "c_neg", c.alias("c"),
+        (F.sum(c).over(run) - c).alias("s_prev"),
+    )
+    agg = r.agg(
+        F.sum("c_pos").alias("np"),
+        F.sum("c_neg").alias("nn"),
+        F.sum(F.col("c_pos") * (F.col("s_prev") + (F.col("c") + 1) / 2)).alias("r_pos"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        pround(
+            (F.col("r_pos") - F.col("np") * (F.col("np") + 1) / 2)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_TTEST_SOURCES = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@register(
+    "pipe_pairwise_ttest",
+    f"""WITH s AS (
+         SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                avg(n_chars) AS m, var_samp(n_chars) AS v
+         FROM documents WHERE source IN {_TTEST_SOURCES}
+         GROUP BY 1),
+       p AS (
+         SELECT a.source AS src_a, b.source AS src_b,
+                (a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) AS t
+         FROM s a JOIN s b ON a.source < b.source)
+       SELECT src_a, src_b,
+              FLOOR(t * 10000 + 0.5) / 10000 AS t_stat,
+              abs(t) > 1.96 AS raw_significant,
+              abs(t) > 2.807 AS bonferroni_significant
+       FROM p""",
+)
+def pipe_pairwise_ttest(spark, sf_dir):
+    """All-pairs Welch t-tests between source mean document lengths (5
+    sources → 10 pairs) with Bonferroni multiple-testing correction —
+    the screen you run before believing ANY "source X differs from
+    source Y" claim mined from many comparisons: at m=10 tests the raw
+    1.96 threshold yields ~40% familywise false-positive odds; the
+    corrected threshold (z for α/2m = 0.0025 ≈ 2.807) controls it.
+
+    Scale shape: the corpus is touched ONCE for the per-source
+    sufficient statistics (count/mean/sample-variance — mergeable
+    partials); the m(m−1)/2 pairs are formed by self-joining the
+    SOURCES-row stats frame, so adding sources grows the join on a
+    frame of size #sources, never a data pass. The same shape carries
+    any pairwise screen (KS, JS, Wasserstein) once its sufficient
+    summary is per-group computable."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.expr(f"source IN {_TTEST_SOURCES}")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.var_samp("n_chars").alias("v"),
+    )
+    a = s.select(
+        F.col("source").alias("src_a"), F.col("n").alias("na"),
+        F.col("m").alias("ma"), F.col("v").alias("va"),
+    )
+    b = s.select(
+        F.col("source").alias("src_b"), F.col("n").alias("nb"),
+        F.col("m").alias("mb"), F.col("v").alias("vb"),
+    )
+    p = a.join(b, F.col("src_a") < F.col("src_b"))
+    tstat = (F.col("ma") - F.col("mb")) / F.sqrt(
+        F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    )
+    return p.select(
+        "src_a",
+        "src_b",
+        pround(tstat, 4).alias("t_stat"),
+        (F.abs(tstat) > 1.96).alias("raw_significant"),
+        (F.abs(tstat) > 2.807).alias("bonferroni_significant"),
     )
 
 
