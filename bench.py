@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "pipe_sax_motifs",
     "pipe_auc_roc",
     "pipe_pairwise_ttest",
+    "pipe_calibration_ece",
+    "pipe_classifier_metrics",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

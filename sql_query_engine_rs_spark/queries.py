@@ -3249,7 +3249,8 @@ _ROUND6_STAGED = [
 #   pipe_chi2_association, pipe_permutation_test, pipe_mannwhitney_u,
 #   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing,
 #   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest,
-#   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest
+#   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest,
+#   pipe_calibration_ece, pipe_classifier_metrics
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -14079,6 +14080,122 @@ def pipe_auc_roc(spark, sf_dir):
             / (F.col("np") * F.col("nn")),
             6,
         ).alias("auc"),
+    )
+
+
+@register(
+    "pipe_calibration_ece",
+    """WITH s AS (
+         SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS p,
+                CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+         FROM embeddings),
+       b AS (
+         SELECT CAST(CASE WHEN p >= 1 THEN 9 ELSE floor(p * 10) END AS BIGINT) AS bin,
+                CAST(count(*) AS DOUBLE) AS n,
+                avg(p) AS conf, avg(y) AS acc
+         FROM s GROUP BY 1),
+       n AS (SELECT sum(n) AS total FROM b)
+       SELECT CAST(sum(b.n) AS BIGINT) AS n_scored,
+              CAST(count(*) AS BIGINT) AS n_bins_used,
+              FLOOR(sum(b.n / n.total * abs(acc - conf)) * 1000000 + 0.5)
+                  / 1000000 AS ece,
+              FLOOR(max(abs(acc - conf)) * 1000000 + 0.5) / 1000000 AS mce
+       FROM b CROSS JOIN n GROUP BY n.total""",
+)
+def pipe_calibration_ece(spark, sf_dir):
+    """Expected calibration error of a probabilistic score (sigmoid of
+    embedding dim 1 vs label-0 ground truth — again the mechanics, not
+    the model): scores bucket into 10 equal-width probability bins and
+    ECE = Σ (nᵦ/N)·|accuracyᵦ − confidenceᵦ|, plus the max-bin MCE — the
+    eval that tells you whether a curation classifier's 0.9 means 90%
+    (thresholding on raw scores without this check silently shifts the
+    kept-data distribution).
+
+    Scale shape: one map pass to (bin, partials) — 10 rows after
+    map-side combine; every downstream term reads the 10-row frame. The
+    equal-width binning is stateless per row (no quantiles needed), so
+    the whole eval is one scan at any corpus size. The p≥1 edge folds
+    into the top bin on both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        (F.lit(1.0) / (1.0 + F.exp(-F.col("embedding").getItem(0).cast("double")))).alias("p"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    b = s.groupBy(
+        F.when(F.col("p") >= 1, 9)
+        .otherwise(F.floor(F.col("p") * 10))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("p").alias("conf"),
+        F.avg("y").alias("acc"),
+    )
+    n = b.agg(F.sum("n").alias("total"))
+    return b.crossJoin(F.broadcast(n)).groupBy("total").agg(
+        F.sum("n").cast("bigint").alias("n_scored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        pround(
+            F.sum(F.col("n") / F.col("total") * F.abs(F.col("acc") - F.col("conf"))), 6
+        ).alias("ece"),
+        pround(F.max(F.abs(F.col("acc") - F.col("conf"))), 6).alias("mce"),
+    ).drop("total")
+
+
+@register(
+    "pipe_classifier_metrics",
+    """WITH s AS (
+         SELECT CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END AS pred,
+                CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+         FROM embeddings),
+       c AS (
+         SELECT CAST(sum(pred * y) AS DOUBLE) AS tp,
+                CAST(sum(pred * (1 - y)) AS DOUBLE) AS fp,
+                CAST(sum((1 - pred) * y) AS DOUBLE) AS fn,
+                CAST(sum((1 - pred) * (1 - y)) AS DOUBLE) AS tn
+         FROM s)
+       SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+              FLOOR(tp / (tp + fp) * 1000000 + 0.5) / 1000000 AS precision,
+              FLOOR(tp / (tp + fn) * 1000000 + 0.5) / 1000000 AS recall,
+              FLOOR(2 * tp / (2 * tp + fp + fn) * 1000000 + 0.5) / 1000000 AS f1,
+              FLOOR((tp + tn) / (tp + fp + fn + tn) * 1000000 + 0.5) / 1000000
+                  AS accuracy
+       FROM c""",
+)
+def pipe_classifier_metrics(spark, sf_dir):
+    """Thresholded classifier confusion matrix + precision/recall/F1/
+    accuracy (score > 0 predicting label 0) — the standard eval report
+    beside pipe_auc_roc's threshold-free ranking view and
+    pipe_calibration_ece's probability view; together the three are the
+    complete filter-model report card a curation pipeline publishes
+    before a classifier gates data.
+
+    Scale shape: the entire confusion matrix is four conditional sums in
+    ONE scan (map-side combine, 1-row reduce); every derived metric is
+    driver-free arithmetic on the four cells. The cheapest eval in the
+    repo — which is the point: there is no excuse not to publish it."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.when(F.col("embedding").getItem(0).cast("double") > 0, 1).otherwise(0).alias("pred"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+    )
+    c = s.agg(
+        F.sum(F.col("pred") * F.col("y")).cast("double").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("double").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("double").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("y"))).cast("double").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return c.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        pround(tp / (tp + fp), 6).alias("precision"),
+        pround(tp / (tp + fn), 6).alias("recall"),
+        pround(2 * tp / (2 * tp + fp + fn), 6).alias("f1"),
+        pround((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
     )
 
 
