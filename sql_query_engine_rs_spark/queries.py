@@ -3250,7 +3250,8 @@ _ROUND6_STAGED = [
 #   pipe_freshness_decay, pipe_seasonal_decompose, pipe_feature_hashing,
 #   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest,
 #   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest,
-#   pipe_calibration_ece, pipe_classifier_metrics
+#   pipe_calibration_ece, pipe_classifier_metrics, pipe_psi_drift,
+#   pipe_cohort_retention
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -14196,6 +14197,157 @@ def pipe_classifier_metrics(spark, sf_dir):
         pround(tp / (tp + fn), 6).alias("recall"),
         pround(2 * tp / (2 * tp + fp + fn), 6).alias("f1"),
         pround((tp + tn) / (tp + fp + fn + tn), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "pipe_psi_drift",
+    """WITH b AS (
+         SELECT CAST(CASE WHEN n_chars >= 2000 THEN 9
+                          ELSE floor(n_chars / 200) END AS BIGINT) AS bin,
+                CAST(count(CASE WHEN source = 'src0' THEN 1 END) AS DOUBLE) AS c1,
+                CAST(count(CASE WHEN source = 'src1' THEN 1 END) AS DOUBLE) AS c2
+         FROM documents WHERE source IN ('src0', 'src1')
+         GROUP BY 1),
+       n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM b),
+       p AS (
+         SELECT bin,
+                (c1 + 0.5) / (n1 + 0.5 * (SELECT count(*) FROM b)) AS p1,
+                (c2 + 0.5) / (n2 + 0.5 * (SELECT count(*) FROM b)) AS p2
+         FROM b CROSS JOIN n)
+       SELECT CAST((SELECT n1 FROM n) AS BIGINT) AS n1,
+              CAST((SELECT n2 FROM n) AS BIGINT) AS n2,
+              CAST(count(*) AS BIGINT) AS n_bins,
+              FLOOR(sum((p1 - p2) * ln(p1 / p2)) * 1000000 + 0.5) / 1000000 AS psi,
+              sum((p1 - p2) * ln(p1 / p2)) > 0.2 AS drift_alert
+       FROM p""",
+)
+def pipe_psi_drift(spark, sf_dir):
+    """Population Stability Index between two sources' length
+    distributions — the industry-standard drift monitor (model-risk
+    teams alert at PSI > 0.2, investigate at 0.1): fixed-width bins,
+    PSI = Σ (p₁ᵦ − p₂ᵦ)·ln(p₁ᵦ/p₂ᵦ), with add-half Laplace smoothing so
+    empty bins contribute finitely (the standard production guard —
+    without it one unseen bin makes PSI infinite). Completes the drift
+    toolkit: KS (sup-norm), W₁ (mass transport), JS (vocab), PSI (the
+    binned score every monitoring dashboard already speaks).
+
+    Scale shape: stateless per-row binning (no quantile pass), ≤ 10-row
+    frame after map-side combine, constants thereafter — one scan at any
+    size. Smoothed probabilities use identical arithmetic cross-engine."""
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    b = d.groupBy(
+        F.when(F.col("n_chars") >= 2000, 9)
+        .otherwise(F.floor(F.col("n_chars") / 200))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(
+        F.count(F.when(F.col("source") == "src0", 1)).cast("double").alias("c1"),
+        F.count(F.when(F.col("source") == "src1", 1)).cast("double").alias("c2"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    b = persist_tracked(b)
+    n = b.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    p = b.crossJoin(F.broadcast(n)).select(
+        ((F.col("c1") + 0.5) / (F.col("n1") + 0.5 * F.col("k"))).alias("p1"),
+        ((F.col("c2") + 0.5) / (F.col("n2") + 0.5 * F.col("k"))).alias("p2"),
+        "n1",
+        "n2",
+    )
+    term = (F.col("p1") - F.col("p2")) * F.log(F.col("p1") / F.col("p2"))
+    return p.groupBy("n1", "n2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        pround(F.sum(term), 6).alias("psi"),
+        (F.sum(term) > 0.2).alias("drift_alert"),
+    ).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        "n_bins",
+        "psi",
+        "drift_alert",
+    )
+
+
+@register(
+    "pipe_cohort_retention",
+    """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       first AS (
+         SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+         FROM p GROUP BY 1),
+       activity AS (
+         SELECT DISTINCT e.user_id, f.cohort_week,
+                CAST(floor(CAST(epoch(date_trunc('week', e.ts))
+                                - epoch(f.cohort_week) AS DOUBLE)
+                           / (7 * 86400)) AS BIGINT) AS week_offset
+         FROM p e JOIN first f ON e.user_id = f.user_id),
+       cohort_size AS (
+         SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+         FROM first GROUP BY 1),
+       ret AS (
+         SELECT a.cohort_week, a.week_offset,
+                CAST(count(*) AS BIGINT) AS n_active
+         FROM activity a GROUP BY 1, 2)
+       SELECT CAST(CAST(r.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+              r.week_offset, s.n_users, r.n_active,
+              FLOOR(CAST(r.n_active AS DOUBLE) / s.n_users * 1000000 + 0.5)
+                  / 1000000 AS retention
+       FROM ret r JOIN cohort_size s ON r.cohort_week = s.cohort_week
+       WHERE r.week_offset <= 4""",
+)
+def pipe_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users are cohorted by first-seen
+    week and each cell is the share of the cohort active k weeks later
+    (triangle truncated at 4 offsets) — THE product-analytics artifact
+    for 'does the pipeline/product keep its users', and in data-pipeline
+    terms the source-freshness twin: swap users for documents and
+    activity for re-crawl to get corpus re-appearance curves.
+
+    Scale shape: first-seen is one min-aggregate; activity dedups to
+    (user, week) before counting, so the heavy frame is users × active
+    weeks (never raw events); cohort sizes broadcast back. All joins key
+    on user_id/cohort_week — skinny shuffles, calendar-bounded output.
+    Week arithmetic is epoch-floor integer division, identical on both
+    engines (date_trunc('week') is ISO-Monday on both)."""
+    e = events_table(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                ).cast("double")
+                / (7 * 86400)
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    ret = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    return (
+        ret.join(F.broadcast(cohort_size), "cohort_week")
+        .filter(F.col("week_offset") <= 4)
+        .select(
+            F.to_date("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+            "n_active",
+            pround(F.col("n_active").cast("double") / F.col("n_users"), 6).alias("retention"),
+        )
     )
 
 
