@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "pipe_classifier_metrics",
     "pipe_psi_drift",
     "pipe_cohort_retention",
+    "pipe_lift_deciles",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

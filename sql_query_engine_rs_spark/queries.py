@@ -3251,7 +3251,7 @@ _ROUND6_STAGED = [
 #   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest,
 #   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest,
 #   pipe_calibration_ece, pipe_classifier_metrics, pipe_psi_drift,
-#   pipe_cohort_retention
+#   pipe_cohort_retention, pipe_lift_deciles
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -14348,6 +14348,81 @@ def pipe_cohort_retention(spark, sf_dir):
             "n_active",
             pround(F.col("n_active").cast("double") / F.col("n_users"), 6).alias("retention"),
         )
+    )
+
+
+@register(
+    "pipe_lift_deciles",
+    """WITH s AS (
+         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+                CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+         FROM embeddings),
+       d AS (
+         SELECT y, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+         FROM s),
+       base AS (SELECT avg(y) AS base_rate FROM s),
+       g AS (
+         SELECT decile, CAST(count(*) AS BIGINT) AS n, avg(y) AS rate
+         FROM d GROUP BY 1),
+       c AS (
+         SELECT decile, n, rate,
+                sum(rate * n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  / sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                  AS cum_rate
+         FROM g)
+       SELECT CAST(decile AS BIGINT) AS decile, n,
+              FLOOR(rate * 1000000 + 0.5) / 1000000 AS response_rate,
+              FLOOR(rate / base_rate * 10000 + 0.5) / 10000 AS lift,
+              FLOOR(cum_rate / base_rate * 10000 + 0.5) / 10000 AS cum_lift
+       FROM c CROSS JOIN base""",
+)
+def pipe_lift_deciles(spark, sf_dir):
+    """Decile lift table for a targeting score (embedding dim 1 ranking
+    label-0 prevalence): rows sort by score, split into 10 equal-count
+    deciles (ntile with a unique (score, id) total order so the split is
+    deterministic), and each decile reports its response rate, lift vs
+    the base rate, and cumulative lift — the campaign/curation question
+    'if I can only afford the top k%, how much better than random is
+    it', which AUC summarizes but practitioners read from this table.
+
+    Scale shape: the one global ordering is the known cost — at 100 TB
+    replace exact ntile with percentile_approx score cut-points (the
+    sketch path, pipe_approx_quantile_audit's verified machinery) and
+    assign deciles statelessly per row against broadcast cut-points; the
+    rest is a 10-row frame. Here exact ntile keeps the oracle
+    hash-exact; the running cum_rate window adds in decile order on both
+    engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("score"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    from pyspark.sql import Window
+
+    d = s.select(
+        "y",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("vec_id"))).alias("decile"),
+    )
+    base = s.agg(F.avg("y").alias("base_rate"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("y").alias("rate"),
+    )
+    run = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "decile", "n", "rate",
+        (
+            F.sum(F.col("rate") * F.col("n")).over(run)
+            / F.sum("n").over(run)
+        ).alias("cum_rate"),
+    )
+    return c.crossJoin(F.broadcast(base)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n",
+        pround(F.col("rate"), 6).alias("response_rate"),
+        pround(F.col("rate") / F.col("base_rate"), 4).alias("lift"),
+        pround(F.col("cum_rate") / F.col("base_rate"), 4).alias("cum_lift"),
     )
 
 
