@@ -248,6 +248,9 @@ BENCH_QUERIES = [
     "pipe_psi_drift",
     "pipe_cohort_retention",
     "pipe_lift_deciles",
+    "pipe_kanonymity_audit",
+    "pipe_cohen_kappa",
+    "pipe_mad_outliers",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

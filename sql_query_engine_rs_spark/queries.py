@@ -3251,7 +3251,8 @@ _ROUND6_STAGED = [
 #   pipe_wasserstein_drift, pipe_benford_audit, pipe_forecast_backtest,
 #   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest,
 #   pipe_calibration_ece, pipe_classifier_metrics, pipe_psi_drift,
-#   pipe_cohort_retention, pipe_lift_deciles
+#   pipe_cohort_retention, pipe_lift_deciles, pipe_kanonymity_audit,
+#   pipe_cohen_kappa, pipe_mad_outliers
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -14730,3 +14731,199 @@ def stream_ewma_monitor(spark, sf_dir):
         return result
     finally:
         _restore_confs(spark, prior)
+
+
+# =====================================================================
+# Round-6 late batch 2: privacy / agreement / robust stats / counts-ML
+# =====================================================================
+
+@register(
+    "pipe_kanonymity_audit",
+    """WITH cls AS (
+         SELECT c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+                count(*) AS sz
+         FROM customer GROUP BY 1, 2, 3),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer),
+       mn AS (SELECT CAST(min(sz) AS BIGINT) AS min_k FROM cls),
+       ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+       SELECT k,
+              CAST(count(CASE WHEN sz < k THEN 1 END) AS BIGINT) AS n_classes_below,
+              CAST(COALESCE(sum(CASE WHEN sz < k THEN sz END), 0) AS BIGINT) AS n_rows_at_risk,
+              FLOOR(COALESCE(sum(CASE WHEN sz < k THEN sz END), 0) / n * 1000000 + 0.5)
+                / 1000000 AS risk_rate,
+              min_k
+       FROM ks CROSS JOIN cls CROSS JOIN tot CROSS JOIN mn
+       GROUP BY k, n, min_k""",
+)
+def pipe_kanonymity_audit(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier tuple — the privacy gate a
+    training-data release runs before shipping user-adjacent tables: rows
+    whose (nation, market segment, account-balance band) equivalence class
+    is smaller than k are re-identifiable by linkage. Reports, for each
+    candidate k in {2, 5, 10, 25}, how many equivalence classes and rows
+    fall below it, plus the corpus-wide minimum class size (the table's
+    actual k-anonymity level).
+
+    Scale shape: ONE groupBy over the quasi-identifier builds the class
+    frame (bounded by the QI domain, not the row count — it is the frame a
+    generalization search iterates on); the 4-row threshold table and the
+    two 1-row summaries broadcast, so the audit costs one shuffle of
+    class-sized partials at any corpus size. Extends to l-diversity by
+    adding a count(DISTINCT sensitive) per class on the same frame.
+    Reference has no privacy surface (binder todo!() —
+    src/binder/statement/mod.rs:23-43); this is part of the
+    LLM-data-pipeline extension family."""
+    c = t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    tot = c.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    mn = cls.agg(F.min("sz").cast("bigint").alias("min_k"))
+    ks = spark.createDataFrame([(2,), (5,), (10,), (25,)], "k int")
+    below = F.when(F.col("sz") < F.col("k"), F.col("sz"))
+    return (
+        cls.join(F.broadcast(ks))
+        .join(F.broadcast(tot))
+        .join(F.broadcast(mn))
+        .groupBy("k", "n", "min_k")
+        .agg(
+            F.count(below).cast("bigint").alias("n_classes_below"),
+            F.coalesce(F.sum(below), F.lit(0)).cast("bigint").alias("n_rows_at_risk"),
+            pround(F.coalesce(F.sum(below), F.lit(0)) / F.col("n"), 6).alias("risk_rate"),
+        )
+        .select(
+            "k", "n_classes_below", "n_rows_at_risk", "risk_rate", "min_k"
+        )
+    )
+
+
+@register(
+    "pipe_cohen_kappa",
+    """WITH r AS (
+         SELECT (n_chars >= 400) AS a,
+                (len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) >= 70) AS b
+         FROM documents),
+       c AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(count(CASE WHEN a AND b THEN 1 END) AS DOUBLE) AS n11,
+                CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS DOUBLE) AS n00,
+                CAST(count(CASE WHEN a THEN 1 END) AS DOUBLE) AS na1,
+                CAST(count(CASE WHEN b THEN 1 END) AS DOUBLE) AS nb1
+         FROM r)
+       SELECT CAST(n AS BIGINT) AS n,
+              CAST(n11 AS BIGINT) AS n_both_pos,
+              CAST(n00 AS BIGINT) AS n_both_neg,
+              CAST(n - n11 - n00 AS BIGINT) AS n_disagree,
+              FLOOR((n11 + n00) / n * 1000000 + 0.5) / 1000000 AS p_observed,
+              FLOOR((na1 / n * nb1 / n + (n - na1) / n * (n - nb1) / n) * 1000000 + 0.5)
+                / 1000000 AS p_expected,
+              FLOOR(((n11 + n00) / n - (na1 / n * nb1 / n + (n - na1) / n * (n - nb1) / n))
+                    / (1 - (na1 / n * nb1 / n + (n - na1) / n * (n - nb1) / n))
+                    * 1000000 + 0.5) / 1000000 AS kappa
+       FROM c""",
+)
+def pipe_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two independent binary "raters" over
+    the corpus — the chance-corrected agreement statistic every labeling /
+    quality-annotation pipeline reports before trusting a cheap rule as a
+    stand-in for an expensive one. Raters here are two real curation gates
+    (char-length >= 400 vs token-count >= 70); kappa answers "do they
+    select the same documents beyond what their base rates force".
+
+    Scale shape: the 2x2 confusion table is four conditional counts in ONE
+    scan (classic mergeable partials; map-side combine + 1-row reduce);
+    kappa is driver-free arithmetic on that single row. Swapping either
+    rule for a model-score threshold keeps the shape — scoring is a map,
+    agreement is still one scan."""
+    d = docs_parallel(spark, sf_dir)
+    r = d.select(
+        (F.col("n_chars") >= 400).alias("a"),
+        (F.size(T.tokens(F.col("text"))) >= 70).alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.when(F.col("a") & F.col("b"), 1)).cast("double").alias("n11"),
+        F.count(F.when(~F.col("a") & ~F.col("b"), 1)).cast("double").alias("n00"),
+        F.count(F.when(F.col("a"), 1)).cast("double").alias("na1"),
+        F.count(F.when(F.col("b"), 1)).cast("double").alias("nb1"),
+    )
+    pe = (
+        F.col("na1") / F.col("n") * F.col("nb1") / F.col("n")
+        + (F.col("n") - F.col("na1")) / F.col("n") * (F.col("n") - F.col("nb1")) / F.col("n")
+    )
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    return c.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("n_both_pos"),
+        F.col("n00").cast("bigint").alias("n_both_neg"),
+        (F.col("n") - F.col("n11") - F.col("n00")).cast("bigint").alias("n_disagree"),
+        pround(po, 6).alias("p_observed"),
+        pround(pe, 6).alias("p_expected"),
+        pround((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "pipe_mad_outliers",
+    """WITH med AS (
+         SELECT event_type, quantile_cont(value, 0.5) AS med
+         FROM events GROUP BY event_type),
+       dev AS (
+         SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+         FROM events e JOIN med m USING (event_type)),
+       mad AS (
+         SELECT event_type, quantile_cont(ad, 0.5) AS mad
+         FROM dev GROUP BY event_type)
+       SELECT d.event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              FLOOR(d.med * 1000000 + 0.5) / 1000000 AS median_value,
+              FLOOR(a.mad * 1000000 + 0.5) / 1000000 AS mad,
+              CAST(count(CASE WHEN d.ad > 3.5 * 1.4826 * a.mad THEN 1 END) AS BIGINT)
+                AS n_outliers,
+              FLOOR(count(CASE WHEN d.ad > 3.5 * 1.4826 * a.mad THEN 1 END)
+                    / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS outlier_rate
+       FROM dev d JOIN mad a USING (event_type)
+       GROUP BY d.event_type, d.med, a.mad""",
+)
+def pipe_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event type via the median absolute
+    deviation — the screen that survives the heavy-tailed metrics where
+    z-scores fail (the mean and stddev pipe_ingest_anomaly leans on are
+    themselves dragged by the outliers being hunted). Flags points whose
+    |x - median| exceeds 3.5 consistency-scaled MADs (1.4826 = 1/Φ⁻¹(3/4)
+    makes MAD estimate sigma under normality).
+
+    Scale shape: two grouped exact medians (per-type sort of that type's
+    values) plus one counting pass; the 5-row median/MAD frames broadcast
+    back onto the scan. Exact medians are the sf-test contract — at 100 TB
+    swap both quantile steps for approx_percentile (the registered
+    pipe_approx_quantile_audit pins that sketch's rank-error bound) and the
+    shape collapses to one pass, no sort. The threshold comparison is
+    identical double arithmetic on both engines, so the flag set is
+    bit-stable cross-engine."""
+    e = events_table(spark, sf_dir)
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    out = F.when(F.col("ad") > 3.5 * 1.4826 * F.col("mad"), 1)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(out).cast("bigint").alias("n_outliers"),
+            pround(F.count(out) / F.count(F.lit(1)).cast("double"), 6).alias("outlier_rate"),
+        )
+        .select(
+            "event_type",
+            "n",
+            pround(F.col("med"), 6).alias("median_value"),
+            pround(F.col("mad"), 6).alias("mad"),
+            "n_outliers",
+            "outlier_rate",
+        )
+    )
