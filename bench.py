@@ -251,6 +251,9 @@ BENCH_QUERIES = [
     "pipe_kanonymity_audit",
     "pipe_cohen_kappa",
     "pipe_mad_outliers",
+    "pipe_naive_bayes",
+    "pipe_decision_stump",
+    "pipe_eb_shrinkage",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

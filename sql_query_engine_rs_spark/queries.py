@@ -3252,7 +3252,8 @@ _ROUND6_STAGED = [
 #   pipe_sax_motifs, pipe_auc_roc, pipe_pairwise_ttest,
 #   pipe_calibration_ece, pipe_classifier_metrics, pipe_psi_drift,
 #   pipe_cohort_retention, pipe_lift_deciles, pipe_kanonymity_audit,
-#   pipe_cohen_kappa, pipe_mad_outliers
+#   pipe_cohen_kappa, pipe_mad_outliers, pipe_naive_bayes,
+#   pipe_decision_stump, pipe_eb_shrinkage
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -14926,4 +14927,298 @@ def pipe_mad_outliers(spark, sf_dir):
             "n_outliers",
             "outlier_rate",
         )
+    )
+
+
+@register(
+    "pipe_naive_bayes",
+    """WITH tok AS (
+         SELECT doc_id, lang,
+                unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       nc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_c FROM tok GROUP BY lang),
+       v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tok),
+       pri AS (
+         SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM documents),
+       cnt AS (SELECT term, lang, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term, lang),
+       docs AS (
+         SELECT d.doc_id, d.lang AS actual, CAST(count(*) AS DOUBLE) AS n_d
+         FROM tok d GROUP BY d.doc_id, d.lang),
+       overlap AS (
+         SELECT t.doc_id, c.lang, sum(ln(c.c + 1)) AS s
+         FROM tok t JOIN cnt c ON t.term = c.term
+         GROUP BY t.doc_id, c.lang),
+       scored AS (
+         SELECT d.doc_id, d.actual, p.lang,
+                FLOOR((ln(p.n_docs / tt.n_total)
+                       - d.n_d * ln(nc.n_c + v.v)
+                       + COALESCE(o.s, 0)) * 1000000 + 0.5) / 1000000 AS score
+         FROM docs d
+         CROSS JOIN pri p
+         CROSS JOIN tot tt
+         CROSS JOIN v
+         JOIN nc ON nc.lang = p.lang
+         LEFT JOIN overlap o ON o.doc_id = d.doc_id AND o.lang = p.lang),
+       best AS (SELECT doc_id, max(score) AS ms FROM scored GROUP BY doc_id),
+       pred AS (
+         SELECT s.doc_id, s.actual, min(s.lang) AS predicted
+         FROM scored s JOIN best b ON s.doc_id = b.doc_id AND s.score = b.ms
+         GROUP BY s.doc_id, s.actual)
+       SELECT actual AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(CASE WHEN predicted = actual THEN 1 END) AS BIGINT) AS n_correct,
+              FLOOR(count(CASE WHEN predicted = actual THEN 1 END)
+                    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS accuracy
+       FROM pred GROUP BY actual""",
+)
+def pipe_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained and scored as pure
+    DataFrame ops — the counts-only supervised twin of the heuristic
+    pipe_lang_id: per-class token likelihoods with Laplace smoothing,
+    log-space scoring, argmax prediction, per-class accuracy report. NB is
+    the classic large-corpus quality/language/domain gate (fastText-style
+    classifiers are linear models over counts; this is the fully
+    SQL-expressible member of that family).
+
+    The smoothing identity keeps the plan sparse: score(d,c) = ln P(c)
+    − n_d·ln(N_c + V) + Σ_{t∈d} ln(c(t,c)+1), where absent (t,c) pairs
+    contribute ln(1) = 0 — so the token-level join is INNER on the observed
+    (term, class) count table (fan-out ≤ #classes per token), never a dense
+    doc × vocab grid. The doc × class score grid is |docs| × 5 via a
+    broadcast class table; argmax is the two-step deterministic convention
+    (6-dp rounded score, tie → min class). Self-scored on its own training
+    corpus (the resubstitution read); a held-out eval carves the corpus
+    with pipe_eval_split_carve first and only the count tables change.
+
+    Scale shape: one tokenize pass feeds counts, class totals, and doc
+    postings; shuffles carry (term, class) partials and (doc, class)
+    score partials — both skinny. The class-stats frame (5 rows) and V
+    (1 row) broadcast."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    d = docs_parallel(spark, sf_dir)
+    tok = persist_tracked(
+        d.select("doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("term"))
+    )
+    tok.count()
+    nc = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n_c"))
+    v = tok.agg(F.countDistinct("term").cast("double").alias("v"))
+    pri = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    cls = (
+        pri.join(nc, "lang")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(v))
+        .select("lang", "n_docs", "n_c", "n_total", "v")
+    )
+    cnt = tok.groupBy("term", "lang").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    docs = tok.groupBy("doc_id", F.col("lang").alias("actual")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_d")
+    )
+    overlap = (
+        tok.select("doc_id", "term")
+        .join(cnt.select("term", F.col("lang").alias("clang"), "c"), "term")
+        .groupBy(F.col("doc_id").alias("odoc"), F.col("clang"))
+        .agg(F.sum(F.log(F.col("c") + 1)).alias("s"))
+    )
+    scored = (
+        docs.join(F.broadcast(cls))
+        .join(
+            overlap,
+            (F.col("doc_id") == F.col("odoc")) & (F.col("lang") == F.col("clang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            pround(
+                F.log(F.col("n_docs") / F.col("n_total"))
+                - F.col("n_d") * F.log(F.col("n_c") + F.col("v"))
+                + F.coalesce(F.col("s"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    pred = scored.groupBy("doc_id", "actual").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("lang"))).alias("m")
+    )
+    return pred.groupBy(F.col("actual").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("m.lang") == F.col("actual"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+        pround(
+            F.count(F.when(F.col("m.lang") == F.col("actual"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "pipe_decision_stump",
+    """WITH g AS (
+         SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS b,
+                CAST(count(*) AS DOUBLE) AS n,
+                CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+                     AS DOUBLE) AS pos
+         FROM orders GROUP BY 1),
+       cum AS (
+         SELECT b,
+                sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS nl,
+                sum(pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS pl
+         FROM g),
+       tt AS (SELECT sum(n) AS nt, sum(pos) AS pt FROM g),
+       cand AS (
+         SELECT b, nl, pl, nt - nl AS nr, pt - pl AS pr,
+                FLOOR((nl * (1 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl))
+                       + (nt - nl) * (1 - ((pt - pl) / (nt - nl)) * ((pt - pl) / (nt - nl))
+                                        - ((nt - nl - pt + pl) / (nt - nl))
+                                          * ((nt - nl - pt + pl) / (nt - nl))))
+                      / nt * 1000000000 + 0.5) / 1000000000 AS gini
+         FROM cum CROSS JOIN tt WHERE nt - nl > 0),
+       best AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (ORDER BY gini, b) AS rk FROM cand) r
+         WHERE rk = 1)
+       SELECT b AS split_bucket,
+              FLOOR(gini * 1000000 + 0.5) / 1000000 AS gini_split,
+              FLOOR((1 - (pt / nt) * (pt / nt) - ((nt - pt) / nt) * ((nt - pt) / nt))
+                    * 1000000 + 0.5) / 1000000 AS gini_root,
+              CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+              FLOOR(pl / nl * 1000000 + 0.5) / 1000000 AS pos_rate_left,
+              FLOOR(pr / nr * 1000000 + 0.5) / 1000000 AS pos_rate_right
+       FROM best CROSS JOIN tt""",
+)
+def pipe_decision_stump(spark, sf_dir):
+    """Exhaustive best-split search for a one-level decision tree (a
+    "stump"): over order-price buckets, find the threshold that minimizes
+    Gini impurity for predicting high-priority orders — the inner loop of
+    every distributed tree learner (per-feature histogram → cumulative
+    class counts → impurity scan), here as one grouped pass plus one
+    ordered window.
+
+    Scale shape: rows collapse to per-bucket (count, positives) histograms
+    first — the classic tree-learning move (Spark MLlib, XGBoost hist mode)
+    that bounds the split scan by the bucket domain, not the row count; the
+    cumulative window and argmin then run on the bucket frame (here ~600
+    rows; 256-1024 quantile bins at 100 TB, one window partition per
+    feature when run for many features). Counts stay integer-exact through
+    the cumulative sums; Gini is rounded at 9 dp before the deterministic
+    (gini, bucket) argmin, so the chosen split is cross-engine stable."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    g = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+        .cast("double")
+        .alias("pos"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "b", F.sum("n").over(w).alias("nl"), F.sum("pos").over(w).alias("pl")
+    )
+    tt = g.agg(F.sum("n").alias("nt"), F.sum("pos").alias("pt"))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("nt") - nl
+    pr = F.col("pt") - pl
+    gini_l = 1 - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    gini_r = 1 - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    cand = (
+        cum.join(F.broadcast(tt))
+        .filter(nr > 0)
+        .select(
+            "b", "nl", "pl", nr.alias("nr"), pr.alias("pr"), "nt", "pt",
+            pround((nl * gini_l + nr * gini_r) / F.col("nt"), 9).alias("gini"),
+        )
+    )
+    best = (
+        cand.select(F.min(F.struct("gini", "b")).alias("m"))
+        .join(F.broadcast(cand), F.col("m.b") == cand["b"])
+    )
+    proot = F.col("pt") / F.col("nt")
+    return best.select(
+        F.col("b").alias("split_bucket"),
+        pround(F.col("gini"), 6).alias("gini_split"),
+        pround(1 - proot * proot - (1 - proot) * (1 - proot), 6).alias("gini_root"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        pround(F.col("pl") / F.col("nl"), 6).alias("pos_rate_left"),
+        pround(F.col("pr") / F.col("nr"), 6).alias("pos_rate_right"),
+    )
+
+
+@register(
+    "pipe_eb_shrinkage",
+    """WITH u AS (
+         SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) AS x
+         FROM events GROUP BY user_id),
+       mom AS (
+         SELECT avg(x / n) AS m, var_samp(x / n) AS v FROM u),
+       ab AS (
+         SELECT m * (m * (1 - m) / v - 1) AS alpha,
+                (1 - m) * (m * (1 - m) / v - 1) AS beta,
+                m * (1 - m) / v - 1 AS k
+         FROM mom)
+       SELECT user_id,
+              CAST(n AS BIGINT) AS n_events,
+              CAST(x AS BIGINT) AS n_purchases,
+              FLOOR(x / n * 1000000 + 0.5) / 1000000 AS raw_rate,
+              FLOOR((x + alpha) / (n + k) * 1000000 + 0.5) / 1000000 AS shrunk_rate,
+              FLOOR(alpha * 10000 + 0.5) / 10000 AS alpha,
+              FLOOR(beta * 10000 + 0.5) / 10000 AS beta
+       FROM u CROSS JOIN ab
+       ORDER BY n DESC, user_id LIMIT 10""",
+)
+def pipe_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-user purchase rates — the
+    small-sample correction every per-key rate table needs before ranking
+    or thresholding on it (a 1/1 user is not a 100% converter): fit a
+    Beta(α, β) prior to the observed rate distribution by method of
+    moments (α+β = m(1−m)/v − 1), then report each key's posterior mean
+    (x + α)/(n + α + β). Reports the 10 highest-traffic users with raw vs
+    shrunk rates so the correction is visible where it matters least and
+    (for low-n keys) most.
+
+    Scale shape: per-key sufficient stats in one groupBy; the prior fit is
+    a 1-row aggregate over the key frame that broadcasts back; the final
+    top-k is a TakeOrdered on deterministic (n desc, key) order — no
+    global sort. The same two-pass shape fits any smoothed-rate table
+    (CTR, defect rates, per-domain quality) at any key cardinality."""
+    e = events_table(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double").alias("x"),
+    )
+    mom = u.agg(
+        F.avg(F.col("x") / F.col("n")).alias("m"),
+        F.var_samp(F.col("x") / F.col("n")).alias("v"),
+    )
+    k = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ab = mom.select(
+        (F.col("m") * k).alias("alpha"),
+        ((1 - F.col("m")) * k).alias("beta"),
+        k.alias("k"),
+    )
+    return (
+        u.join(F.broadcast(ab))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("x").cast("bigint").alias("n_purchases"),
+            pround(F.col("x") / F.col("n"), 6).alias("raw_rate"),
+            pround((F.col("x") + F.col("alpha")) / (F.col("n") + F.col("k")), 6).alias(
+                "shrunk_rate"
+            ),
+            pround(F.col("alpha"), 4).alias("alpha"),
+            pround(F.col("beta"), 4).alias("beta"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
     )
