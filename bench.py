@@ -254,6 +254,9 @@ BENCH_QUERIES = [
     "pipe_naive_bayes",
     "pipe_decision_stump",
     "pipe_eb_shrinkage",
+    "pipe_kaplan_meier",
+    "pipe_theil_sen",
+    "pipe_ab_srm_check",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -3253,7 +3253,8 @@ _ROUND6_STAGED = [
 #   pipe_calibration_ece, pipe_classifier_metrics, pipe_psi_drift,
 #   pipe_cohort_retention, pipe_lift_deciles, pipe_kanonymity_audit,
 #   pipe_cohen_kappa, pipe_mad_outliers, pipe_naive_bayes,
-#   pipe_decision_stump, pipe_eb_shrinkage
+#   pipe_decision_stump, pipe_eb_shrinkage, pipe_kaplan_meier,
+#   pipe_theil_sen, pipe_ab_srm_check
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -15221,4 +15222,310 @@ def pipe_eb_shrinkage(spark, sf_dir):
         )
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(10)
+    )
+
+
+@register(
+    "pipe_kaplan_meier",
+    """WITH s AS (
+         SELECT user_id, min(ts) AS s_ts FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       frontier AS (SELECT max(ts) AS mx FROM events),
+       conv AS (
+         SELECT s.user_id, min(e.ts) AS p_ts
+         FROM s JOIN events e
+           ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.s_ts
+         GROUP BY s.user_id),
+       subj AS (
+         SELECT s.user_id,
+                CAST(FLOOR((FLOOR(epoch(COALESCE(c.p_ts, f.mx))) - FLOOR(epoch(s.s_ts)))
+                     / 86400) AS BIGINT) AS dur,
+                CASE WHEN c.p_ts IS NULL THEN 0 ELSE 1 END AS ev
+         FROM s LEFT JOIN conv c ON s.user_id = c.user_id CROSS JOIN frontier f),
+       g AS (
+         SELECT dur, CAST(sum(ev) AS DOUBLE) AS d,
+                CAST(count(*) AS DOUBLE) AS leave_cnt,
+                CAST(count(*) - sum(ev) AS BIGINT) AS c
+         FROM subj GROUP BY dur),
+       tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM subj),
+       r AS (
+         SELECT dur, d, c,
+                n - COALESCE(sum(leave_cnt) OVER
+                      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS n_risk
+         FROM g CROSS JOIN tot),
+       km AS (
+         SELECT dur, d, c, n_risk,
+                exp(sum(CASE WHEN d < n_risk THEN ln(1 - d / n_risk) ELSE 0 END)
+                    OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS surv,
+                max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                    OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS zeroed
+         FROM r)
+       SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+              CAST(d AS BIGINT) AS n_events, c AS n_censored,
+              CASE WHEN zeroed = 1 THEN 0.0
+                   ELSE FLOOR(surv * 1000000 + 0.5) / 1000000 END AS survival
+       FROM km WHERE d > 0""",
+)
+def pipe_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve for signup→purchase conversion with
+    right-censoring — the estimator that answers "how long until users
+    convert" WITHOUT the bias of dropping users who haven't converted yet
+    (non-converters are censored at the data frontier, staying in the risk
+    set until their observation ends). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over
+    event days, with the at-risk count nᵢ derived from cumulative exits.
+
+    Scale shape: subjects collapse to (duration_day, events, censored)
+    counts — the survival curve is computed on that day-domain-bounded
+    frame with ONE ordered window building the risk set and ONE running
+    log-sum building the product (ordered accumulation, so the float
+    product is cross-engine bit-stable before the 6-dp round). The
+    first-signup/first-purchase pass is a groupBy + one skinny join; the
+    frontier is a broadcast 1-row aggregate. Same shape serves
+    churn-survival and time-to-second-purchase at any user cardinality."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    frontier = e.agg(F.max("ts").alias("mx"))
+    conv = (
+        s.join(
+            e.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+            ),
+            (F.col("pu") == F.col("user_id")) & (F.col("pts") >= F.col("s_ts")),
+        )
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    subj = (
+        s.join(conv, F.col("user_id") == F.col("cu"), "left")
+        .join(F.broadcast(frontier))
+        .select(
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce(F.col("p_ts"), F.col("mx")))
+                    - F.unix_timestamp(F.col("s_ts"))
+                )
+                / 86400
+            )
+            .cast("bigint")
+            .alias("dur"),
+            F.when(F.col("p_ts").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    g = subj.groupBy("dur").agg(
+        F.sum("ev").cast("double").alias("d"),
+        F.count(F.lit(1)).cast("double").alias("leave_cnt"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = g.join(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "c",
+        (F.col("n") - F.coalesce(F.sum("leave_cnt").over(w_prev), F.lit(0.0))).alias(
+            "n_risk"
+        ),
+    )
+    km = r.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.exp(
+            F.sum(
+                F.when(
+                    F.col("d") < F.col("n_risk"),
+                    F.log(1 - F.col("d") / F.col("n_risk")),
+                ).otherwise(F.lit(0.0))
+            ).over(w_run)
+        ).alias("surv"),
+        F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(w_run)
+        .alias("zeroed"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("dur").alias("dur_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(pround(F.col("surv"), 6))
+        .alias("survival"),
+    )
+
+
+@register(
+    "pipe_theil_sen",
+    """WITH daily AS (
+         SELECT CAST(FLOOR(FLOOR(epoch(o_orderdate)) / 86400) AS BIGINT) AS d,
+                FLOOR(sum(o_totalprice) * 100 + 0.5) / 100 AS y
+         FROM orders GROUP BY 1),
+       pairs AS (
+         SELECT (b.y - a.y) / (b.d - a.d) AS slope
+         FROM daily a JOIN daily b ON b.d > a.d),
+       ms AS (SELECT quantile_cont(slope, 0.5) AS slope FROM pairs),
+       ic AS (
+         SELECT quantile_cont(y - ms.slope * d, 0.5) AS intercept
+         FROM daily CROSS JOIN ms)
+       SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+              CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+              FLOOR(ms.slope * 10000 + 0.5) / 10000 AS ts_slope,
+              FLOOR(ic.intercept * 100 + 0.5) / 100 AS ts_intercept
+       FROM ms CROSS JOIN ic""",
+)
+def pipe_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend estimator over the daily revenue series — the
+    median of all pairwise slopes, the trend line that tolerates up to
+    ~29% arbitrarily-corrupted days where OLS (pipe_ols_two_feature) is
+    dragged by a single bad batch; the standard drift-rate reading for
+    ingest/revenue monitoring where outage days and backfill spikes are
+    facts of life.
+
+    Scale shape: rows collapse to the per-day series FIRST (the 2.4k-day
+    frame at sf0.1), so the O(D²) pair scan runs on a broadcast
+    day-frame — a BroadcastNestedLoopJoin over ~3M slope pairs, never a
+    row-level cross join; daily sums are pinned at 2 dp before pairing so
+    both engines difference identical values. At decade-scale series,
+    swap the exact pair median for the repeated-median or a sampled-pairs
+    estimator (same frame, bounded pairs per day). Medians interpolate
+    identically cross-engine (quantile_cont)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp(F.col("o_orderdate")) / 86400)
+        .cast("bigint")
+        .alias("d")
+    ).agg(pround(F.sum("o_totalprice"), 2).alias("y"))
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    daily = persist_tracked(daily)
+    n_days = daily.count()
+    b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = daily.join(F.broadcast(b), F.col("d2") > F.col("d")).select(
+        ((F.col("y2") - F.col("y")) / (F.col("d2") - F.col("d"))).alias("slope")
+    )
+    pairs = persist_tracked(pairs)
+    n_pairs = pairs.count()
+    ms = pairs.agg(F.percentile("slope", F.lit(0.5)).alias("slope"))
+    ic = (
+        daily.join(F.broadcast(ms))
+        .agg(
+            F.percentile(F.col("y") - F.col("slope") * F.col("d"), F.lit(0.5)).alias(
+                "intercept"
+            )
+        )
+    )
+    return (
+        ms.join(F.broadcast(ic))
+        .select(
+            F.lit(n_days).cast("bigint").alias("n_days"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            pround(F.col("slope"), 4).alias("ts_slope"),
+            pround(F.col("intercept"), 2).alias("ts_intercept"),
+        )
+    )
+
+
+@register(
+    "pipe_ab_srm_check",
+    f"""WITH armed AS (
+         SELECT event_id, user_id, event_type, value,
+                ({_md5_bucket256_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm
+         FROM events),
+       users AS (
+         SELECT CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS DOUBLE) AS u0,
+                CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS DOUBLE) AS u1
+         FROM armed),
+       met AS (
+         SELECT count(CASE WHEN arm = 0 THEN 1 END) AS n0,
+                count(CASE WHEN arm = 1 THEN 1 END) AS n1,
+                avg(CASE WHEN arm = 0 THEN value END) AS m0,
+                avg(CASE WHEN arm = 1 THEN value END) AS m1,
+                var_samp(CASE WHEN arm = 0 THEN value END) AS v0,
+                var_samp(CASE WHEN arm = 1 THEN value END) AS v1
+         FROM armed WHERE event_type = 'purchase')
+       SELECT CAST(u0 AS BIGINT) AS users_a, CAST(u1 AS BIGINT) AS users_b,
+              FLOOR(((u0 - (u0 + u1) / 2) * (u0 - (u0 + u1) / 2) / ((u0 + u1) / 2)
+                     + (u1 - (u0 + u1) / 2) * (u1 - (u0 + u1) / 2) / ((u0 + u1) / 2))
+                    * 10000 + 0.5) / 10000 AS srm_chi2,
+              ((u0 - (u0 + u1) / 2) * (u0 - (u0 + u1) / 2) / ((u0 + u1) / 2)
+               + (u1 - (u0 + u1) / 2) * (u1 - (u0 + u1) / 2) / ((u0 + u1) / 2))
+                > 3.841 AS srm_flag,
+              CAST(n0 AS BIGINT) AS n_purch_a, CAST(n1 AS BIGINT) AS n_purch_b,
+              FLOOR(m0 * 1000000 + 0.5) / 1000000 AS mean_a,
+              FLOOR(m1 * 1000000 + 0.5) / 1000000 AS mean_b,
+              FLOOR((m1 - m0) / m0 * 10000 + 0.5) / 10000 AS lift,
+              FLOOR((m1 - m0) / sqrt(v0 / n0 + v1 / n1) * 10000 + 0.5) / 10000 AS z_stat,
+              abs((m1 - m0) / sqrt(v0 / n0 + v1 / n1)) > 1.96 AS significant
+       FROM users CROSS JOIN met""",
+)
+def pipe_ab_srm_check(spark, sf_dir):
+    """A/B experiment harness over hash-bucketed arms: deterministic
+    user-level assignment (md5 parity — the production trick that keeps a
+    user in one arm across sessions with no assignment table), a
+    sample-ratio-mismatch chi² guard (the FIRST check any experiment
+    readout must pass — an SRM means the bucketing or logging is broken
+    and every downstream metric is garbage), and the purchase-value lift
+    with a Welch z — here correctly insignificant, since the synthetic
+    arms are exchangeable by construction.
+
+    Scale shape: assignment is a map-side hash (no assignment-table join);
+    user counts and metric moments are conditional aggregates in one scan
+    each (countDistinct shuffles only user ids). The same plan serves any
+    split share and any guardrail metric; at many simultaneous
+    experiments, arm becomes (exp_id, arm) and nothing else changes."""
+    e = events_table(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 2
+    )
+    armed = e.select("user_id", "event_type", "value", arm.alias("arm"))
+    users = armed.agg(
+        F.countDistinct(F.when(F.col("arm") == 0, F.col("user_id")))
+        .cast("double")
+        .alias("u0"),
+        F.countDistinct(F.when(F.col("arm") == 1, F.col("user_id")))
+        .cast("double")
+        .alias("u1"),
+    )
+    p = armed.filter(F.col("event_type") == "purchase")
+    met = p.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.avg(F.when(F.col("arm") == 0, F.col("value"))).alias("m0"),
+        F.avg(F.when(F.col("arm") == 1, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(F.col("arm") == 0, F.col("value"))).alias("v0"),
+        F.var_samp(F.when(F.col("arm") == 1, F.col("value"))).alias("v1"),
+    )
+    exp_u = (F.col("u0") + F.col("u1")) / 2
+    chi2 = (
+        (F.col("u0") - exp_u) * (F.col("u0") - exp_u) / exp_u
+        + (F.col("u1") - exp_u) * (F.col("u1") - exp_u) / exp_u
+    )
+    z = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    )
+    return (
+        users.join(F.broadcast(met))
+        .select(
+            F.col("u0").cast("bigint").alias("users_a"),
+            F.col("u1").cast("bigint").alias("users_b"),
+            pround(chi2, 4).alias("srm_chi2"),
+            (chi2 > 3.841).alias("srm_flag"),
+            F.col("n0").cast("bigint").alias("n_purch_a"),
+            F.col("n1").cast("bigint").alias("n_purch_b"),
+            pround(F.col("m0"), 6).alias("mean_a"),
+            pround(F.col("m1"), 6).alias("mean_b"),
+            pround((F.col("m1") - F.col("m0")) / F.col("m0"), 4).alias("lift"),
+            pround(z, 4).alias("z_stat"),
+            (F.abs(z) > 1.96).alias("significant"),
+        )
     )
