@@ -257,6 +257,9 @@ BENCH_QUERIES = [
     "pipe_kaplan_meier",
     "pipe_theil_sen",
     "pipe_ab_srm_check",
+    "pipe_logreg_gd",
+    "pipe_lpa_communities",
+    "pipe_jl_projection",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite
