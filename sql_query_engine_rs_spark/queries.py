@@ -3255,7 +3255,7 @@ _ROUND6_STAGED = [
 #   pipe_cohen_kappa, pipe_mad_outliers, pipe_naive_bayes,
 #   pipe_decision_stump, pipe_eb_shrinkage, pipe_kaplan_meier,
 #   pipe_theil_sen, pipe_ab_srm_check, pipe_logreg_gd,
-#   pipe_lpa_communities, pipe_jl_projection
+#   pipe_lpa_communities, pipe_jl_projection, stream_late_data_drop
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -15829,3 +15829,117 @@ def pipe_jl_projection(spark, sf_dir):
         ).alias("frac_within_30pct"),
     )
 
+
+
+@register(
+    "stream_late_data_drop",
+    """WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+       ontime AS (
+         SELECT e.* FROM events e CROSS JOIN b
+         WHERE e.ts >= b.mn + INTERVAL 5 DAY),
+       win AS (
+         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+         FROM ontime GROUP BY 1, 2, 3)
+       SELECT window_start, event_type, n_events, sum_value
+       FROM win CROSS JOIN b WHERE win.wend <= b.mx - INTERVAL 48 HOUR""",
+)
+def stream_late_data_drop(spark, sf_dir):
+    """Watermark LATE-DATA-DROP semantics pinned end-to-end: the events
+    stream arrives in two micro-batches — first everything from day 5 on
+    (advancing the watermark to max(ts) − 48 h), then the first five days
+    as a straggler batch arriving two triggers behind the watermark. With a 48 h
+    watermark every straggler row targets a window already finalized, so
+    Spark must DROP all of them — and append mode must emit exactly the
+    on-time windows whose end precedes the final watermark. The oracle is
+    that statement in batch SQL (on-time rows only, window end ≤ max(ts)
+    − 48 h): if the engine ever leaked a late row into state, or emitted
+    an unfinalized window, extra/shifted rows appear and the hash gate
+    fails. Complements stream_sliding_windows (which pins what IS kept
+    within the lateness budget) by pinning what is THROWN AWAY beyond it.
+
+    Determinism: three source files written in (mod-time, name) order with
+    maxFilesPerTrigger=1 — bulk on-time data, then the frontier row(s) at
+    max(ts), then the straggler file — so the batch sequence and watermark
+    trajectory are fixed; window ends are hour-aligned while the watermark
+    is microsecond-offset, so no boundary ties exist. The straggler file
+    arrives two triggers behind the bulk because Spark admits late rows
+    against the PREVIOUS batch's committed watermark — the entry pins the
+    regime where the filter has engaged (and the frontier mid-file keeps
+    the oracle's on-time set = everything from day 5 on). This
+    is the semantic that keeps state finite on an always-on 100 TB/day
+    ingest: the watermark is the contract that lets finalized state be
+    dropped no matter how late the data source can straggle."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_arrow
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        tbl = pq_arrow.read_table(f"{sf_dir}/events.parquet")
+        ts = tbl.column("ts")
+        mn = pc.min(ts).as_py()
+        mx = pc.max(ts).as_py()
+        split = mn + __import__("datetime").timedelta(days=5)
+        src_dir = tempfile.mkdtemp(prefix="events_late_src_")
+        import pyarrow as pa
+
+        split_scalar = pa.scalar(split, type=ts.type)
+        mx_scalar = pa.scalar(mx, type=ts.type)
+        ontime = tbl.filter(
+            pc.and_(pc.greater_equal(ts, split_scalar), pc.less(ts, mx_scalar))
+        )
+        frontier = tbl.filter(pc.greater_equal(ts, mx_scalar))
+        late = tbl.filter(pc.less(ts, split_scalar))
+        # Three files, distinct mtime seconds: batch order = write order.
+        # The straggler is staged TWO triggers after the watermark-advancing
+        # bulk because Spark filters late records with the PREVIOUS batch's
+        # committed watermark (watermarkForLateEvents): a straggler in the
+        # very next trigger is still admitted; from the second trigger on it
+        # must drop — that engaged regime is what this entry pins.
+        pq_arrow.write_table(ontime, os.path.join(src_dir, "b0.parquet"))
+        time.sleep(1.05)
+        pq_arrow.write_table(frontier, os.path.join(src_dir, "b1.parquet"))
+        time.sleep(1.05)
+        pq_arrow.write_table(late, os.path.join(src_dir, "b2.parquet"))
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = windowed_counts(stream, "1 hour", watermark="48 hours")
+        sink = f"stream_late_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = (
+            spark.table(sink)
+            .select(
+                F.col("window_start").cast("string").alias("window_start"),
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "sum_value",
+            )
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
