@@ -261,6 +261,9 @@ BENCH_QUERIES = [
     "pipe_lpa_communities",
     "pipe_jl_projection",
     "stream_late_data_drop",
+    "pipe_kfold_cv",
+    "pipe_power_analysis",
+    "pipe_link_prediction",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -3255,7 +3255,8 @@ _ROUND6_STAGED = [
 #   pipe_cohen_kappa, pipe_mad_outliers, pipe_naive_bayes,
 #   pipe_decision_stump, pipe_eb_shrinkage, pipe_kaplan_meier,
 #   pipe_theil_sen, pipe_ab_srm_check, pipe_logreg_gd,
-#   pipe_lpa_communities, pipe_jl_projection, stream_late_data_drop
+#   pipe_lpa_communities, pipe_jl_projection, stream_late_data_drop,
+#   pipe_kfold_cv, pipe_power_analysis, pipe_link_prediction
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -15943,3 +15944,242 @@ def stream_late_data_drop(spark, sf_dir):
         return result
     finally:
         _restore_confs(spark, prior)
+
+
+@register(
+    "pipe_kfold_cv",
+    f"""WITH f AS (
+         SELECT ({_md5_bucket256_sql("CAST(event_id AS VARCHAR)")}) % 5 AS fold,
+                event_type, value
+         FROM events),
+       g AS (
+         SELECT fold, event_type, CAST(count(*) AS DOUBLE) AS n,
+                sum(value) AS s, sum(value * value) AS ss
+         FROM f GROUP BY fold, event_type),
+       tt AS (
+         SELECT event_type, sum(n) AS nt, sum(s) AS st FROM g GROUP BY event_type),
+       held AS (
+         SELECT g.fold, g.event_type, g.n, g.s, g.ss,
+                (tt.st - g.s) / (tt.nt - g.n) AS m_train
+         FROM g JOIN tt USING (event_type)),
+       per_fold AS (
+         SELECT fold,
+                CAST(sum(n) AS BIGINT) AS n_test,
+                sqrt(sum(ss - 2 * m_train * s + n * m_train * m_train) / sum(n)) AS rmse
+         FROM held GROUP BY fold)
+       SELECT fold, n_test,
+              FLOOR(rmse * 1000000 + 0.5) / 1000000 AS rmse
+       FROM per_fold""",
+)
+def pipe_kfold_cv(spark, sf_dir):
+    """5-fold cross-validation executed entirely from sufficient statistics
+    — the evaluation harness shape that makes model selection tractable at
+    corpus scale: the model here is the per-event-type mean predictor,
+    each fold's training mean is recovered algebraically from the GLOBAL
+    per-type sums minus the fold's own partials ((S_t − S_ft)/(N_t −
+    N_ft)), and the held-out RMSE expands to Σ(x−m)² = SS − 2mS + nm² —
+    so ALL five train/test splits cost ONE scan producing per-(fold, type)
+    (n, Σx, Σx²) partials, with zero re-reads and zero per-fold passes.
+    Fold assignment is the portable md5 hash (stable across engines,
+    restarts, and cluster sizes). Any model linear in sufficient
+    statistics (grouped means, ridge via moment matrices — cf.
+    pipe_ols_two_feature) cross-validates with this exact plan.
+
+    Scale shape: one shuffle of (fold × type)-bounded partials; the
+    per-type totals frame joins back broadcast. The fold-variance the 5
+    rows expose is the stability signal pipe_bootstrap_ci estimates by
+    resampling — here it's free."""
+    e = events_table(spark, sf_dir)
+    fold = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 5
+    )
+    g = e.select(fold.alias("fold"), "event_type", "value").groupBy(
+        "fold", "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tt = g.groupBy("event_type").agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st")
+    )
+    held = g.join(F.broadcast(tt), "event_type").withColumn(
+        "m_train", (F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))
+    )
+    m = F.col("m_train")
+    return (
+        held.groupBy("fold")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_test"),
+            F.sqrt(
+                F.sum(F.col("ss") - 2 * m * F.col("s") + F.col("n") * m * m)
+                / F.sum("n")
+            ).alias("rmse"),
+        )
+        .select("fold", "n_test", pround(F.col("rmse"), 6).alias("rmse"))
+    )
+
+
+@register(
+    "pipe_power_analysis",
+    """WITH s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+                var_samp(value) AS v
+         FROM events WHERE event_type = 'purchase'),
+       lifts AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.02 AS DOUBLE), CAST(0.05 AS DOUBLE), CAST(0.1 AS DOUBLE)]) AS lift)
+       SELECT lift,
+              FLOOR(m * lift * 1000000 + 0.5) / 1000000 AS delta,
+              CAST(CEIL((1.96 + 0.8416) * (1.96 + 0.8416) * 2 * v / (m * lift * m * lift))
+                   AS BIGINT) AS n_per_arm,
+              CEIL((1.96 + 0.8416) * (1.96 + 0.8416) * 2 * v / (m * lift * m * lift))
+                <= FLOOR(n / 2) AS feasible_now
+       FROM s CROSS JOIN lifts""",
+)
+def pipe_power_analysis(spark, sf_dir):
+    """A/B sample-size (power) calculator from observed metric moments — the
+    pre-experiment companion to pipe_ab_srm_check: for relative lifts of
+    1/2/5/10% on the purchase-value metric, the per-arm n needed for 80%
+    power at α=0.05 two-sided (n = (z_{α/2}+z_β)²·2σ²/Δ²), and whether
+    the CURRENT corpus could already power that test. Experiment platforms
+    recompute this table continuously from live variance estimates; it is
+    the number that decides whether a proposed experiment is worth
+    launching at all.
+
+    Scale shape: the metric moments are one conditional-aggregate scan
+    (mergeable partials); the 4-row lift table cross-joins broadcast. The
+    z constants are the standard normal quantiles (1.96, 0.8416) — exact
+    literals on both engines, so the only float work is shared
+    arithmetic on one row."""
+    e = events_table(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    lifts = spark.createDataFrame([(0.01,), (0.02,), (0.05,), (0.1,)], "lift double")
+    delta = F.col("m") * F.col("lift")
+    zz = (1.96 + 0.8416) * (1.96 + 0.8416)
+    need = F.ceil(F.lit(zz) * 2 * F.col("v") / (delta * delta))
+    return (
+        s.join(F.broadcast(lifts))
+        .select(
+            "lift",
+            pround(delta, 6).alias("delta"),
+            need.cast("bigint").alias("n_per_arm"),
+            (need <= F.floor(F.col("n") / 2)).alias("feasible_now"),
+        )
+    )
+
+
+QUERIES["pipe_link_prediction"] = QuerySpec(
+    "pipe_link_prediction",
+    None,  # build assigned below
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
+                     FROM embeddings),
+       scored0 AS (
+         SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       knn AS (
+         SELECT src_id, nbr_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+                      ORDER BY cos_sim DESC, nbr_id) AS rank
+           FROM scored0) r
+         WHERE rank <= 4),
+       e AS (SELECT src_id AS src, nbr_id AS dst FROM knn
+             UNION SELECT nbr_id, src_id FROM knn),
+       deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+       two_hop AS (
+         SELECT a.src AS ida, b.dst AS idb, a.dst AS via
+         FROM e a JOIN e b ON a.dst = b.src AND a.src < b.dst),
+       cand AS (
+         SELECT t.ida, t.idb, t.via FROM two_hop t
+         LEFT JOIN e p ON p.src = t.ida AND p.dst = t.idb
+         WHERE p.src IS NULL),
+       scored AS (
+         SELECT ida, idb, CAST(count(*) AS BIGINT) AS common_neighbors,
+                FLOOR(sum(1 / ln(deg.d)) * 10000 + 0.5) / 10000 AS adamic_adar
+         FROM cand JOIN deg ON cand.via = deg.node
+         GROUP BY ida, idb)
+       SELECT ida AS id_a, idb AS id_b, common_neighbors, adamic_adar,
+              CAST(rank AS INT) AS rank
+       FROM (SELECT *, row_number() OVER
+               (ORDER BY adamic_adar DESC, common_neighbors DESC, ida, idb) AS rank
+             FROM scored) r
+       WHERE rank <= 10""",
+)
+
+
+def pipe_link_prediction(spark, sf_dir):
+    """Link prediction over the symmetrized k-NN embedding graph: for node
+    pairs NOT directly connected, count common neighbors and score with
+    Adamic–Adar (Σ_via 1/ln(deg(via)) — rare shared neighbors weigh
+    more), reporting the top-10 predicted missing edges — the generic
+    recommender / knowledge-graph-completion primitive, and on an
+    embedding graph the SNN-style "should these be neighbors" audit that
+    catches kNN asymmetry (a→b without b→a). The near-dup MinHash graph
+    is deliberately NOT used here: it triangulates fully at the
+    registered threshold (pipe_dup_transitivity measures closure 1.0), so
+    it has no missing edges to predict.
+
+    Scale shape: all frames are id-only — degrees (one groupBy), two-hop
+    wedges (one self-join co-partitioned on the pivot node; fan-out
+    bounded by the band-capped near-dup degree), an anti-join against the
+    edge list, and a TakeOrdered top-10. Adamic–Adar weights are 1/ln of
+    integer degrees (identical doubles cross-engine), summed then 4-dp
+    pinned before the deterministic (score, id, id) ranking. Common
+    neighbors with degree 1 cannot exist (a pivot needs two edges), so
+    ln(deg) never hits zero."""
+    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+        "src_id", "nbr_id"
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    e = (
+        knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(knn.select(F.col("nbr_id"), F.col("src_id")))
+        .distinct()
+    )
+    e = persist_tracked(e)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    a = e.select(F.col("src").alias("ida"), F.col("dst").alias("via"))
+    b = e.select(F.col("src").alias("via2"), F.col("dst").alias("idb"))
+    two_hop = a.join(b, (F.col("via") == F.col("via2")) & (F.col("ida") < F.col("idb"))).select(
+        "ida", "idb", "via"
+    )
+    adj = e.select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
+    cand = two_hop.join(
+        adj,
+        (two_hop["ida"] == adj["pa"]) & (two_hop["idb"] == adj["pb"]),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg, cand["via"] == deg["node"])
+        .groupBy("ida", "idb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            pround(F.sum(1 / F.log(F.col("d"))), 4).alias("adamic_adar"),
+        )
+    )
+    ranked = scored.select(
+        F.col("ida").alias("id_a"),
+        F.col("idb").alias("id_b"),
+        "common_neighbors",
+        "adamic_adar",
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("adamic_adar").desc(), F.col("common_neighbors").desc(), "id_a", "id_b"
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+QUERIES["pipe_link_prediction"].build = pipe_link_prediction
