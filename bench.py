@@ -264,6 +264,9 @@ BENCH_QUERIES = [
     "pipe_kfold_cv",
     "pipe_power_analysis",
     "pipe_link_prediction",
+    "pipe_anova_oneway",
+    "pipe_centroid_classifier",
+    "pipe_bpe_merge_train",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -3256,7 +3256,8 @@ _ROUND6_STAGED = [
 #   pipe_decision_stump, pipe_eb_shrinkage, pipe_kaplan_meier,
 #   pipe_theil_sen, pipe_ab_srm_check, pipe_logreg_gd,
 #   pipe_lpa_communities, pipe_jl_projection, stream_late_data_drop,
-#   pipe_kfold_cv, pipe_power_analysis, pipe_link_prediction
+#   pipe_kfold_cv, pipe_power_analysis, pipe_link_prediction,
+#   pipe_anova_oneway, pipe_centroid_classifier, pipe_bpe_merge_train
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -16194,3 +16195,340 @@ def pipe_link_prediction(spark, sf_dir):
 
 
 QUERIES["pipe_link_prediction"].build = pipe_link_prediction
+
+
+@register(
+    "pipe_anova_oneway",
+    """WITH g AS (
+         SELECT event_type, CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+                var_samp(value) AS v
+         FROM events GROUP BY event_type),
+       tt AS (SELECT sum(n) AS nt, sum(n * m) / sum(n) AS gm,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM g),
+       s AS (
+         SELECT k, CAST(nt AS BIGINT) AS n_total,
+                sum(n * (m - gm) * (m - gm)) AS ssb,
+                sum((n - 1) * v) AS ssw
+         FROM g CROSS JOIN tt GROUP BY k, nt)
+       SELECT k AS n_groups, n_total,
+              CAST(k - 1 AS BIGINT) AS df_between,
+              CAST(n_total - k AS BIGINT) AS df_within,
+              FLOOR((ssb / (k - 1)) / (ssw / (n_total - k)) * 10000 + 0.5) / 10000
+                AS f_stat,
+              FLOOR(ssb / (ssb + ssw) * 1000000 + 0.5) / 1000000 AS eta_squared,
+              (ssb / (k - 1)) / (ssw / (n_total - k)) > 2.372 AS significant
+       FROM s""",
+)
+def pipe_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across the five event-type value populations — the
+    omnibus "is ANY group different" F-test that gates the pairwise
+    screens (pipe_pairwise_ttest's Bonferroni batch runs only when this
+    rejects): between-group vs within-group variance from per-group
+    sufficient statistics, with effect size η² = SSB/SST.
+
+    Scale shape: per-group (n, mean, variance) in ONE conditional-
+    aggregate scan (mergeable partials), then the F statistic is
+    arithmetic over the 5-row group frame and its 1-row rollup — no
+    second pass at any corpus size. The 2.372 threshold is F(4, ∞) at
+    α=0.05, the correct asymptote at these df; exact quantiles are a
+    driver-side lookup on the reported df pair."""
+    e = events_table(spark, sf_dir)
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tt = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    s = (
+        g.join(F.broadcast(tt))
+        .groupBy("k", F.col("nt").cast("bigint").alias("n_total"))
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+            ).alias("ssb"),
+            F.sum((F.col("n") - 1) * F.col("v")).alias("ssw"),
+        )
+    )
+    fstat = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("n_total") - F.col("k"))
+    )
+    return s.select(
+        F.col("k").alias("n_groups"),
+        "n_total",
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n_total") - F.col("k")).cast("bigint").alias("df_within"),
+        pround(fstat, 4).alias("f_stat"),
+        pround(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
+        (fstat > 2.372).alias("significant"),
+    )
+
+
+@register(
+    "pipe_centroid_classifier",
+    """WITH cen AS (
+         SELECT label, i,
+                FLOOR(avg(embedding[i]) * 1000000 + 0.5) / 1000000 AS c
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+         GROUP BY label, i),
+       cnorm AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cen GROUP BY label),
+       ev AS (
+         SELECT vec_id, label AS actual, i, CAST(embedding[i] AS DOUBLE) AS val
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+       vnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ev GROUP BY vec_id),
+       dots AS (
+         SELECT ev.vec_id, ev.actual, cen.label, sum(ev.val * cen.c) AS dp
+         FROM ev JOIN cen ON ev.i = cen.i
+         GROUP BY ev.vec_id, ev.actual, cen.label),
+       scored AS (
+         SELECT d.vec_id, d.actual, d.label,
+                FLOOR(d.dp / (v.nv * n.nc) * 1000000 + 0.5) / 1000000 AS cos
+         FROM dots d JOIN vnorm v ON d.vec_id = v.vec_id
+         JOIN cnorm n ON d.label = n.label),
+       pred AS (
+         SELECT vec_id, actual, min(label) AS predicted
+         FROM scored s JOIN (
+           SELECT vec_id AS bv, max(cos) AS mc FROM scored GROUP BY vec_id) b
+           ON s.vec_id = b.bv AND s.cos = b.mc
+         GROUP BY vec_id, actual)
+       SELECT actual AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(count(CASE WHEN predicted = actual THEN 1 END) AS BIGINT)
+                AS n_correct,
+              FLOOR(count(CASE WHEN predicted = actual THEN 1 END)
+                    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS accuracy
+       FROM pred GROUP BY actual""",
+)
+def pipe_centroid_classifier(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification accuracy per label: score
+    every vector against each label's mean embedding by cosine, predict
+    the argmax, report per-label accuracy — the 10-line classifier that
+    sets the floor any learned probe must beat, and (with
+    pipe_knn_label_purity) the second standard no-training
+    embedding-quality read. Self-scored resubstitution, like
+    pipe_naive_bayes; centroids are 6-dp pinned so both engines score
+    identical prototypes.
+
+    Scale shape: centroids are (label × dim) partial-mean aggregates
+    (vectors never shuffle — same plan as pipe_label_centroids); scoring
+    joins the exploded (vec, dim, val) frame to the small centroid frame
+    on dim and reduces per (vec, label) — the fan-out is #labels, the
+    same shape the IVF assign step uses, and at 100 TB the centroid
+    frame broadcasts. Argmax is the deterministic two-step (6-dp cosine,
+    tie → min label)."""
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        "vec_id",
+        F.col("label").alias("actual"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    ev = persist_tracked(ev)
+    cen = ev.groupBy(F.col("actual").alias("label"), "i").agg(
+        pround(F.avg("val"), 6).alias("c")
+    )
+    cen = persist_tracked(cen)
+    cnorm = cen.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    vnorm = ev.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv")
+    )
+    dots = (
+        ev.join(F.broadcast(cen.select("label", "i", "c")), "i")
+        .groupBy("vec_id", "actual", "label")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dp"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "actual",
+            "label",
+            pround(F.col("dp") / (F.col("nv") * F.col("nc")), 6).alias("cos"),
+        )
+    )
+    pred = scored.groupBy("vec_id", "actual").agg(
+        F.min(F.struct((-F.col("cos")).alias("nc"), F.col("label"))).alias("m")
+    )
+    return pred.groupBy(F.col("actual").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count(F.when(F.col("m.label") == F.col("actual"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+        pround(
+            F.count(F.when(F.col("m.label") == F.col("actual"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "pipe_bpe_merge_train",
+    """WITH tok AS (
+         SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       vocab AS (SELECT term, CAST(count(*) AS DOUBLE) AS freq FROM tok GROUP BY term),
+       chars AS (
+         SELECT term, freq, i, substr(term, i, 1) AS sym
+         FROM vocab, UNNEST(range(1, len(term) + 1)) AS r(i)),
+       p1 AS (
+         SELECT term, freq, i, sym,
+                lead(sym) OVER (PARTITION BY term ORDER BY i) AS nxt
+         FROM chars),
+       pc1 AS (
+         SELECT sym AS a, nxt AS b, sum(freq) AS wc
+         FROM p1 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+       best1 AS (
+         SELECT a AS ba, b AS bb FROM (
+           SELECT a, b, row_number() OVER (ORDER BY wc DESC, a, b) AS rk FROM pc1) r
+         WHERE rk = 1),
+       m AS (
+         SELECT p1.term, p1.freq, p1.i, p1.sym, p1.nxt,
+                CASE WHEN p1.sym = best1.ba AND p1.nxt = best1.bb THEN 1 ELSE 0 END AS hit
+         FROM p1 CROSS JOIN best1),
+       sel AS (
+         SELECT term, i,
+                row_number() OVER (PARTITION BY term, grp ORDER BY i) AS rn
+         FROM (
+           SELECT term, i,
+                  i - row_number() OVER (PARTITION BY term ORDER BY i) AS grp
+           FROM m WHERE hit = 1) h),
+       merged AS (SELECT term, i FROM sel WHERE rn % 2 = 1),
+       newsym AS (
+         SELECT m.term, m.freq, m.i,
+                CASE WHEN ma.i IS NOT NULL THEN m.sym || m.nxt ELSE m.sym END AS sym,
+                CASE WHEN pv.i IS NOT NULL THEN 1 ELSE 0 END AS consumed
+         FROM m
+         LEFT JOIN merged ma ON m.term = ma.term AND m.i = ma.i
+         LEFT JOIN merged pv ON m.term = pv.term AND m.i = pv.i + 1),
+       surv AS (SELECT term, freq, i, sym FROM newsym WHERE consumed = 0),
+       p2 AS (
+         SELECT term, freq, sym,
+                lead(sym) OVER (PARTITION BY term ORDER BY i) AS nxt
+         FROM surv),
+       pc2 AS (
+         SELECT sym AS a, nxt AS b, sum(freq) AS wc
+         FROM p2 WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+       t1 AS (SELECT 1 AS step, a, b, wc,
+                     row_number() OVER (ORDER BY wc DESC, a, b) AS rk FROM pc1),
+       t2 AS (SELECT 2 AS step, a, b, wc,
+                     row_number() OVER (ORDER BY wc DESC, a, b) AS rk FROM pc2)
+       SELECT step, CAST(rk AS INT) AS rank, a AS sym_a, b AS sym_b,
+              CAST(wc AS BIGINT) AS weighted_count
+       FROM (SELECT * FROM t1 WHERE rk <= 5
+             UNION ALL SELECT * FROM t2 WHERE rk <= 5) u""",
+)
+def pipe_bpe_merge_train(spark, sf_dir):
+    """Two rounds of byte-pair-encoding tokenizer TRAINING as pure
+    DataFrame ops — not just the pair-count pass (pipe_bpe_pair_counts)
+    but the actual merge loop: pick the highest-frequency adjacent symbol
+    pair, apply it greedily left-to-right with correct non-overlap
+    semantics ("aaaa" under (a,a) → (aa)(aa), never (a(aa)a)), re-count
+    on the merged symbol sequences, and pick merge #2. Reports the top-5
+    pair table at each step — step 2's table is the proof the merge was
+    applied (the winning pair is gone; new merged-symbol pairs appear).
+
+    BPE's defining trick makes this scale-free: training runs on the
+    DISTINCT-word frequency table, not the corpus — one tokenize pass
+    collapses 100 TB to a vocab-bounded frame, and every subsequent op
+    (char explode, adjacency via lead(), greedy selection via the
+    run-grouping window i − row_number() with odd-rank picks, survivor
+    rebuild via two anti-style joins) is windowed per word, bounded by
+    word length. All-integer/string frames — no float pinning anywhere.
+    Production BPE iterates this exact loop 30-50k times with incremental
+    pair-count deltas; the unrolled 2 steps pin the semantics the loop
+    repeats."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    chars = (
+        vocab.select(
+            "term", "freq", F.explode(F.sequence(F.lit(1), F.length("term"))).alias("i")
+        )
+        .select("term", "freq", "i", F.expr("substring(term, i, 1)").alias("sym"))
+    )
+    w_term = Window.partitionBy("term").orderBy("i")
+    p1 = chars.select(
+        "term", "freq", "i", "sym", F.lead("sym").over(w_term).alias("nxt")
+    )
+    p1 = persist_tracked(p1)
+    pc1 = (
+        p1.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("freq").alias("wc"))
+    )
+    pc1 = persist_tracked(pc1)
+    best1 = pc1.agg(
+        F.min(F.struct((-F.col("wc")).alias("nw"), F.col("a"), F.col("b"))).alias("m")
+    ).select(F.col("m.a").alias("ba"), F.col("m.b").alias("bb"))
+    m = p1.join(F.broadcast(best1)).select(
+        "term",
+        "freq",
+        "i",
+        "sym",
+        "nxt",
+        F.when((F.col("sym") == F.col("ba")) & (F.col("nxt") == F.col("bb")), 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    m = persist_tracked(m)
+    hits = m.filter(F.col("hit") == 1).select(
+        "term", "i", (F.col("i") - F.row_number().over(w_term)).alias("grp")
+    )
+    w_run = Window.partitionBy("term", "grp").orderBy("i")
+    merged = (
+        hits.select("term", "i", F.row_number().over(w_run).alias("rn"))
+        .filter(F.col("rn") % 2 == 1)
+        .select(F.col("term").alias("mt"), F.col("i").alias("mi"))
+    )
+    ma = merged.select(F.col("mt").alias("t1"), F.col("mi").alias("i1"))
+    pv = merged.select(F.col("mt").alias("t2"), F.col("mi").alias("i2"))
+    newsym = (
+        m.join(ma, (m["term"] == ma["t1"]) & (m["i"] == ma["i1"]), "left")
+        .join(pv, (m["term"] == pv["t2"]) & (m["i"] == pv["i2"] + 1), "left")
+        .select(
+            "term",
+            "freq",
+            "i",
+            F.when(F.col("i1").isNotNull(), F.concat(F.col("sym"), F.col("nxt")))
+            .otherwise(F.col("sym"))
+            .alias("sym2"),
+            F.when(F.col("i2").isNotNull(), 1).otherwise(0).alias("consumed"),
+        )
+    )
+    surv = newsym.filter(F.col("consumed") == 0)
+    p2 = surv.select(
+        "term", "freq", F.col("sym2").alias("sym"), F.lead("sym2").over(w_term).alias("nxt")
+    )
+    pc2 = (
+        p2.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("freq").alias("wc"))
+    )
+    w_rank = Window.orderBy(F.col("wc").desc(), "a", "b")
+    t1 = (
+        pc1.select(F.lit(1).alias("step"), "a", "b", "wc")
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+    t2 = (
+        pc2.select(F.lit(2).alias("step"), "a", "b", "wc")
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+    return t1.union(t2).select(
+        "step",
+        "rank",
+        F.col("a").alias("sym_a"),
+        F.col("b").alias("sym_b"),
+        F.col("wc").cast("bigint").alias("weighted_count"),
+    )
