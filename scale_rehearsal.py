@@ -142,6 +142,24 @@ HEAVY = [
     "pipe_kmeans_lloyd",
     "pipe_sparse_cosine_dups",
     "pipe_bootstrap_ci",
+    # round-6 session-2 wave: Naive Bayes (one tokenize pass + (term, class)
+    # and (doc, class) partial shuffles — linear in tokens at fixed class
+    # count); 2-round label propagation over the MinHash graph (edge-keyed
+    # joins, constant dup rate by corpus construction -> linear in edges);
+    # BPE merge training (vocab-bounded after the corpus tokenize — the
+    # suffixed-copy corpus multiplies vocab by the copy count, so linear in
+    # VOCAB is the expected read); nearest-centroid scoring (explode N*d +
+    # broadcast centroid join -> linear in N); the watermark late-drop
+    # stream (windowed-agg state + 2.1 s fixed file-staging sleeps — ratios
+    # read low until the drain dominates). pipe_link_prediction is NOT
+    # rehearsed: like the other kNN-graph entries its registered form pins
+    # num_planes=3 for a static oracle, and scale-safety rests on
+    # similarity.knn_graph's auto-plane bucket bounding (~64/bucket).
+    "pipe_naive_bayes",
+    "pipe_lpa_communities",
+    "pipe_bpe_merge_train",
+    "pipe_centroid_classifier",
+    "stream_late_data_drop",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100

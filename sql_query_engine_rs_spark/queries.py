@@ -3257,7 +3257,8 @@ _ROUND6_STAGED = [
 #   pipe_theil_sen, pipe_ab_srm_check, pipe_logreg_gd,
 #   pipe_lpa_communities, pipe_jl_projection, stream_late_data_drop,
 #   pipe_kfold_cv, pipe_power_analysis, pipe_link_prediction,
-#   pipe_anova_oneway, pipe_centroid_classifier, pipe_bpe_merge_train
+#   pipe_anova_oneway, pipe_centroid_classifier, pipe_bpe_merge_train,
+#   pipe_diff_in_diff, pipe_mutual_info_rank
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -16532,3 +16533,201 @@ def pipe_bpe_merge_train(spark, sf_dir):
         F.col("b").alias("sym_b"),
         F.col("wc").cast("bigint").alias("weighted_count"),
     )
+
+
+@register(
+    "pipe_diff_in_diff",
+    f"""WITH b AS (SELECT min(ts) AS mn FROM events),
+       cell AS (
+         SELECT ({_md5_bucket256_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                CASE WHEN e.ts >= b.mn + INTERVAL 15 DAY THEN 1 ELSE 0 END AS post,
+                value
+         FROM events e CROSS JOIN b
+         WHERE event_type = 'purchase'),
+       g AS (
+         SELECT arm, post, CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+                var_samp(value) AS v
+         FROM cell GROUP BY arm, post),
+       w AS (
+         SELECT max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS m00,
+                max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS m01,
+                max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS m10,
+                max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS m11,
+                sum(v / n) AS se2
+         FROM g)
+       SELECT FLOOR(m00 * 1000000 + 0.5) / 1000000 AS mean_ctrl_pre,
+              FLOOR(m01 * 1000000 + 0.5) / 1000000 AS mean_ctrl_post,
+              FLOOR(m10 * 1000000 + 0.5) / 1000000 AS mean_treat_pre,
+              FLOOR(m11 * 1000000 + 0.5) / 1000000 AS mean_treat_post,
+              FLOOR(((m11 - m10) - (m01 - m00)) * 1000000 + 0.5) / 1000000 AS did,
+              FLOOR(sqrt(se2) * 1000000 + 0.5) / 1000000 AS se,
+              FLOOR(((m11 - m10) - (m01 - m00)) / sqrt(se2) * 10000 + 0.5) / 10000
+                AS z_stat,
+              abs(((m11 - m10) - (m01 - m00)) / sqrt(se2)) > 1.96 AS significant
+       FROM w""",
+)
+def pipe_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimate over hash-assigned arms and a
+    pre/post time split — the causal-inference workhorse for rollouts that
+    can't be fully randomized: the treatment effect is the TREATED arm's
+    pre→post change minus the control arm's (differencing out both the
+    between-arm level gap and the common time trend), with the 4-cell
+    normal SE. On the exchangeable synthetic arms the estimate is
+    correctly ≈0/insignificant — the placebo read a DiD harness must
+    produce before anyone trusts it on a real rollout.
+
+    Scale shape: arm assignment is the map-side md5 parity (shared with
+    pipe_ab_srm_check), the period split keys off the broadcast 1-row
+    min(ts), and all four cell moments are conditional aggregates in ONE
+    scan — mergeable partials, 1-row reduce, no joins of data rows at any
+    corpus size."""
+    e = events_table(spark, sf_dir)
+    b = e.agg(F.min("ts").alias("mn"))
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 2
+    )
+    cell = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(b))
+        .select(
+            arm.alias("arm"),
+            F.when(
+                F.col("ts") >= F.col("mn") + F.expr("INTERVAL 15 DAYS"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            "value",
+        )
+    )
+    g = cell.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    w = g.agg(
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("m"))).alias("m00"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("m"))).alias("m01"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("m"))).alias("m10"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("m"))).alias("m11"),
+        F.sum(F.col("v") / F.col("n")).alias("se2"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    z = did / F.sqrt(F.col("se2"))
+    return w.select(
+        pround(F.col("m00"), 6).alias("mean_ctrl_pre"),
+        pround(F.col("m01"), 6).alias("mean_ctrl_post"),
+        pround(F.col("m10"), 6).alias("mean_treat_pre"),
+        pround(F.col("m11"), 6).alias("mean_treat_post"),
+        pround(did, 6).alias("did"),
+        pround(F.sqrt(F.col("se2")), 6).alias("se"),
+        pround(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "pipe_mutual_info_rank",
+    """WITH f AS (
+         SELECT r.u.fname AS fname, r.u.fval AS fval,
+                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         FROM events, UNNEST([
+           struct_pack(fname := 'value_bucket',
+                       fval := CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR)),
+           struct_pack(fname := 'hour_band',
+                       fval := CAST(CAST(FLOOR(extract(hour FROM ts) / 6) AS BIGINT) AS VARCHAR)),
+           struct_pack(fname := 'weekday',
+                       fval := CAST(CAST(extract(dow FROM ts) AS BIGINT) AS VARCHAR))
+         ]) AS r(u)),
+       jnt AS (
+         SELECT fname, fval, y, CAST(count(*) AS DOUBLE) AS c
+         FROM f GROUP BY fname, fval, y),
+       mx AS (SELECT fname, fval, sum(c) AS cx FROM jnt GROUP BY fname, fval),
+       my AS (SELECT fname, y, sum(c) AS cy FROM jnt GROUP BY fname, y),
+       tot AS (SELECT fname, sum(c) AS n FROM jnt GROUP BY fname),
+       mi AS (
+         SELECT j.fname,
+                sum((j.c / t.n) * ln((j.c / t.n) / ((x.cx / t.n) * (y.cy / t.n))))
+                  AS mi_nats,
+                CAST(count(DISTINCT j.fval) AS BIGINT) AS n_buckets
+         FROM jnt j
+         JOIN mx x ON j.fname = x.fname AND j.fval = x.fval
+         JOIN my y ON j.fname = y.fname AND j.y = y.y
+         JOIN tot t ON j.fname = t.fname
+         GROUP BY j.fname)
+       SELECT fname AS feature, n_buckets,
+              FLOOR(mi_nats * 1000000 + 0.5) / 1000000 AS mi_nats,
+              CAST(row_number() OVER (
+                ORDER BY FLOOR(mi_nats * 1000000 + 0.5) / 1000000 DESC, fname)
+                AS INT) AS rank
+       FROM mi""",
+)
+def pipe_mutual_info_rank(spark, sf_dir):
+    """Mutual-information feature ranking against the purchase label — the
+    filter-style feature-selection pass (I(X;Y) = Σ p(x,y)·ln[p(x,y) /
+    p(x)p(y)]) run before any model training: three candidate
+    discretized features (value bucket, 6-hour band, weekday) scored and
+    ranked in one shot. MI catches nonlinear/non-monotone dependence that
+    pipe_corr_matrix's Pearson misses, and the bucket counts double as
+    the feature's cardinality audit (high-cardinality features inflate
+    empirical MI — compare n_buckets before trusting the rank).
+
+    Scale shape: the 3-way feature stack is a map-side explode (3 rows
+    per event — #features, not data, sets the multiplier); everything
+    after is counts over (feature, bucket, label) — domain-bounded
+    frames, mergeable partials, with the marginals read off the joint by
+    two more groupBys. Exact integer counts flow into one final log pass,
+    6-dp pinned before the deterministic rank. Weekday uses the
+    dayofweek−1 convention so both engines bucket identically."""
+    e = events_table(spark, sf_dir)
+    feats = F.array(
+        F.struct(
+            F.lit("value_bucket").alias("fname"),
+            F.floor(F.col("value") / 50).cast("bigint").cast("string").alias("fval"),
+        ),
+        F.struct(
+            F.lit("hour_band").alias("fname"),
+            F.floor(F.hour("ts") / 6).cast("bigint").cast("string").alias("fval"),
+        ),
+        F.struct(
+            F.lit("weekday").alias("fname"),
+            (F.dayofweek("ts") - 1).cast("bigint").cast("string").alias("fval"),
+        ),
+    )
+    f = e.select(
+        F.explode(feats).alias("u"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).select(F.col("u.fname").alias("fname"), F.col("u.fval").alias("fval"), "y")
+    jnt = f.groupBy("fname", "fval", "y").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    jnt = persist_tracked(jnt)
+    mx = jnt.groupBy("fname", "fval").agg(F.sum("c").alias("cx"))
+    my = jnt.groupBy("fname", "y").agg(F.sum("c").alias("cy"))
+    tot = jnt.groupBy("fname").agg(F.sum("c").alias("n"))
+    mi = (
+        jnt.join(mx, ["fname", "fval"])
+        .join(my, ["fname", "y"])
+        .join(F.broadcast(tot), "fname")
+        .groupBy("fname")
+        .agg(
+            F.sum(
+                (F.col("c") / F.col("n"))
+                * F.log(
+                    (F.col("c") / F.col("n"))
+                    / ((F.col("cx") / F.col("n")) * (F.col("cy") / F.col("n")))
+                )
+            ).alias("mi_nats"),
+            F.countDistinct("fval").cast("bigint").alias("n_buckets"),
+        )
+    )
+    from pyspark.sql import Window
+
+    mi_r = mi.select(
+        F.col("fname").alias("feature"), "n_buckets", pround(F.col("mi_nats"), 6).alias("mi_nats")
+    )
+    w = Window.orderBy(F.col("mi_nats").desc(), "feature")
+    return mi_r.withColumn("rank", F.row_number().over(w).cast("int"))
