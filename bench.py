@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "pipe_bpe_merge_train",
     "pipe_diff_in_diff",
     "pipe_mutual_info_rank",
+    "pipe_target_encoding",
+    "pipe_kcore_decompose",
+    "pipe_seq_trigrams",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

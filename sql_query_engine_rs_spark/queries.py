@@ -3258,7 +3258,8 @@ _ROUND6_STAGED = [
 #   pipe_lpa_communities, pipe_jl_projection, stream_late_data_drop,
 #   pipe_kfold_cv, pipe_power_analysis, pipe_link_prediction,
 #   pipe_anova_oneway, pipe_centroid_classifier, pipe_bpe_merge_train,
-#   pipe_diff_in_diff, pipe_mutual_info_rank
+#   pipe_diff_in_diff, pipe_mutual_info_rank, pipe_target_encoding,
+#   pipe_kcore_decompose, pipe_seq_trigrams
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -16731,3 +16732,207 @@ def pipe_mutual_info_rank(spark, sf_dir):
     )
     w = Window.orderBy(F.col("mi_nats").desc(), "feature")
     return mi_r.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "pipe_target_encoding",
+    """WITH y AS (
+         SELECT event_id, user_id,
+                CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+         FROM events),
+       u AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(y) AS s
+             FROM y GROUP BY user_id),
+       g AS (SELECT avg(y) AS p FROM y)
+       SELECT y.event_id, y.user_id, CAST(y.y AS BIGINT) AS y,
+              FLOOR((u.s - y.y + 10 * g.p) / (u.n - 1 + 10) * 1000000 + 0.5)
+                / 1000000 AS te
+       FROM y JOIN u USING (user_id) CROSS JOIN g
+       WHERE y.event_id < 30""",
+)
+def pipe_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding with additive smoothing — the
+    feature-engineering standard for high-cardinality categoricals
+    (here: user id → that user's purchase propensity): each row is
+    encoded by its OWN category's target mean computed WITHOUT the row
+    ((S_c − yᵢ + m·prior)/(n_c − 1 + m), m=10), the leave-one-out that
+    blocks the target-leakage a naive mean encoding injects, smoothed
+    toward the global rate for thin categories — pipe_eb_shrinkage's
+    posterior-mean idea applied per-row as a feature. Probe rows
+    (event_id < 30) keep the registered output bounded.
+
+    Scale shape: ONE groupBy for per-category (n, Σy), a broadcast 1-row
+    global rate, and a map-side join back — the encode is O(rows) with a
+    category-bounded build side at any corpus size, and the same two
+    frames serve every fold of a CV split (cf. pipe_kfold_cv's
+    global-minus-fold identity)."""
+    e = events_table(spark, sf_dir)
+    y = e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    y = persist_tracked(y)
+    u = y.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("y").alias("s")
+    )
+    g = y.agg(F.avg("y").alias("p"))
+    return (
+        y.filter(F.col("event_id") < 30)
+        .join(u, "user_id")
+        .join(F.broadcast(g))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("y").cast("bigint").alias("y"),
+            pround(
+                (F.col("s") - F.col("y") + 10 * F.col("p"))
+                / (F.col("n") - 1 + 10),
+                6,
+            ).alias("te"),
+        )
+    )
+
+
+@register(
+    "pipe_kcore_decompose",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
+                     FROM embeddings),
+       scored0 AS (
+         SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       knn AS (
+         SELECT src_id, nbr_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+                      ORDER BY cos_sim DESC, nbr_id) AS rank
+           FROM scored0) r
+         WHERE rank <= 4),
+       e AS (SELECT src_id AS src, nbr_id AS dst FROM knn
+             UNION SELECT nbr_id, src_id FROM knn),
+       a0 AS (SELECT DISTINCT src AS node FROM e),
+       e1 AS (SELECT e.src, e.dst FROM e
+              JOIN a0 s ON e.src = s.node JOIN a0 d ON e.dst = d.node),
+       a1 AS (SELECT src AS node FROM e1 GROUP BY src HAVING count(*) >= 3),
+       e2 AS (SELECT e.src, e.dst FROM e
+              JOIN a1 s ON e.src = s.node JOIN a1 d ON e.dst = d.node),
+       a2 AS (SELECT src AS node FROM e2 GROUP BY src HAVING count(*) >= 3),
+       e3 AS (SELECT e.src, e.dst FROM e
+              JOIN a2 s ON e.src = s.node JOIN a2 d ON e.dst = d.node),
+       a3 AS (SELECT src AS node FROM e3 GROUP BY src HAVING count(*) >= 3),
+       rounds AS (
+         SELECT 0 AS round, CAST((SELECT count(*) FROM a0) AS BIGINT) AS n_nodes,
+                CAST((SELECT count(*) FROM e1) / 2 AS BIGINT) AS n_edges
+         UNION ALL SELECT 1, (SELECT count(*) FROM a1),
+                (SELECT count(*) / 2 FROM e2)
+         UNION ALL SELECT 2, (SELECT count(*) FROM a2),
+                (SELECT count(*) / 2 FROM e3)
+         UNION ALL SELECT 3, (SELECT count(*) FROM a3),
+                (SELECT CAST(count(*) / 2 AS BIGINT) FROM e
+                 JOIN a3 s ON e.src = s.node JOIN a3 d ON e.dst = d.node))
+       SELECT round, n_nodes, n_edges FROM rounds""",
+)
+def pipe_kcore_decompose(spark, sf_dir):
+    """3-core peeling of the symmetrized kNN embedding graph (three
+    synchronous rounds of "drop nodes with induced degree < 3") — the
+    density filter that separates genuinely clustered regions from
+    hairball periphery before community detection or dense-region
+    sampling, and the standard spam/boilerplate-hub screen on similarity
+    graphs. Reports (nodes, surviving edges) per round; the sequence
+    contracting toward a fixpoint is the decomposition itself.
+
+    Scale shape: per round, the alive set is one degree groupBy with a
+    HAVING, and the induced subgraph is two semi-join-shaped id joins —
+    all integer id frames co-partitioned on node; rounds are a fixed
+    constant (full k-core runs to fixpoint with the same per-round plan;
+    peeling converges in O(graph diameter)-ish rounds in practice).
+    Shares the knn-graph CTE with pipe_link_prediction / pipe_knn_graph,
+    so the only new work is the peel."""
+    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+        "src_id", "nbr_id"
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    e = (
+        knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(knn.select(F.col("nbr_id"), F.col("src_id")))
+        .distinct()
+    )
+    e = persist_tracked(e)
+    alive = e.select(F.col("src").alias("node")).distinct()
+    rows = []
+    cur_edges = e
+    for rnd in range(4):
+        s = alive.select(F.col("node").alias("sn"))
+        d = alive.select(F.col("node").alias("dn"))
+        cur_edges = (
+            e.join(s, e["src"] == F.col("sn"))
+            .join(d, e["dst"] == F.col("dn"))
+            .select("src", "dst")
+        )
+        n_nodes = alive.count()
+        n_edges = cur_edges.count() // 2
+        rows.append((rnd, n_nodes, n_edges))
+        if rnd < 3:
+            alive = (
+                cur_edges.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= 3)
+                .select(F.col("src").alias("node"))
+            )
+    return spark.createDataFrame(rows, "round int, n_nodes long, n_edges long")
+
+
+@register(
+    "pipe_seq_trigrams",
+    """WITH s AS (
+         SELECT user_id, event_type,
+                lead(event_type, 1) OVER w AS t2,
+                lead(event_type, 2) OVER w AS t3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       g AS (
+         SELECT event_type || '>' || t2 || '>' || t3 AS pattern,
+                CAST(count(*) AS BIGINT) AS n
+         FROM s WHERE t3 IS NOT NULL GROUP BY 1)
+       SELECT pattern, n, CAST(rank AS INT) AS rank FROM (
+         SELECT *, row_number() OVER (ORDER BY n DESC, pattern) AS rank FROM g) r
+       WHERE rank <= 10""",
+)
+def pipe_seq_trigrams(spark, sf_dir):
+    """Sequential pattern mining over per-user event streams: the top-10
+    most frequent ordered event-type trigrams (two leads over the
+    (user, time) window) — the 3-step generalization of
+    pipe_event_transitions' bigram matrix, and the shape behind
+    clickstream motif mining and funnel discovery (a high-count
+    signup>view>purchase validates the designed funnel; error>error>error
+    localizes rage loops).
+
+    Scale shape: sequences never materialize — two lead() columns over
+    the per-user time window (partition-local, no global sort), then a
+    pattern-domain-bounded count groupBy (≤ |types|³ keys) and a top-10
+    TakeOrdered. Ordering ties broken by event_id so the window is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    g = (
+        s.filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("pattern")
+        )
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "pattern")
+    return (
+        g.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
