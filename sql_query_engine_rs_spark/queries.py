@@ -16823,14 +16823,15 @@ def pipe_target_encoding(spark, sf_dir):
        a3 AS (SELECT src AS node FROM e3 GROUP BY src HAVING count(*) >= 3),
        rounds AS (
          SELECT 0 AS round, CAST((SELECT count(*) FROM a0) AS BIGINT) AS n_nodes,
-                CAST((SELECT count(*) FROM e1) / 2 AS BIGINT) AS n_edges
-         UNION ALL SELECT 1, (SELECT count(*) FROM a1),
-                (SELECT count(*) / 2 FROM e2)
-         UNION ALL SELECT 2, (SELECT count(*) FROM a2),
-                (SELECT count(*) / 2 FROM e3)
-         UNION ALL SELECT 3, (SELECT count(*) FROM a3),
-                (SELECT CAST(count(*) / 2 AS BIGINT) FROM e
-                 JOIN a3 s ON e.src = s.node JOIN a3 d ON e.dst = d.node))
+                CAST((SELECT count(*) // 2 FROM e1) AS BIGINT) AS n_edges
+         UNION ALL SELECT 1, CAST((SELECT count(*) FROM a1) AS BIGINT),
+                CAST((SELECT count(*) // 2 FROM e2) AS BIGINT)
+         UNION ALL SELECT 2, CAST((SELECT count(*) FROM a2) AS BIGINT),
+                CAST((SELECT count(*) // 2 FROM e3) AS BIGINT)
+         UNION ALL SELECT 3, CAST((SELECT count(*) FROM a3) AS BIGINT),
+                CAST((SELECT count(*) // 2 FROM e
+                      JOIN a3 s ON e.src = s.node
+                      JOIN a3 d ON e.dst = d.node) AS BIGINT))
        SELECT round, n_nodes, n_edges FROM rounds""",
 )
 def pipe_kcore_decompose(spark, sf_dir):
