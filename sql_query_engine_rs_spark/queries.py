@@ -3259,7 +3259,8 @@ _ROUND6_STAGED = [
 #   pipe_kfold_cv, pipe_power_analysis, pipe_link_prediction,
 #   pipe_anova_oneway, pipe_centroid_classifier, pipe_bpe_merge_train,
 #   pipe_diff_in_diff, pipe_mutual_info_rank, pipe_target_encoding,
-#   pipe_kcore_decompose, pipe_seq_trigrams
+#   pipe_kcore_decompose, pipe_seq_trigrams, pipe_silhouette_simplified,
+#   pipe_overdispersion_check, pipe_graph_assortativity
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -16936,4 +16937,218 @@ def pipe_seq_trigrams(spark, sf_dir):
     return (
         g.withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= 10)
+    )
+
+
+@register(
+    "pipe_silhouette_simplified",
+    f"""WITH {_ivf_codebook_ctes(8, 64)},
+       scored AS (
+         SELECT e.vec_id, s.centroid_id AS cid,
+                FLOOR(({_duck_cos('e.embedding', 's.c', 64)}) * 1000000 + 0.5) / 1000000 AS cs
+         FROM embeddings e CROSS JOIN cents s),
+       agg AS (
+         SELECT s.vec_id, o.centroid_id AS own_cid,
+                max(CASE WHEN s.cid = o.centroid_id THEN s.cs END) AS a_cos,
+                max(CASE WHEN s.cid != o.centroid_id THEN s.cs END) AS b_cos
+         FROM scored s JOIN corpus_cells o USING (vec_id)
+         GROUP BY s.vec_id, o.centroid_id),
+       sil AS (
+         SELECT own_cid,
+                CASE WHEN greatest(1 - a_cos, 1 - b_cos) = 0 THEN 0.0
+                     ELSE FLOOR(((1 - b_cos) - (1 - a_cos))
+                                / greatest(1 - a_cos, 1 - b_cos)
+                                * 1000000 + 0.5) / 1000000 END AS s
+         FROM agg)
+       SELECT CAST(own_cid AS INTEGER) AS centroid_id,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              FLOOR(avg(s) * 1000000 + 0.5) / 1000000 AS mean_silhouette,
+              FLOOR(count(CASE WHEN s > 0 THEN 1 END) / CAST(count(*) AS DOUBLE)
+                    * 10000 + 0.5) / 10000 AS frac_positive
+       FROM sil GROUP BY own_cid""",
+)
+def pipe_silhouette_simplified(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cluster of the registered
+    deterministic IVF codebook — the clustering-quality read that tells
+    you whether the cells SemDeDup / IVF-ANN route through are real
+    structure or arbitrary partitions: for each vector, a = cosine
+    distance to its own centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a)/max(a, b); per-cell mean s and the fraction of
+    vectors on the right side of their boundary (s > 0).
+
+    The simplified form is THE scale form: true silhouette needs all
+    pairwise distances (O(N²)); against centroids it is the same N·k
+    broadcast scoring pass the assignment already runs — the metric rides
+    free on IVF machinery (shared cents/corpus_cells replay with every
+    IVF-family oracle). Cosines are 6-dp pinned before the a/b selection;
+    assignment argmax follows the corpus_cells convention (unrounded
+    score, tie → min centroid, margins ~1e-2 vs cross-engine float noise
+    ~1e-16)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(emb, num_centroids=8, iterations=1)
+    sc = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("cid"),
+            S.cosine(F.col("embedding"), F.col("_centroid")).alias("cos"),
+        )
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    sc = persist_tracked(sc)
+    own = (
+        sc.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cos")).alias("n"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("own_cid"))
+    )
+    cs6 = pround(F.col("cos"), 6)
+    agg = (
+        sc.join(own, "vec_id")
+        .groupBy("vec_id", "own_cid")
+        .agg(
+            F.max(F.when(F.col("cid") == F.col("own_cid"), cs6)).alias("a_cos"),
+            F.max(F.when(F.col("cid") != F.col("own_cid"), cs6)).alias("b_cos"),
+        )
+    )
+    a_d = 1 - F.col("a_cos")
+    b_d = 1 - F.col("b_cos")
+    sil = agg.select(
+        "own_cid",
+        F.when(F.greatest(a_d, b_d) == 0, F.lit(0.0))
+        .otherwise(pround((b_d - a_d) / F.greatest(a_d, b_d), 6))
+        .alias("s"),
+    )
+    return sil.groupBy(F.col("own_cid").cast("int").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        pround(F.avg("s"), 6).alias("mean_silhouette"),
+        pround(
+            F.count(F.when(F.col("s") > 0, 1)) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("frac_positive"),
+    )
+
+
+@register(
+    "pipe_overdispersion_check",
+    """WITH daily AS (
+         SELECT event_type, CAST(FLOOR(FLOOR(epoch(ts)) / 86400) AS BIGINT) AS d,
+                CAST(count(*) AS DOUBLE) AS c
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+              FLOOR(avg(c) * 10000 + 0.5) / 10000 AS mean_daily,
+              FLOOR(var_samp(c) / avg(c) * 10000 + 0.5) / 10000 AS vmr,
+              FLOOR((count(*) - 1) * var_samp(c) / avg(c) * 100 + 0.5) / 100
+                AS dispersion_chi2,
+              var_samp(c) / avg(c) > 1.5 AS overdispersed
+       FROM daily GROUP BY event_type""",
+)
+def pipe_overdispersion_check(spark, sf_dir):
+    """Overdispersion check on daily event counts per type — the modeling
+    gate before anyone fits a Poisson rate to arrival data: the
+    variance-to-mean ratio (=1 under Poisson; bursty/clumped arrivals
+    push it up) plus the dispersion statistic (D−1)·VMR ~ χ²(D−1). A
+    Poisson capacity model on overdispersed traffic underestimates tail
+    load — this is the one-scan audit that says whether
+    pipe_forecast_backtest's residuals need a negative-binomial story.
+
+    Scale shape: rows collapse to the (type, day) count frame in one
+    groupBy; the moments are per-type aggregates over that bounded
+    frame. Second-floor epoch convention keeps day bucketing identical
+    cross-engine."""
+    e = events_table(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400).cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    vmr = F.var_samp("c") / F.avg("c")
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        pround(F.avg("c"), 4).alias("mean_daily"),
+        pround(vmr, 4).alias("vmr"),
+        pround((F.count(F.lit(1)) - 1) * vmr, 2).alias("dispersion_chi2"),
+        (vmr > 1.5).alias("overdispersed"),
+    )
+
+
+@register(
+    "pipe_graph_assortativity",
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
+                     FROM embeddings),
+       scored0 AS (
+         SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+                FLOOR(({_cosine_sql('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
+         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       knn AS (
+         SELECT src_id, nbr_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+                      ORDER BY cos_sim DESC, nbr_id) AS rank
+           FROM scored0) r
+         WHERE rank <= 4),
+       e AS (SELECT src_id AS src, nbr_id AS dst FROM knn
+             UNION SELECT nbr_id, src_id FROM knn),
+       deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+       ed AS (
+         SELECT ds.d AS x, dd.d AS y
+         FROM e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node),
+       s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS mx, avg(y) AS my,
+                avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+         FROM ed)
+       SELECT CAST(n AS BIGINT) AS n_directed_edges,
+              FLOOR(mx * 10000 + 0.5) / 10000 AS mean_degree,
+              FLOOR((mxy - mx * my) / sqrt((mxx - mx * mx) * (myy - my * my))
+                    * 1000000 + 0.5) / 1000000 AS assortativity
+       FROM s""",
+)
+def pipe_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the symmetrized kNN embedding graph — the
+    Pearson correlation of endpoint degrees across edges: positive means
+    hubs link to hubs (core-periphery risk for graph algorithms and hub
+    salting — cf. pipe_hub_impact), negative means hubs fan out to
+    leaves (star-like, LPA/components behave well). One number that says
+    which regime the similarity graph is in before running anything
+    iterative on it.
+
+    Scale shape: degrees are one groupBy; the edge frame joins its two
+    skinny degree lookups (co-partitioned id joins) and the correlation
+    collapses to five mergeable moments in one reduce. Shares the
+    knn-graph construction (and its oracle CTE) with pipe_link_prediction
+    / pipe_kcore_decompose; on the symmetric edge list each undirected
+    edge contributes both directions, which is the standard definition."""
+    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+        "src_id", "nbr_id"
+    )
+    e = (
+        knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+        .union(knn.select(F.col("nbr_id"), F.col("src_id")))
+        .distinct()
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    e = persist_tracked(e)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("sn"), F.col("d").alias("x")), e["src"] == F.col("sn"))
+        .join(deg.select(F.col("node").alias("dn"), F.col("d").alias("y")), e["dst"] == F.col("dn"))
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    r = (F.col("mxy") - F.col("mx") * F.col("my")) / F.sqrt(
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my"))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        pround(F.col("mx"), 4).alias("mean_degree"),
+        pround(r, 6).alias("assortativity"),
     )
