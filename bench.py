@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     "pipe_silhouette_simplified",
     "pipe_overdispersion_check",
     "pipe_graph_assortativity",
+    "pipe_watermark_budget",
+    "pipe_reshard_audit",
+    "pipe_heaps_law",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -3260,7 +3260,8 @@ _ROUND6_STAGED = [
 #   pipe_anova_oneway, pipe_centroid_classifier, pipe_bpe_merge_train,
 #   pipe_diff_in_diff, pipe_mutual_info_rank, pipe_target_encoding,
 #   pipe_kcore_decompose, pipe_seq_trigrams, pipe_silhouette_simplified,
-#   pipe_overdispersion_check, pipe_graph_assortativity
+#   pipe_overdispersion_check, pipe_graph_assortativity,
+#   pipe_watermark_budget, pipe_reshard_audit, pipe_heaps_law
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -17151,4 +17152,260 @@ def pipe_graph_assortativity(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_directed_edges"),
         pround(F.col("mx"), 4).alias("mean_degree"),
         pround(r, 6).alias("assortativity"),
+    )
+
+
+@register(
+    "pipe_watermark_budget",
+    f"""WITH a AS (
+         SELECT event_id, event_type,
+                FLOOR(epoch(ts)) AS ev_s,
+                FLOOR(epoch(ts)) + ({_md5_bucket256_sql("'j:' || CAST(event_id AS VARCHAR)")})
+                  AS at_s
+         FROM events),
+       w AS (
+         SELECT event_type, ev_s,
+                max(ev_s) OVER (PARTITION BY event_type ORDER BY at_s, event_id
+                                ROWS UNBOUNDED PRECEDING) - ev_s AS late_s
+         FROM a)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+              CAST(count(CASE WHEN late_s > 0 THEN 1 END) AS BIGINT) AS n_out_of_order,
+              FLOOR(count(CASE WHEN late_s > 0 THEN 1 END) / CAST(count(*) AS DOUBLE)
+                    * 10000 + 0.5) / 10000 AS frac_out_of_order,
+              FLOOR(quantile_cont(late_s, 0.95) * 100 + 0.5) / 100 AS p95_late_s,
+              CAST(max(late_s) AS BIGINT) AS max_late_s
+       FROM w GROUP BY event_type""",
+)
+def pipe_watermark_budget(spark, sf_dir):
+    """Watermark delay-budget estimator: replay the feed in ARRIVAL order
+    and measure each event's lateness behind the running event-time
+    frontier — the distribution (out-of-order fraction, p95, max) is
+    exactly the number you set `withWatermark` to, making this the
+    tuning companion to stream_late_data_drop (which pins what happens
+    to events beyond the budget). The synthetic feed is perfectly
+    ordered (measured: zero disorder), so arrival order is derived by
+    adding a deterministic md5 network jitter of 0–255 s per event —
+    which doubles as a self-check: the estimator must report max ≤ 255 s
+    and a p95 near the jitter scale, recovering the known bound. On a
+    real feed with an ingest timestamp, drop the jitter and use it
+    directly.
+
+    Scale shape: the running-frontier window is partitioned per event
+    type (in production: per type × coarse arrival bucket, made
+    partition-local exactly like the sessionize family); lateness then
+    collapses to per-type counts and one bounded quantile. Second-floor
+    epoch convention throughout."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    jitter = F.conv(
+        F.substring(F.md5(F.concat(F.lit("j:"), F.col("event_id").cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("bigint")
+    a = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).alias("ev_s"),
+        (F.floor(F.unix_timestamp("ts")) + jitter).alias("at_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("at_s", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lat = a.select(
+        "event_type", (F.max("ev_s").over(w) - F.col("ev_s")).alias("late_s")
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("late_s") > 0, 1)).cast("bigint").alias("n_out_of_order"),
+        pround(
+            F.count(F.when(F.col("late_s") > 0, 1)) / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("frac_out_of_order"),
+        pround(F.percentile(F.col("late_s").cast("double"), F.lit(0.95)), 2).alias(
+            "p95_late_s"
+        ),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )
+
+
+@register(
+    "pipe_reshard_audit",
+    f"""WITH keys AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events),
+       sh AS (
+         SELECT k, s, md5(k || ':' || CAST(s AS VARCHAR)) AS h
+         FROM keys, UNNEST(range(0, 20)) AS r(s)),
+       rv AS (
+         SELECT k,
+                max(CASE WHEN s < 16 THEN h || ':' || CAST(s AS VARCHAR) END) AS old_h,
+                max(h || ':' || CAST(s AS VARCHAR)) AS new_h
+         FROM sh GROUP BY k),
+       rvs AS (
+         SELECT k,
+                CAST(split_part(old_h, ':', 2) AS BIGINT) AS old_s,
+                CAST(split_part(new_h, ':', 2) AS BIGINT) AS new_s
+         FROM rv),
+       md AS (
+         SELECT k, ({_md5_bucket256_sql("k")}) % 16 AS old_m,
+                ({_md5_bucket256_sql("k")}) % 20 AS new_m
+         FROM keys),
+       s AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n,
+                CAST(count(CASE WHEN m.old_m != m.new_m THEN 1 END) AS DOUBLE) AS mod_moved,
+                CAST(count(CASE WHEN r.old_s != r.new_s THEN 1 END) AS DOUBLE) AS rv_moved
+         FROM md m JOIN rvs r USING (k))
+       SELECT CAST(n AS BIGINT) AS n_keys,
+              CAST(mod_moved AS BIGINT) AS mod_moved,
+              FLOOR(mod_moved / n * 10000 + 0.5) / 10000 AS mod_moved_frac,
+              CAST(rv_moved AS BIGINT) AS rendezvous_moved,
+              FLOOR(rv_moved / n * 10000 + 0.5) / 10000 AS rendezvous_moved_frac
+       FROM s""",
+)
+def pipe_reshard_audit(spark, sf_dir):
+    """Resharding-migration audit, 16 → 20 shards: the fraction of keys
+    that MOVE under naive modulo sharding versus rendezvous (highest-
+    random-weight) hashing. Modulo reshuffles nearly everything (~95%
+    of keys change residue when the modulus changes); rendezvous moves
+    only the keys whose new-shard hash wins (~4/20 = 20%, the provable
+    minimum) — at 100 TB this is the difference between rewriting the
+    whole layout and rewriting a fifth of it, and the same argmax-of-
+    hash trick drives consistent cache routing and shuffle-less
+    partition growth. Measured on the corpus's own key population so
+    skew is included, with md5 as the portable weight hash.
+
+    Scale shape: one distinct pass over keys, a 20-way literal explode,
+    and per-key argmaxes via max() over hash||shard strings (hex
+    compare = deterministic, collision-free) — map-side work plus one
+    key-bounded shuffle; no data rows move to decide how data would
+    move."""
+    e = events_table(spark, sf_dir)
+    keys = e.select(F.col("user_id").cast("string").alias("k")).distinct()
+    sh = keys.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("s")
+    ).select(
+        "k",
+        "s",
+        F.md5(F.concat(F.col("k"), F.lit(":"), F.col("s").cast("string"))).alias("h"),
+    )
+    tag = F.concat(F.col("h"), F.lit(":"), F.col("s").cast("string"))
+    rv = sh.groupBy("k").agg(
+        F.max(F.when(F.col("s") < 16, tag)).alias("old_h"),
+        F.max(tag).alias("new_h"),
+    )
+    rvs = rv.select(
+        "k",
+        F.split(F.col("old_h"), ":").getItem(1).cast("bigint").alias("old_s"),
+        F.split(F.col("new_h"), ":").getItem(1).cast("bigint").alias("new_s"),
+    )
+    b256 = F.conv(F.substring(F.md5(F.col("k")), 1, 2), 16, 10).cast("int")
+    md = keys.select("k", (b256 % 16).alias("old_m"), (b256 % 20).alias("new_m"))
+    s = md.join(rvs, "k").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.when(F.col("old_m") != F.col("new_m"), 1))
+        .cast("double")
+        .alias("mod_moved"),
+        F.count(F.when(F.col("old_s") != F.col("new_s"), 1))
+        .cast("double")
+        .alias("rv_moved"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        F.col("mod_moved").cast("bigint").alias("mod_moved"),
+        pround(F.col("mod_moved") / F.col("n"), 4).alias("mod_moved_frac"),
+        F.col("rv_moved").cast("bigint").alias("rendezvous_moved"),
+        pround(F.col("rv_moved") / F.col("n"), 4).alias("rendezvous_moved_frac"),
+    )
+
+
+@register(
+    "pipe_heaps_law",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       nn AS (SELECT CAST(max(doc_id) + 1 AS DOUBLE) AS nd FROM documents),
+       dt AS (
+         SELECT CAST(FLOOR(doc_id * 10 / nd) AS BIGINT) AS b,
+                CAST(count(*) AS DOUBLE) AS toks
+         FROM tok CROSS JOIN nn GROUP BY 1),
+       ft AS (
+         SELECT CAST(FLOOR(fd * 10 / nd) AS BIGINT) AS b,
+                CAST(count(*) AS DOUBLE) AS nv
+         FROM (SELECT term, min(doc_id) AS fd FROM tok GROUP BY term)
+              CROSS JOIN nn
+         GROUP BY 1),
+       cum AS (
+         SELECT d.b,
+                sum(d.toks) OVER (ORDER BY d.b ROWS UNBOUNDED PRECEDING) AS ct,
+                sum(COALESCE(f.nv, 0)) OVER (ORDER BY d.b ROWS UNBOUNDED PRECEDING) AS cv
+         FROM dt d LEFT JOIN ft f USING (b)),
+       pts AS (SELECT b, ct, cv, ln(ct) AS lx, ln(cv) AS ly FROM cum),
+       fit AS (
+         SELECT (avg(lx * ly) - avg(lx) * avg(ly))
+                / (avg(lx * lx) - avg(lx) * avg(lx)) AS beta
+         FROM pts)
+       SELECT CAST(b AS INT) AS decile,
+              CAST(ct AS BIGINT) AS cum_tokens,
+              CAST(cv AS BIGINT) AS cum_vocab,
+              FLOOR(beta * 10000 + 0.5) / 10000 AS heaps_beta
+       FROM pts CROSS JOIN fit""",
+)
+def pipe_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve: cumulative distinct vocabulary vs
+    cumulative tokens at ten corpus prefixes, with the fitted growth
+    exponent β (V ≈ K·Tᵝ, typically 0.4–0.6 for natural text) — the
+    capacity-planning number behind every vocab-keyed structure at
+    100 TB: it predicts how the term dictionary, the inverted index's key
+    space, and BPE's candidate pool grow as the corpus does, from a
+    measurement on today's prefix.
+
+    The trick that makes prefixes cheap: cumulative vocabulary does NOT
+    re-scan prefixes — each term contributes at its FIRST document (one
+    min-per-term groupBy), so ten prefix points cost one tokenize pass,
+    two vocab/decile-bounded aggregations, and one 10-row cumulative
+    window; the log-log OLS slope is closed-form on the 10 points. Doc-id
+    deciles stand in for ingest order (ids are assigned in ingest
+    sequence here)."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    tok = persist_tracked(tok)
+    nn = d.agg((F.max("doc_id") + 1).cast("double").alias("nd"))
+    dt = (
+        tok.join(F.broadcast(nn))
+        .groupBy(F.floor(F.col("doc_id") * 10 / F.col("nd")).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("toks"))
+    )
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    ft = (
+        first.join(F.broadcast(nn))
+        .groupBy(F.floor(F.col("doc_id") * 10 / F.col("nd")).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dt.join(ft, "b", "left").select(
+        "b",
+        F.sum("toks").over(w).alias("ct"),
+        F.sum(F.coalesce(F.col("nv"), F.lit(0.0))).over(w).alias("cv"),
+    )
+    pts = cum.select(
+        "b", "ct", "cv", F.log("ct").alias("lx"), F.log("cv").alias("ly")
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked as _pt
+
+    pts = _pt(pts)
+    fit = pts.agg(
+        (
+            (F.avg(F.col("lx") * F.col("ly")) - F.avg("lx") * F.avg("ly"))
+            / (F.avg(F.col("lx") * F.col("lx")) - F.avg("lx") * F.avg("lx"))
+        ).alias("beta")
+    )
+    return pts.join(F.broadcast(fit)).select(
+        F.col("b").cast("int").alias("decile"),
+        F.col("ct").cast("bigint").alias("cum_tokens"),
+        F.col("cv").cast("bigint").alias("cum_vocab"),
+        pround(F.col("beta"), 4).alias("heaps_beta"),
     )
