@@ -3261,7 +3261,9 @@ _ROUND6_STAGED = [
 #   pipe_diff_in_diff, pipe_mutual_info_rank, pipe_target_encoding,
 #   pipe_kcore_decompose, pipe_seq_trigrams, pipe_silhouette_simplified,
 #   pipe_overdispersion_check, pipe_graph_assortativity,
-#   pipe_watermark_budget, pipe_reshard_audit, pipe_heaps_law
+#   pipe_watermark_budget, pipe_reshard_audit, pipe_heaps_law,
+#   pipe_shapley_attribution, pipe_retention_ttl_sizing,
+#   pipe_join_size_estimate
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -17408,4 +17410,314 @@ def pipe_heaps_law(spark, sf_dir):
         F.col("ct").cast("bigint").alias("cum_tokens"),
         F.col("cv").cast("bigint").alias("cum_vocab"),
         pround(F.col("beta"), 4).alias("heaps_beta"),
+    )
+
+
+_SHAPLEY_ROWS_SQL = """('click', 0, 1, 0.25),
+           ('click', 2, 3, 0.08333333333333333),
+           ('click', 4, 5, 0.08333333333333333),
+           ('click', 8, 9, 0.08333333333333333),
+           ('click', 6, 7, 0.08333333333333333),
+           ('click', 10, 11, 0.08333333333333333),
+           ('click', 12, 13, 0.08333333333333333),
+           ('click', 14, 15, 0.25),
+           ('view', 0, 2, 0.25),
+           ('view', 1, 3, 0.08333333333333333),
+           ('view', 4, 6, 0.08333333333333333),
+           ('view', 8, 10, 0.08333333333333333),
+           ('view', 5, 7, 0.08333333333333333),
+           ('view', 9, 11, 0.08333333333333333),
+           ('view', 12, 14, 0.08333333333333333),
+           ('view', 13, 15, 0.25),
+           ('signup', 0, 4, 0.25),
+           ('signup', 1, 5, 0.08333333333333333),
+           ('signup', 2, 6, 0.08333333333333333),
+           ('signup', 8, 12, 0.08333333333333333),
+           ('signup', 3, 7, 0.08333333333333333),
+           ('signup', 9, 13, 0.08333333333333333),
+           ('signup', 10, 14, 0.08333333333333333),
+           ('signup', 11, 15, 0.25),
+           ('error', 0, 8, 0.25),
+           ('error', 1, 9, 0.08333333333333333),
+           ('error', 2, 10, 0.08333333333333333),
+           ('error', 4, 12, 0.08333333333333333),
+           ('error', 3, 11, 0.08333333333333333),
+           ('error', 5, 13, 0.08333333333333333),
+           ('error', 6, 14, 0.08333333333333333),
+           ('error', 7, 15, 0.25)"""
+
+
+@register(
+    "pipe_shapley_attribution",
+    f"""WITH u AS (
+         SELECT user_id,
+                max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+                + max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2
+                + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 4
+                + max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 8 AS mask,
+                max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS conv
+         FROM events GROUP BY user_id),
+       v AS (
+         SELECT mask, FLOOR(avg(conv) * 1000000000 + 0.5) / 1000000000 AS v
+         FROM u GROUP BY mask),
+       sub AS (
+         SELECT * FROM (VALUES
+           {_SHAPLEY_ROWS_SQL}) t(channel, mask_without, mask_with, w)),
+       phi AS (
+         SELECT s.channel,
+                sum(s.w * (COALESCE(vw.v, 0) - COALESCE(vo.v, 0))) AS shapley
+         FROM sub s
+         LEFT JOIN v vw ON s.mask_with = vw.mask
+         LEFT JOIN v vo ON s.mask_without = vo.mask
+         GROUP BY s.channel),
+       touched AS (
+         SELECT 'click' AS channel, CAST(count(CASE WHEN mask % 2 = 1 THEN 1 END) AS BIGINT) AS n_users FROM u
+         UNION ALL SELECT 'view', count(CASE WHEN (mask // 2) % 2 = 1 THEN 1 END) FROM u
+         UNION ALL SELECT 'signup', count(CASE WHEN (mask // 4) % 2 = 1 THEN 1 END) FROM u
+         UNION ALL SELECT 'error', count(CASE WHEN (mask // 8) % 2 = 1 THEN 1 END) FROM u)
+       SELECT p.channel, t.n_users,
+              FLOOR(p.shapley * 1000000 + 0.5) / 1000000 AS shapley
+       FROM phi p JOIN touched t USING (channel)""",
+)
+def pipe_shapley_attribution(spark, sf_dir):
+    """Shapley-value channel attribution over users' touch sets — the
+    game-theoretic credit split (the only attribution satisfying
+    efficiency/symmetry/dummy axioms) that replaces last-touch heuristics:
+    each non-purchase channel's credit is its average marginal lift to the
+    conversion rate across all 2^|C| channel coalitions, with the exact
+    |S|!(|C|-|S|-1)!/|C|! ordering weights. With |C| = 4 channels the
+    coalition table is 32 literal rows — exact Shapley, no sampling.
+
+    Scale shape: users collapse to (touch bitmask, converted) in ONE
+    grouped scan; v(S) is a 16-row frame; the Shapley sum is a broadcast
+    join of the literal coalition table against v — so corpus size only
+    touches the first groupBy. Unobserved coalitions contribute v = 0 (the
+    standard empirical-Shapley convention, stated so the oracle encodes
+    the same choice); v is 9-dp pinned before the weighted sum, output at
+    6 dp. Exact Shapley is 2^|C|: past ~20 channels, swap the coalition
+    table for permutation sampling (same frames, sampled orders)."""
+    e = events_table(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)) * 1
+            + F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)) * 2
+            + F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)) * 4
+            + F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)) * 8
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0)).alias(
+            "conv"
+        ),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    u = persist_tracked(u)
+    v = u.groupBy("mask").agg(pround(F.avg("conv"), 9).alias("v"))
+    sub = spark.createDataFrame(
+        [
+        ("click", 0, 1, 0.25),
+        ("click", 2, 3, 0.08333333333333333),
+        ("click", 4, 5, 0.08333333333333333),
+        ("click", 8, 9, 0.08333333333333333),
+        ("click", 6, 7, 0.08333333333333333),
+        ("click", 10, 11, 0.08333333333333333),
+        ("click", 12, 13, 0.08333333333333333),
+        ("click", 14, 15, 0.25),
+        ("view", 0, 2, 0.25),
+        ("view", 1, 3, 0.08333333333333333),
+        ("view", 4, 6, 0.08333333333333333),
+        ("view", 8, 10, 0.08333333333333333),
+        ("view", 5, 7, 0.08333333333333333),
+        ("view", 9, 11, 0.08333333333333333),
+        ("view", 12, 14, 0.08333333333333333),
+        ("view", 13, 15, 0.25),
+        ("signup", 0, 4, 0.25),
+        ("signup", 1, 5, 0.08333333333333333),
+        ("signup", 2, 6, 0.08333333333333333),
+        ("signup", 8, 12, 0.08333333333333333),
+        ("signup", 3, 7, 0.08333333333333333),
+        ("signup", 9, 13, 0.08333333333333333),
+        ("signup", 10, 14, 0.08333333333333333),
+        ("signup", 11, 15, 0.25),
+        ("error", 0, 8, 0.25),
+        ("error", 1, 9, 0.08333333333333333),
+        ("error", 2, 10, 0.08333333333333333),
+        ("error", 4, 12, 0.08333333333333333),
+        ("error", 3, 11, 0.08333333333333333),
+        ("error", 5, 13, 0.08333333333333333),
+        ("error", 6, 14, 0.08333333333333333),
+        ("error", 7, 15, 0.25)
+        ],
+        "channel string, mask_without int, mask_with int, w double",
+    )
+    phi = (
+        F.broadcast(sub)
+        .join(
+            v.select(F.col("mask").alias("mw"), F.col("v").alias("vw")),
+            F.col("mask_with") == F.col("mw"),
+            "left",
+        )
+        .join(
+            v.select(F.col("mask").alias("mo"), F.col("v").alias("vo")),
+            F.col("mask_without") == F.col("mo"),
+            "left",
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("w")
+                * (F.coalesce(F.col("vw"), F.lit(0.0)) - F.coalesce(F.col("vo"), F.lit(0.0)))
+            ).alias("shapley")
+        )
+    )
+    touched = None
+    for name, bit in (("click", 1), ("view", 2), ("signup", 4), ("error", 8)):
+        part = u.agg(
+            F.lit(name).alias("channel"),
+            F.count(F.when((F.floor(F.col("mask") / bit) % 2) == 1, 1))
+            .cast("bigint")
+            .alias("n_users"),
+        )
+        touched = part if touched is None else touched.union(part)
+    return phi.join(touched, "channel").select(
+        "channel", "n_users", pround(F.col("shapley"), 6).alias("shapley")
+    )
+
+
+@register(
+    "pipe_retention_ttl_sizing",
+    """WITH b AS (SELECT max(ts) AS mx FROM events),
+       aged AS (
+         SELECT CAST(FLOOR((FLOOR(epoch(b.mx)) - FLOOR(epoch(e.ts))) / 86400) AS BIGINT)
+                  AS age_days,
+                value
+         FROM events e CROSS JOIN b),
+       tt AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS sv FROM aged),
+       ttls AS (SELECT unnest([7, 14, 21, 30]) AS ttl_days)
+       SELECT ttl_days,
+              CAST(count(CASE WHEN age_days < ttl_days THEN 1 END) AS BIGINT)
+                AS rows_retained,
+              FLOOR(count(CASE WHEN age_days < ttl_days THEN 1 END) / n * 10000 + 0.5)
+                / 10000 AS frac_rows,
+              FLOOR(COALESCE(sum(CASE WHEN age_days < ttl_days THEN value END), 0)
+                    * 100 + 0.5) / 100 AS value_retained,
+              FLOOR(COALESCE(sum(CASE WHEN age_days < ttl_days THEN value END), 0)
+                    / sv * 10000 + 0.5) / 10000 AS frac_value
+       FROM ttls CROSS JOIN aged CROSS JOIN tt
+       GROUP BY ttl_days, n, sv""",
+)
+def pipe_retention_ttl_sizing(spark, sf_dir):
+    """Retention/TTL sizing table: for candidate TTLs (7/14/21/30 days
+    against the event-time frontier), how many rows — and how much metric
+    mass — a time-based expiry policy would keep. This is the
+    capacity-vs-coverage sheet behind every retention decision on an
+    append-only 100 TB store (and, with partition-per-day layout —
+    pipe_partitioned_write_prune — expiry is then a metadata-only
+    partition drop, which is why the table is worth computing BEFORE
+    choosing the layout).
+
+    Scale shape: one conditional-aggregate scan against the broadcast
+    4-row TTL table and the broadcast frontier; ages use the second-floor
+    epoch convention. Swap rows for byte sizes when file metadata is the
+    unit of interest."""
+    e = events_table(spark, sf_dir)
+    b = e.agg(F.max("ts").alias("mx"))
+    aged = e.join(F.broadcast(b)).select(
+        F.floor(
+            (F.floor(F.unix_timestamp("mx")) - F.floor(F.unix_timestamp("ts"))) / 86400
+        )
+        .cast("bigint")
+        .alias("age_days"),
+        "value",
+    )
+    tt = aged.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.sum("value").alias("sv")
+    )
+    ttls = spark.createDataFrame([(7,), (14,), (21,), (30,)], "ttl_days int")
+    keep = F.when(F.col("age_days") < F.col("ttl_days"), F.col("value"))
+    keepc = F.when(F.col("age_days") < F.col("ttl_days"), 1)
+    return (
+        aged.join(F.broadcast(ttls))
+        .join(F.broadcast(tt))
+        .groupBy("ttl_days", "n", "sv")
+        .agg(
+            F.count(keepc).cast("bigint").alias("rows_retained"),
+            pround(F.count(keepc) / F.col("n"), 4).alias("frac_rows"),
+            pround(F.coalesce(F.sum(keep), F.lit(0.0)), 2).alias("value_retained"),
+            pround(F.coalesce(F.sum(keep), F.lit(0.0)) / F.col("sv"), 4).alias(
+                "frac_value"
+            ),
+        )
+        .select(
+            "ttl_days", "rows_retained", "frac_rows", "value_retained", "frac_value"
+        )
+    )
+
+
+@register(
+    "pipe_join_size_estimate",
+    f"""WITH actual AS (
+         SELECT CAST(count(*) AS BIGINT) AS actual_rows
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       sk AS (
+         SELECT o_orderkey AS k, CAST(count(*) AS DOUBLE) AS n_o
+         FROM orders
+         WHERE ({_md5_bucket256_sql("CAST(o_orderkey AS VARCHAR)")}) < 26
+         GROUP BY 1),
+       sl AS (
+         SELECT l_orderkey AS k, CAST(count(*) AS DOUBLE) AS n_l
+         FROM lineitem
+         WHERE ({_md5_bucket256_sql("CAST(l_orderkey AS VARCHAR)")}) < 26
+         GROUP BY 1),
+       est AS (
+         SELECT sum(n_o * n_l) / (26.0 / 256.0) AS est_rows,
+                CAST(count(*) AS BIGINT) AS n_sampled_keys
+         FROM sk JOIN sl USING (k))
+       SELECT actual_rows, n_sampled_keys,
+              FLOOR(est_rows * 100 + 0.5) / 100 AS estimated_rows,
+              FLOOR(abs(est_rows - actual_rows) / actual_rows * 10000 + 0.5) / 10000
+                AS rel_error
+       FROM actual CROSS JOIN est""",
+)
+def pipe_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation by deterministic key sampling — the
+    cost-based-optimizer primitive, run as a query so its accuracy is
+    auditable: |A ⋈ B| = Σ_k n_A(k)·n_B(k), estimated from the ~10% of
+    keys whose md5 bucket < 26 (both sides sample the SAME keys — the
+    correlated-sampling trick that makes join estimates work where
+    independent row samples fail: a 10% row sample of each side would
+    intersect on ~1% of pairs) and scaled by 256/26. Reported against the
+    exact join count with relative error.
+
+    Scale shape: the sample predicate is a map-side hash filter that cuts
+    both inputs before any aggregation; per-key counts are partial
+    aggregates over ~10% of keys; the estimate is one skinny key join.
+    The exact count (the audit's ground truth) is the only full-size
+    work, and it's a count-only sort-merge that never materializes
+    payload columns. At 100 TB you keep the estimator and drop the
+    ground-truth pass — that's the point."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    actual = o.join(li, o["o_orderkey"] == li["l_orderkey"]).count()
+    bucket = lambda c: F.conv(
+        F.substring(F.md5(F.col(c).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sk = (
+        o.filter(bucket("o_orderkey") < 26)
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_o"))
+    )
+    sl = (
+        li.filter(bucket("l_orderkey") < 26)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_l"))
+    )
+    est = sk.join(sl, "k").agg(
+        (F.sum(F.col("n_o") * F.col("n_l")) / (26.0 / 256.0)).alias("est_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_keys"),
+    )
+    return est.select(
+        F.lit(actual).cast("bigint").alias("actual_rows"),
+        "n_sampled_keys",
+        pround(F.col("est_rows"), 2).alias("estimated_rows"),
+        pround(F.abs(F.col("est_rows") - actual) / actual, 4).alias("rel_error"),
     )
