@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "pipe_shapley_attribution",
     "pipe_retention_ttl_sizing",
     "pipe_join_size_estimate",
+    "pipe_embedding_drift_mmd",
+    "pipe_vocab_prune_curve",
+    "pipe_simpson_audit",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -3263,7 +3263,8 @@ _ROUND6_STAGED = [
 #   pipe_overdispersion_check, pipe_graph_assortativity,
 #   pipe_watermark_budget, pipe_reshard_audit, pipe_heaps_law,
 #   pipe_shapley_attribution, pipe_retention_ttl_sizing,
-#   pipe_join_size_estimate
+#   pipe_join_size_estimate, pipe_embedding_drift_mmd,
+#   pipe_vocab_prune_curve, pipe_simpson_audit
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -17720,4 +17721,256 @@ def pipe_join_size_estimate(spark, sf_dir):
         "n_sampled_keys",
         pround(F.col("est_rows"), 2).alias("estimated_rows"),
         pround(F.abs(F.col("est_rows") - actual) / actual, 4).alias("rel_error"),
+    )
+
+
+@register(
+    "pipe_embedding_drift_mmd",
+    """WITH ev AS (
+         SELECT CASE WHEN label < 5 THEN 'a' ELSE 'b' END AS grp, i,
+                CAST(embedding[i] AS DOUBLE) AS val
+         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)),
+       mu AS (
+         SELECT grp, i, FLOOR(avg(val) * 1000000 + 0.5) / 1000000 AS m
+         FROM ev GROUP BY grp, i),
+       n AS (
+         SELECT CAST(count(CASE WHEN label < 5 THEN 1 END) AS BIGINT) AS n_a,
+                CAST(count(CASE WHEN label >= 5 THEN 1 END) AS BIGINT) AS n_b
+         FROM embeddings),
+       d AS (
+         SELECT a.i, a.m - b.m AS diff
+         FROM mu a JOIN mu b ON a.i = b.i AND a.grp = 'a' AND b.grp = 'b'),
+       agg AS (
+         SELECT sum(diff * diff) AS mmd2 FROM d),
+       top AS (
+         SELECT CAST(i - 1 AS INTEGER) AS top_dim,
+                FLOOR(abs(diff) * 1000000 + 0.5) / 1000000 AS top_absdiff
+         FROM (SELECT i, diff,
+                      row_number() OVER (ORDER BY abs(diff) DESC, i) AS rk
+               FROM d) r WHERE rk = 1)
+       SELECT n.n_a, n.n_b,
+              FLOOR(agg.mmd2 * 1000000 + 0.5) / 1000000 AS mmd2_linear,
+              top.top_dim, top.top_absdiff
+       FROM n CROSS JOIN agg CROSS JOIN top""",
+)
+def pipe_embedding_drift_mmd(spark, sf_dir):
+    """Embedding-space drift between two populations via linear-kernel
+    maximum mean discrepancy — MMD² = ||μ_a − μ_b||², the
+    representation-level drift monitor that complements the scalar
+    monitors (pipe_psi_drift, pipe_ks_test, pipe_wasserstein_drift): a
+    new crawl snapshot or re-embedded corpus whose MEAN embedding moves
+    is drifting in ways no single scalar feature shows. Reports the
+    discrepancy plus the most divergent dimension (where to look first).
+    Populations here are the label<5 / label≥5 halves — the stand-in for
+    snapshot-t vs snapshot-t+1.
+
+    Scale shape: identical to the label-centroid plan — posexplode to
+    (group, dim) partial means (vectors never shuffle; the shuffled frame
+    is 2×d rows), one d-row difference join, one reduce. Linear-kernel
+    MMD is exactly the mean-embedding distance, which is what makes it
+    the 100 TB drift statistic (RBF-kernel MMD needs pair sampling; same
+    frames, sampled pairs, when mean-level drift isn't sensitive
+    enough). Means are 6-dp pinned before differencing."""
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.select(
+        F.when(F.col("label") < 5, "a").otherwise("b").alias("grp"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+    )
+    mu = ev.groupBy("grp", "i").agg(pround(F.avg("val"), 6).alias("m"))
+    n = emb.agg(
+        F.count(F.when(F.col("label") < 5, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(F.col("label") >= 5, 1)).cast("bigint").alias("n_b"),
+    )
+    d = (
+        mu.filter(F.col("grp") == "a")
+        .select(F.col("i"), F.col("m").alias("ma"))
+        .join(
+            mu.filter(F.col("grp") == "b").select(
+                F.col("i").alias("ib"), F.col("m").alias("mb")
+            ),
+            F.col("i") == F.col("ib"),
+        )
+        .select("i", (F.col("ma") - F.col("mb")).alias("diff"))
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    d = persist_tracked(d)
+    agg = d.agg(F.sum(F.col("diff") * F.col("diff")).alias("mmd2"))
+    top = (
+        d.select(
+            F.min(
+                F.struct(
+                    (-F.abs(F.col("diff"))).alias("nd"), F.col("i").alias("i")
+                )
+            ).alias("m")
+        )
+        .join(F.broadcast(d), F.col("m.i") == d["i"])
+        .select(
+            F.col("i").cast("int").alias("top_dim"),
+            pround(F.abs(F.col("diff")), 6).alias("top_absdiff"),
+        )
+    )
+    return (
+        n.join(F.broadcast(agg))
+        .join(F.broadcast(top))
+        .select(
+            "n_a",
+            "n_b",
+            pround(F.col("mmd2"), 6).alias("mmd2_linear"),
+            "top_dim",
+            "top_absdiff",
+        )
+    )
+
+
+@register(
+    "pipe_vocab_prune_curve",
+    """WITH tok AS (
+         SELECT doc_id,
+                unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       df AS (
+         SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df,
+                CAST(count(*) AS DOUBLE) AS cf
+         FROM tok GROUP BY term),
+       tt AS (SELECT sum(cf) AS total_cf, CAST(count(*) AS BIGINT) AS full_vocab FROM df),
+       th AS (SELECT unnest([1, 2, 5, 10]) AS min_df)
+       SELECT min_df,
+              CAST(count(CASE WHEN df >= min_df THEN 1 END) AS BIGINT) AS vocab_size,
+              FLOOR(count(CASE WHEN df >= min_df THEN 1 END)
+                    / CAST(full_vocab AS DOUBLE) * 10000 + 0.5) / 10000 AS vocab_frac,
+              FLOOR(COALESCE(sum(CASE WHEN df >= min_df THEN cf END), 0) / total_cf
+                    * 10000 + 0.5) / 10000 AS token_coverage
+       FROM th CROSS JOIN df CROSS JOIN tt
+       GROUP BY min_df, full_vocab, total_cf""",
+)
+def pipe_vocab_prune_curve(spark, sf_dir):
+    """Vocabulary-pruning tradeoff curve: for min-document-frequency
+    cutoffs 1/2/5/10, the surviving vocabulary size against the fraction
+    of corpus TOKENS still covered — the sizing sheet for every
+    vocab-keyed structure (inverted index key space, embedding tables,
+    count-min width) exploiting the Zipfian fact that most of the
+    dictionary is rare but most of the stream is common: dropping df<5
+    terms typically shrinks vocab several-fold while keeping ~99% token
+    coverage. Complements pipe_oov_rate (which scores a FIXED vocab) and
+    pipe_heaps_law (which sizes vocab GROWTH).
+
+    Scale shape: one tokenize pass into a per-term (df, cf) frame
+    (vocab-bounded; df is a distinct-doc count with map-side partials),
+    then the curve is conditional aggregates against the broadcast
+    4-row threshold table — the corpus is read once for any number of
+    candidate cutoffs."""
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df"),
+        F.count(F.lit(1)).cast("double").alias("cf"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    df = persist_tracked(df)
+    tt = df.agg(
+        F.sum("cf").alias("total_cf"), F.count(F.lit(1)).cast("bigint").alias("full_vocab")
+    )
+    th = spark.createDataFrame([(1,), (2,), (5,), (10,)], "min_df int")
+    keep = F.when(F.col("df") >= F.col("min_df"), 1)
+    keepcf = F.when(F.col("df") >= F.col("min_df"), F.col("cf"))
+    return (
+        df.join(F.broadcast(th))
+        .join(F.broadcast(tt))
+        .groupBy("min_df", "full_vocab", "total_cf")
+        .agg(
+            F.count(keep).cast("bigint").alias("vocab_size"),
+            pround(F.count(keep) / F.col("full_vocab").cast("double"), 4).alias(
+                "vocab_frac"
+            ),
+            pround(
+                F.coalesce(F.sum(keepcf), F.lit(0.0)) / F.col("total_cf"), 4
+            ).alias("token_coverage"),
+        )
+        .select("min_df", "vocab_size", "vocab_frac", "token_coverage")
+    )
+
+
+@register(
+    "pipe_simpson_audit",
+    """WITH x AS (
+         SELECT event_type, CAST(extract(hour FROM ts) AS DOUBLE) AS x, value AS y
+         FROM events),
+       g AS (
+         SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy,
+                avg(x * x) AS mxx, avg(y * y) AS myy
+         FROM x GROUP BY event_type),
+       tot AS (
+         SELECT CAST(count(*) AS DOUBLE) AS n, avg(x) AS mx, avg(y) AS my,
+                avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+         FROM x)
+       SELECT g.event_type, CAST(g.n AS BIGINT) AS n,
+              FLOOR((g.mxy - g.mx * g.my)
+                    / sqrt((g.mxx - g.mx * g.mx) * (g.myy - g.my * g.my))
+                    * 1000000 + 0.5) / 1000000 AS corr_within,
+              FLOOR((tot.mxy - tot.mx * tot.my)
+                    / sqrt((tot.mxx - tot.mx * tot.mx) * (tot.myy - tot.my * tot.my))
+                    * 1000000 + 0.5) / 1000000 AS corr_global,
+              ((g.mxy - g.mx * g.my) * (tot.mxy - tot.mx * tot.my)) < 0
+                AS sign_reversed
+       FROM g CROSS JOIN tot""",
+)
+def pipe_simpson_audit(spark, sf_dir):
+    """Simpson's-paradox audit: the hour-of-day vs value correlation
+    computed GLOBALLY and WITHIN each event type, flagging groups whose
+    within-group trend has the opposite sign of the pooled trend — the
+    aggregation-bias screen that must run before any pooled correlation
+    (pipe_corr_matrix) is read causally, because a mixture of groups
+    with different base levels can manufacture or reverse a trend that
+    no group actually exhibits.
+
+    Scale shape: both correlation sets come from the SAME five mergeable
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) — one conditional scan produces
+    the per-group frame, whose rollup is the global row; the audit adds
+    nothing to the pass that computes the correlations themselves."""
+    e = events_table(spark, sf_dir)
+    x = e.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+            F.avg(F.col("x") * F.col("y")).alias("mxy"),
+            F.avg(F.col("x") * F.col("x")).alias("mxx"),
+            F.avg(F.col("y") * F.col("y")).alias("myy"),
+        )
+
+    g = moments(x, ["event_type"])
+    tot = moments(x, []).select(
+        F.col("n").alias("tn"),
+        F.col("mx").alias("tmx"),
+        F.col("my").alias("tmy"),
+        F.col("mxy").alias("tmxy"),
+        F.col("mxx").alias("tmxx"),
+        F.col("myy").alias("tmyy"),
+    )
+    cw = (F.col("mxy") - F.col("mx") * F.col("my")) / F.sqrt(
+        (F.col("mxx") - F.col("mx") * F.col("mx"))
+        * (F.col("myy") - F.col("my") * F.col("my"))
+    )
+    cg = (F.col("tmxy") - F.col("tmx") * F.col("tmy")) / F.sqrt(
+        (F.col("tmxx") - F.col("tmx") * F.col("tmx"))
+        * (F.col("tmyy") - F.col("tmy") * F.col("tmy"))
+    )
+    return g.join(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        pround(cw, 6).alias("corr_within"),
+        pround(cg, 6).alias("corr_global"),
+        (
+            (F.col("mxy") - F.col("mx") * F.col("my"))
+            * (F.col("tmxy") - F.col("tmx") * F.col("tmy"))
+            < 0
+        ).alias("sign_reversed"),
     )
