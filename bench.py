@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "pipe_embedding_drift_mmd",
     "pipe_vocab_prune_curve",
     "pipe_simpson_audit",
+    "pipe_hill_tail_index",
+    "pipe_dp_count_noise",
+    "pipe_ratio_metric_ab",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

@@ -3264,7 +3264,8 @@ _ROUND6_STAGED = [
 #   pipe_watermark_budget, pipe_reshard_audit, pipe_heaps_law,
 #   pipe_shapley_attribution, pipe_retention_ttl_sizing,
 #   pipe_join_size_estimate, pipe_embedding_drift_mmd,
-#   pipe_vocab_prune_curve, pipe_simpson_audit
+#   pipe_vocab_prune_curve, pipe_simpson_audit, pipe_hill_tail_index,
+#   pipe_dp_count_noise, pipe_ratio_metric_ab
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -17973,4 +17974,258 @@ def pipe_simpson_audit(spark, sf_dir):
             * (F.col("tmxy") - F.col("tmx") * F.col("tmy"))
             < 0
         ).alias("sign_reversed"),
+    )
+
+
+@register(
+    "pipe_hill_tail_index",
+    """WITH topk AS (
+         SELECT o_totalprice AS x,
+                row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+         FROM orders),
+       sel AS (SELECT x, rk FROM topk WHERE rk <= 200),
+       xk AS (SELECT x AS x200 FROM sel WHERE rk = 200),
+       hill AS (
+         SELECT avg(ln(s.x) - ln(k.x200)) AS mean_log_excess,
+                CAST(count(*) AS BIGINT) AS k_used
+         FROM sel s CROSS JOIN xk k WHERE s.rk < 200)
+       SELECT k_used,
+              FLOOR((SELECT x200 FROM xk) * 100 + 0.5) / 100 AS threshold_x,
+              FLOOR(mean_log_excess * 1000000 + 0.5) / 1000000 AS mean_log_excess,
+              FLOOR(1 / mean_log_excess * 10000 + 0.5) / 10000 AS hill_alpha,
+              1 / mean_log_excess < 2 AS infinite_variance
+       FROM hill""",
+)
+def pipe_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the power-law tail index over the top-200 order
+    values: α̂ = 1 / mean(ln xᵢ − ln x₍ₖ₎) on the upper order statistics —
+    the heavy-tail diagnostic that decides whether means and variances of
+    a metric are even trustworthy (α < 2 ⇒ infinite variance: every
+    t-test and CI in the suite needs a robust/trimmed variant — cf.
+    pipe_mad_outliers, pipe_winsorized_stats) and how much capacity
+    headroom tail events demand beyond pipe_overdispersion_check's
+    burstiness read.
+
+    Scale shape: only the top-k order statistics are needed — a
+    TakeOrdered(k) with deterministic (value, key) tie-break, never a
+    global sort; the estimator is one aggregate over k rows. k=200 is
+    the classic bias/variance compromise; a production run sweeps k on
+    the same top-k frame (one pass, k-bounded)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    topk = (
+        o.select("o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(200)
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    sel = topk.select(
+        F.col("o_totalprice").alias("x"), F.row_number().over(w).alias("rk")
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    sel = persist_tracked(sel)
+    xk = sel.filter(F.col("rk") == 200).select(F.col("x").alias("x200"))
+    hill = (
+        sel.filter(F.col("rk") < 200)
+        .join(F.broadcast(xk))
+        .agg(
+            F.avg(F.log("x") - F.log("x200")).alias("mle"),
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        )
+    )
+    return hill.join(F.broadcast(xk)).select(
+        "k_used",
+        pround(F.col("x200"), 2).alias("threshold_x"),
+        pround(F.col("mle"), 6).alias("mean_log_excess"),
+        pround(1 / F.col("mle"), 4).alias("hill_alpha"),
+        (1 / F.col("mle") < 2).alias("infinite_variance"),
+    )
+
+
+def _dp_laplace_sql(key: str, b: str) -> str:
+    """Derandomized Laplace noise: u ∈ (−0.5, 0.5) from 4 md5 nibbles of
+    ``key``, noise = −b·sign(u)·ln(1 − 2|u|) — the inverse-CDF transform
+    on a portable uniform (same construction as the bootstrap/permutation
+    family; u = (h+0.5)/65536 − 0.5 keeps the argument of ln strictly
+    positive)."""
+    u = f"(({_md5_u16_sql(key)} + 0.5) / 65536.0 - 0.5)"
+    return (
+        f"(-({b}) * (CASE WHEN {u} >= 0 THEN 1 ELSE -1 END)"
+        f" * ln(1 - 2 * abs({u})))"
+    )
+
+
+@register(
+    "pipe_dp_count_noise",
+    f"""WITH g AS (
+         SELECT event_type, CAST(count(*) AS DOUBLE) AS true_count
+         FROM events GROUP BY event_type),
+       eps AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(1.0 AS DOUBLE),
+                              CAST(10.0 AS DOUBLE)]) AS epsilon),
+       noised AS (
+         SELECT g.event_type, eps.epsilon, g.true_count,
+                g.true_count
+                + {_dp_laplace_sql("g.event_type || ':' || CAST(eps.epsilon AS VARCHAR)", "1.0 / eps.epsilon")}
+                  AS noisy
+         FROM g CROSS JOIN eps)
+       SELECT event_type, epsilon,
+              CAST(true_count AS BIGINT) AS true_count,
+              FLOOR(noisy * 100 + 0.5) / 100 AS noisy_count,
+              FLOOR(abs(noisy - true_count) * 100 + 0.5) / 100 AS abs_error,
+              FLOOR(abs(noisy - true_count) / true_count * 1000000 + 0.5) / 1000000
+                AS rel_error
+       FROM noised""",
+)
+def pipe_dp_count_noise(spark, sf_dir):
+    """ε-differential-privacy Laplace mechanism on released group counts,
+    at ε ∈ {{0.1, 1, 10}} — the third leg of the privacy family
+    (pipe_kanonymity_audit gates re-identification, pipe_pii_scrub
+    redacts content, DP noise protects AGGREGATES): each released count
+    gets Laplace(1/ε) noise (sensitivity 1 for a count), and the report
+    shows the privacy/utility trade directly — ε=0.1 drowns small
+    counts, ε=10 is cosmetic. Noise is derandomized through the md5
+    inverse-CDF transform (the house bootstrap/permutation trick), so
+    the released table is reproducible and cross-engine exact — in
+    production the hash key would be a secret salt.
+
+    Scale shape: noise is applied to the AGGREGATED frame (5 rows × 3
+    epsilons) — the mechanism costs nothing at any corpus size; the
+    one-scan count is the only data pass. Extends to sums/means by
+    scaling b to the value sensitivity."""
+    e = events_table(spark, sf_dir)
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("true_count")
+    )
+    eps = spark.createDataFrame([(0.1,), (1.0,), (10.0,)], "epsilon double")
+    key = F.concat(F.col("event_type"), F.lit(":"), F.col("epsilon").cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("double")
+    u = (h + 0.5) / 65536.0 - 0.5
+    noise = (
+        -(1.0 / F.col("epsilon"))
+        * F.when(u >= 0, 1).otherwise(-1)
+        * F.log(1 - 2 * F.abs(u))
+    )
+    noised = g.join(F.broadcast(eps)).select(
+        "event_type",
+        "epsilon",
+        "true_count",
+        (F.col("true_count") + noise).alias("noisy"),
+    )
+    return noised.select(
+        "event_type",
+        "epsilon",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        pround(F.col("noisy"), 2).alias("noisy_count"),
+        pround(F.abs(F.col("noisy") - F.col("true_count")), 2).alias("abs_error"),
+        pround(
+            F.abs(F.col("noisy") - F.col("true_count")) / F.col("true_count"), 6
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "pipe_ratio_metric_ab",
+    f"""WITH u AS (
+         SELECT ({_md5_bucket256_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                user_id,
+                CAST(count(*) AS DOUBLE) AS sessions,
+                sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS revenue
+         FROM events GROUP BY 1, 2),
+       g AS (
+         SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+                avg(revenue) AS mx, avg(sessions) AS my,
+                var_samp(revenue) AS vx, var_samp(sessions) AS vy,
+                covar_samp(revenue, sessions) AS cxy
+         FROM u GROUP BY arm),
+       r AS (
+         SELECT arm, n, mx / my AS ratio,
+                (mx / my) * (mx / my)
+                * (vx / (mx * mx) + vy / (my * my) - 2 * cxy / (mx * my)) / n
+                  AS var_ratio
+         FROM g),
+       w AS (
+         SELECT max(CASE WHEN arm = 0 THEN ratio END) AS r0,
+                max(CASE WHEN arm = 1 THEN ratio END) AS r1,
+                max(CASE WHEN arm = 0 THEN var_ratio END) AS v0,
+                max(CASE WHEN arm = 1 THEN var_ratio END) AS v1,
+                CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+                CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1
+         FROM r)
+       SELECT n0 AS users_a, n1 AS users_b,
+              FLOOR(r0 * 1000000 + 0.5) / 1000000 AS rev_per_session_a,
+              FLOOR(r1 * 1000000 + 0.5) / 1000000 AS rev_per_session_b,
+              FLOOR((r1 - r0) * 1000000 + 0.5) / 1000000 AS diff,
+              FLOOR(sqrt(v0 + v1) * 1000000 + 0.5) / 1000000 AS se_delta_method,
+              FLOOR((r1 - r0) / sqrt(v0 + v1) * 10000 + 0.5) / 10000 AS z_stat,
+              abs((r1 - r0) / sqrt(v0 + v1)) > 1.96 AS significant
+       FROM w""",
+)
+def pipe_ratio_metric_ab(spark, sf_dir):
+    """Ratio-metric A/B test with delta-method variance: revenue per
+    session compared across hash arms, with Var(X̄/Ȳ) ≈ (x̄/ȳ)²(vx/x̄² +
+    vy/ȳ² − 2cov/x̄ȳ)/n computed at the USER level — the correct
+    inference when the randomization unit (user) differs from the
+    analysis unit (session/event): the naive per-event t-test
+    (pipe_welch_ttest's shape) understates variance because a user's
+    sessions are correlated, which is how experiment platforms ship
+    false positives. Completes the experimentation kit: SRM guard
+    (pipe_ab_srm_check), power (pipe_power_analysis), placebo DiD
+    (pipe_diff_in_diff), and now correct-unit ratio inference.
+
+    Scale shape: one per-user grouped scan (the randomization-unit
+    collapse), then five mergeable moments per arm including the
+    covariance — a 2-row frame carries the whole test regardless of
+    corpus size."""
+    e = events_table(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 2
+    )
+    u = e.groupBy(arm.alias("arm"), "user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("sessions"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("revenue"),
+    )
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("revenue").alias("mx"),
+        F.avg("sessions").alias("my"),
+        F.var_samp("revenue").alias("vx"),
+        F.var_samp("sessions").alias("vy"),
+        F.covar_samp("revenue", "sessions").alias("cxy"),
+    )
+    ratio = F.col("mx") / F.col("my")
+    var_ratio = (
+        ratio
+        * ratio
+        * (
+            F.col("vx") / (F.col("mx") * F.col("mx"))
+            + F.col("vy") / (F.col("my") * F.col("my"))
+            - 2 * F.col("cxy") / (F.col("mx") * F.col("my"))
+        )
+        / F.col("n")
+    )
+    r = g.select("arm", "n", ratio.alias("ratio"), var_ratio.alias("var_ratio"))
+    w = r.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("ratio"))).alias("r0"),
+        F.max(F.when(F.col("arm") == 1, F.col("ratio"))).alias("r1"),
+        F.max(F.when(F.col("arm") == 0, F.col("var_ratio"))).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, F.col("var_ratio"))).alias("v1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).cast("bigint").alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).cast("bigint").alias("n1"),
+    )
+    z = (F.col("r1") - F.col("r0")) / F.sqrt(F.col("v0") + F.col("v1"))
+    return w.select(
+        F.col("n0").alias("users_a"),
+        F.col("n1").alias("users_b"),
+        pround(F.col("r0"), 6).alias("rev_per_session_a"),
+        pround(F.col("r1"), 6).alias("rev_per_session_b"),
+        pround(F.col("r1") - F.col("r0"), 6).alias("diff"),
+        pround(F.sqrt(F.col("v0") + F.col("v1")), 6).alias("se_delta_method"),
+        pround(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
     )
