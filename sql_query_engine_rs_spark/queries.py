@@ -3265,7 +3265,8 @@ _ROUND6_STAGED = [
 #   pipe_shapley_attribution, pipe_retention_ttl_sizing,
 #   pipe_join_size_estimate, pipe_embedding_drift_mmd,
 #   pipe_vocab_prune_curve, pipe_simpson_audit, pipe_hill_tail_index,
-#   pipe_dp_count_noise, pipe_ratio_metric_ab
+#   pipe_dp_count_noise, pipe_ratio_metric_ab,
+#   stream_min_watermark_union, pipe_uplift_segments
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -18228,4 +18229,220 @@ def pipe_ratio_metric_ab(spark, sf_dir):
         pround(F.sqrt(F.col("v0") + F.col("v1")), 6).alias("se_delta_method"),
         pround(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "stream_min_watermark_union",
+    """WITH b AS (SELECT min(ts) AS mn FROM events),
+       split AS (SELECT mn + INTERVAL 20 DAY AS t FROM b),
+       lagmax AS (
+         SELECT max(ts) AS mxa FROM events CROSS JOIN split WHERE ts < split.t),
+       win AS (
+         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+                event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                FLOOR((SUM(value)) * 100 + 0.5) / 100 AS sum_value
+         FROM events GROUP BY 1, 2, 3)
+       SELECT window_start, event_type, n_events, sum_value
+       FROM win CROSS JOIN lagmax
+       WHERE win.wend <= lagmax.mxa - INTERVAL 48 HOUR""",
+)
+def stream_min_watermark_union(spark, sf_dir):
+    """MULTI-INPUT watermark semantics pinned under the driver hash gate:
+    two file streams — a LAGGING source capped at day 20 and a current
+    source carrying days 20-30 — are unioned into one windowed
+    aggregation. Spark must advance the operator watermark as the MIN
+    over the inputs' watermarks, so append mode may only emit windows
+    finalized by the SLOWEST source (end ≤ max(lagging) − 48 h) even
+    though the fast source is 10 days ahead; if the engine ever took the
+    max (or the union's global max event time), windows through day 28
+    would emit and the hash gate fails. This is the semantic that makes
+    multi-region / multi-topic ingestion correct: one stalled partition
+    must hold back finalization everywhere, or counts are silently
+    partial.
+
+    Both sources drain fully under availableNow (single file each — the
+    per-source watermark is its own max − delay, no batch-order
+    dependence, unlike stream_late_data_drop's staged straggler); the
+    split at min(ts)+20 days keeps the sources disjoint so the union is
+    a clean partition of the corpus. Window ends are hour-aligned vs a
+    microsecond-offset watermark — no boundary ties."""
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_arrow
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    try:
+        tbl = pq_arrow.read_table(f"{sf_dir}/events.parquet")
+        ts = tbl.column("ts")
+        mn = pc.min(ts).as_py()
+        split = mn + __import__("datetime").timedelta(days=20)
+        split_scalar = pa.scalar(split, type=ts.type)
+        dir_a = tempfile.mkdtemp(prefix="events_wma_")
+        dir_b = tempfile.mkdtemp(prefix="events_wmb_")
+        pq_arrow.write_table(
+            tbl.filter(pc.less(ts, split_scalar)), os.path.join(dir_a, "a.parquet")
+        )
+        pq_arrow.write_table(
+            tbl.filter(pc.greater_equal(ts, split_scalar)),
+            os.path.join(dir_b, "b.parquet"),
+        )
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        sa = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(dir_a)
+        ).withWatermark("ts", "48 hours")
+        sb = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(dir_b)
+        ).withWatermark("ts", "48 hours")
+        unioned = sa.unionByName(sb)
+        out = (
+            unioned.groupBy(
+                F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                pround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.col("win.start").cast("string").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        sink = f"stream_wmu_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        result = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return result
+    finally:
+        _restore_confs(spark, prior)
+
+
+@register(
+    "pipe_uplift_segments",
+    f"""WITH seg AS (
+         SELECT ({_md5_bucket256_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                CAST(FLOOR(extract(hour FROM ts) / 6) AS BIGINT) AS segment,
+                value
+         FROM events WHERE event_type = 'purchase'),
+       g AS (
+         SELECT segment, arm, CAST(count(*) AS DOUBLE) AS n, avg(value) AS m,
+                var_samp(value) AS v
+         FROM seg GROUP BY segment, arm),
+       w AS (
+         SELECT segment,
+                max(CASE WHEN arm = 0 THEN n END) AS n0,
+                max(CASE WHEN arm = 1 THEN n END) AS n1,
+                max(CASE WHEN arm = 0 THEN m END) AS m0,
+                max(CASE WHEN arm = 1 THEN m END) AS m1,
+                max(CASE WHEN arm = 0 THEN v END) AS v0,
+                max(CASE WHEN arm = 1 THEN v END) AS v1
+         FROM g GROUP BY segment),
+       per AS (
+         SELECT segment, CAST(n0 AS BIGINT) AS n_ctrl, CAST(n1 AS BIGINT) AS n_treat,
+                m1 - m0 AS uplift, v0 / n0 + v1 / n1 AS var_up
+         FROM w),
+       pooled AS (
+         SELECT sum(uplift / var_up) / sum(1 / var_up) AS mu,
+                sum((uplift - (SELECT sum(uplift / var_up) / sum(1 / var_up) FROM per))
+                    * (uplift - (SELECT sum(uplift / var_up) / sum(1 / var_up) FROM per))
+                    / var_up) AS q
+         FROM per)
+       SELECT segment, n_ctrl, n_treat,
+              FLOOR(uplift * 1000000 + 0.5) / 1000000 AS uplift,
+              FLOOR(sqrt(var_up) * 1000000 + 0.5) / 1000000 AS se,
+              FLOOR((SELECT mu FROM pooled) * 1000000 + 0.5) / 1000000 AS pooled_uplift,
+              FLOOR((SELECT q FROM pooled) * 10000 + 0.5) / 10000 AS heterogeneity_q,
+              (SELECT q FROM pooled) > 7.815 AS heterogeneous
+       FROM per""",
+)
+def pipe_uplift_segments(spark, sf_dir):
+    """Heterogeneous-treatment-effect (uplift) read-out per segment: the
+    arm-1 minus arm-0 purchase-value lift within each 6-hour daypart
+    segment, the inverse-variance pooled effect, and Cochran's Q
+    heterogeneity test (Q > χ²₀.₀₅(k−1) ⇒ the effect genuinely differs by
+    segment and shipping the pooled number hides it) — the
+    fixed-effect meta-analysis machinery applied to experiment segments,
+    and the honest answer to "does the treatment work for everyone or
+    just somewhere". On exchangeable hash arms all uplifts are ≈0 and Q
+    is correctly unremarkable — the placebo read, like pipe_diff_in_diff.
+
+    Scale shape: one conditional-aggregate scan to (segment × arm)
+    moments; the pooled effect and Q are arithmetic over the k-row
+    segment frame. Any segmentation column drops in without changing the
+    plan."""
+    e = events_table(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 2
+    )
+    seg = e.filter(F.col("event_type") == "purchase").select(
+        arm.alias("arm"),
+        F.floor(F.hour("ts") / 6).cast("bigint").alias("segment"),
+        "value",
+    )
+    g = seg.groupBy("segment", "arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    w = g.groupBy("segment").agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v0"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v1"),
+    )
+    per = w.select(
+        "segment",
+        F.col("n0").cast("bigint").alias("n_ctrl"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        (F.col("m1") - F.col("m0")).alias("uplift"),
+        (F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")).alias("var_up"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    per = persist_tracked(per)
+    mu = per.agg(
+        (F.sum(F.col("uplift") / F.col("var_up")) / F.sum(1 / F.col("var_up"))).alias(
+            "mu"
+        )
+    )
+    pooled = per.join(F.broadcast(mu)).agg(
+        F.first("mu").alias("mu"),
+        F.sum(
+            (F.col("uplift") - F.col("mu"))
+            * (F.col("uplift") - F.col("mu"))
+            / F.col("var_up")
+        ).alias("q"),
+    )
+    return per.join(F.broadcast(pooled)).select(
+        "segment",
+        "n_ctrl",
+        "n_treat",
+        pround(F.col("uplift"), 6).alias("uplift"),
+        pround(F.sqrt(F.col("var_up")), 6).alias("se"),
+        pround(F.col("mu"), 6).alias("pooled_uplift"),
+        pround(F.col("q"), 4).alias("heterogeneity_q"),
+        (F.col("q") > 7.815).alias("heterogeneous"),
     )
