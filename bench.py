@@ -289,6 +289,7 @@ BENCH_QUERIES = [
     "pipe_ratio_metric_ab",
     "stream_min_watermark_union",
     "pipe_uplift_segments",
+    "pipe_cuped_adjustment",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

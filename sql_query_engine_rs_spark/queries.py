@@ -3266,7 +3266,8 @@ _ROUND6_STAGED = [
 #   pipe_join_size_estimate, pipe_embedding_drift_mmd,
 #   pipe_vocab_prune_curve, pipe_simpson_audit, pipe_hill_tail_index,
 #   pipe_dp_count_noise, pipe_ratio_metric_ab,
-#   stream_min_watermark_union, pipe_uplift_segments
+#   stream_min_watermark_union, pipe_uplift_segments,
+#   pipe_cuped_adjustment
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -18445,4 +18446,126 @@ def pipe_uplift_segments(spark, sf_dir):
         pround(F.col("mu"), 6).alias("pooled_uplift"),
         pround(F.col("q"), 4).alias("heterogeneity_q"),
         (F.col("q") > 7.815).alias("heterogeneous"),
+    )
+
+
+@register(
+    "pipe_cuped_adjustment",
+    f"""WITH b AS (SELECT min(ts) AS mn FROM events),
+       u AS (
+         SELECT ({_md5_bucket256_sql("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+                user_id,
+                sum(CASE WHEN e.ts < b.mn + INTERVAL 15 DAY THEN value ELSE 0 END) AS x,
+                sum(CASE WHEN e.ts >= b.mn + INTERVAL 15 DAY THEN value ELSE 0 END) AS y
+         FROM events e CROSS JOIN b
+         GROUP BY 1, 2),
+       th AS (
+         SELECT FLOOR(covar_samp(x, y) / var_samp(x) * 1000000000 + 0.5) / 1000000000
+                  AS theta,
+                FLOOR(avg(x) * 1000000000 + 0.5) / 1000000000 AS mx
+         FROM u),
+       adj AS (
+         SELECT arm, y, y - th.theta * (x - th.mx) AS ya
+         FROM u CROSS JOIN th),
+       g AS (
+         SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+                avg(y) AS my, var_samp(y) AS vy,
+                avg(ya) AS mya, var_samp(ya) AS vya
+         FROM adj GROUP BY arm),
+       w AS (
+         SELECT max(CASE WHEN arm = 0 THEN my END) AS my0,
+                max(CASE WHEN arm = 1 THEN my END) AS my1,
+                max(CASE WHEN arm = 0 THEN mya END) AS mya0,
+                max(CASE WHEN arm = 1 THEN mya END) AS mya1,
+                max(CASE WHEN arm = 0 THEN vy END) AS vy0,
+                max(CASE WHEN arm = 1 THEN vy END) AS vy1,
+                max(CASE WHEN arm = 0 THEN vya END) AS vya0,
+                max(CASE WHEN arm = 1 THEN vya END) AS vya1,
+                max(CASE WHEN arm = 0 THEN n END) AS n0,
+                max(CASE WHEN arm = 1 THEN n END) AS n1
+         FROM g)
+       SELECT (SELECT theta FROM th) AS theta,
+              FLOOR((1 - vya0 / vy0) * 10000 + 0.5) / 10000 AS var_reduction_a,
+              FLOOR((1 - vya1 / vy1) * 10000 + 0.5) / 10000 AS var_reduction_b,
+              FLOOR((my1 - my0) * 1000000 + 0.5) / 1000000 AS diff_raw,
+              FLOOR((mya1 - mya0) * 1000000 + 0.5) / 1000000 AS diff_cuped,
+              FLOOR((mya1 - mya0) / sqrt(vya0 / n0 + vya1 / n1) * 10000 + 0.5) / 10000
+                AS z_cuped,
+              abs((mya1 - mya0) / sqrt(vya0 / n0 + vya1 / n1)) > 1.96 AS significant
+       FROM w""",
+)
+def pipe_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction for experiment metrics: regress the
+    post-period per-user metric on its own PRE-period value (θ =
+    cov/var, computed pooled so it is assignment-independent), subtract
+    θ·(x − x̄) from each user's outcome, and test arms on the adjusted
+    metric — the industry-standard trick that typically cuts metric
+    variance by cov²/(vx·vy) (= ρ²) and therefore experiment runtime by
+    the same factor, with NO bias (the adjustment is mean-zero within
+    arms under randomization). Reports θ, the per-arm variance
+    reduction actually achieved, and the raw vs adjusted lift with the
+    adjusted-variance z — placebo-correct (≈0 lift) on hash arms.
+
+    Scale shape: one per-user conditional scan splits pre/post mass, a
+    1-row pooled (θ, x̄) broadcast, then per-arm moments — three
+    aggregate passes over user-bounded frames, nothing else. θ and x̄
+    are 9-dp pinned so both engines adjust identical outcomes.
+    Completes the experimentation kit's variance-reduction leg next to
+    the delta-method ratio test and the power calculator."""
+    e = events_table(spark, sf_dir)
+    b = e.agg(F.min("ts").alias("mn"))
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 2
+    )
+    cut = F.col("mn") + F.expr("INTERVAL 15 DAYS")
+    u = (
+        e.join(F.broadcast(b))
+        .groupBy(arm.alias("arm"), "user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+        )
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    u = persist_tracked(u)
+    th = u.agg(
+        pround(F.covar_samp("x", "y") / F.var_samp("x"), 9).alias("theta"),
+        pround(F.avg("x"), 9).alias("mx"),
+    )
+    adj = u.join(F.broadcast(th)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("ya"),
+    )
+    g = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("y").alias("my"),
+        F.var_samp("y").alias("vy"),
+        F.avg("ya").alias("mya"),
+        F.var_samp("ya").alias("vya"),
+    )
+    def pick(c, a):
+        return F.max(F.when(F.col("arm") == a, F.col(c)))
+
+    w = g.agg(
+        pick("my", 0).alias("my0"), pick("my", 1).alias("my1"),
+        pick("mya", 0).alias("mya0"), pick("mya", 1).alias("mya1"),
+        pick("vy", 0).alias("vy0"), pick("vy", 1).alias("vy1"),
+        pick("vya", 0).alias("vya0"), pick("vya", 1).alias("vya1"),
+        pick("n", 0).alias("n0"), pick("n", 1).alias("n1"),
+    )
+    z = (F.col("mya1") - F.col("mya0")) / F.sqrt(
+        F.col("vya0") / F.col("n0") + F.col("vya1") / F.col("n1")
+    )
+    return w.join(F.broadcast(th.select("theta"))).select(
+        "theta",
+        pround(1 - F.col("vya0") / F.col("vy0"), 4).alias("var_reduction_a"),
+        pround(1 - F.col("vya1") / F.col("vy1"), 4).alias("var_reduction_b"),
+        pround(F.col("my1") - F.col("my0"), 6).alias("diff_raw"),
+        pround(F.col("mya1") - F.col("mya0"), 6).alias("diff_cuped"),
+        pround(z, 4).alias("z_cuped"),
+        (F.abs(z) > 1.96).alias("significant"),
     )
