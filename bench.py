@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "stream_min_watermark_union",
     "pipe_uplift_segments",
     "pipe_cuped_adjustment",
+    "pipe_dedup_method_agreement",
+    "pipe_topk_stability",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

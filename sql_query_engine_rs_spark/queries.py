@@ -3267,7 +3267,8 @@ _ROUND6_STAGED = [
 #   pipe_vocab_prune_curve, pipe_simpson_audit, pipe_hill_tail_index,
 #   pipe_dp_count_noise, pipe_ratio_metric_ab,
 #   stream_min_watermark_union, pipe_uplift_segments,
-#   pipe_cuped_adjustment
+#   pipe_cuped_adjustment, pipe_dedup_method_agreement,
+#   pipe_topk_stability
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 
 # Stalest-first pad: the r01-era cohort (last driver-verified round 1),
@@ -18568,4 +18569,179 @@ def pipe_cuped_adjustment(spark, sf_dir):
         pround(F.col("mya1") - F.col("mya0"), 6).alias("diff_cuped"),
         pround(z, 4).alias("z_cuped"),
         (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "pipe_dedup_method_agreement",
+    f"""WITH mh AS ({_minhash_oracle()}),
+       sh AS ({_simhash_oracle()}),
+       j AS (
+         SELECT COALESCE(mh.id_a, sh.id_a) AS id_a,
+                COALESCE(mh.id_b, sh.id_b) AS id_b,
+                (mh.id_a IS NOT NULL) AS in_mh,
+                (sh.id_a IS NOT NULL) AS in_sh
+         FROM mh FULL OUTER JOIN sh
+           ON mh.id_a = sh.id_a AND mh.id_b = sh.id_b)
+       SELECT CAST(count(CASE WHEN in_mh THEN 1 END) AS BIGINT) AS n_minhash,
+              CAST(count(CASE WHEN in_sh THEN 1 END) AS BIGINT) AS n_simhash,
+              CAST(count(CASE WHEN in_mh AND in_sh THEN 1 END) AS BIGINT) AS n_both,
+              CAST(count(CASE WHEN in_mh AND NOT in_sh THEN 1 END) AS BIGINT)
+                AS only_minhash,
+              CAST(count(CASE WHEN in_sh AND NOT in_mh THEN 1 END) AS BIGINT)
+                AS only_simhash,
+              FLOOR(count(CASE WHEN in_mh AND in_sh THEN 1 END)
+                    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+                AS pair_jaccard
+       FROM j""",
+)
+def pipe_dedup_method_agreement(spark, sf_dir):
+    """Method-triangulation audit for near-dup detection: the pair sets
+    found by MinHash-LSH (bag-of-shingles Jaccard ≥ 0.8) and SimHash
+    (Hamming ≤ 3 on 32 sign bits) compared as sets — intersection, each
+    side's exclusives, and the pair-level Jaccard of the two METHODS.
+    High agreement means the dup signal is robust to detector choice;
+    a large one-sided exclusive set localizes where one method's
+    blocking/threshold geometry misses (SimHash is length-biased,
+    MinHash is shingle-set-biased) — the audit run before betting a
+    100 TB dedup pass on a single detector family, and the
+    deployment-shaped cousin of pipe_minhash_jaccard_est's accuracy pin.
+
+    Scale shape: both detectors are the registered band-capped
+    pipelines (their pair sets are LSH-bounded, not quadratic); the
+    comparison is one full-outer join on skinny (id, id) pairs plus a
+    1-row conditional rollup. Oracle: both existing oracle CTEs reused
+    verbatim, full-outer-joined in DuckDB."""
+    mh = D.minhash_lsh_candidates(
+        docs_parallel(spark, sf_dir),
+        num_hashes=8,
+        bands=2,
+        ngram=3,
+        verify_threshold=0.8,
+        max_band_size=256,
+    ).select("id_a", "id_b")
+    sh = D.simhash_md5_candidates(
+        t(spark, sf_dir, "documents"), max_band_size=256
+    ).select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb"))
+    j = mh.join(
+        sh, (mh["id_a"] == sh["sa"]) & (mh["id_b"] == sh["sb"]), "full_outer"
+    ).select(
+        F.col("id_a").isNotNull().alias("in_mh"), F.col("sa").isNotNull().alias("in_sh")
+    )
+    return j.agg(
+        F.count(F.when(F.col("in_mh"), 1)).cast("bigint").alias("n_minhash"),
+        F.count(F.when(F.col("in_sh"), 1)).cast("bigint").alias("n_simhash"),
+        F.count(F.when(F.col("in_mh") & F.col("in_sh"), 1))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.when(F.col("in_mh") & ~F.col("in_sh"), 1))
+        .cast("bigint")
+        .alias("only_minhash"),
+        F.count(F.when(F.col("in_sh") & ~F.col("in_mh"), 1))
+        .cast("bigint")
+        .alias("only_simhash"),
+        pround(
+            F.count(F.when(F.col("in_mh") & F.col("in_sh"), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("pair_jaccard"),
+    )
+
+
+@register(
+    "pipe_topk_stability",
+    """WITH tok AS (
+         SELECT doc_id, source,
+                unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       tsc AS (SELECT term, source, CAST(count(*) AS BIGINT) AS cf
+               FROM tok GROUP BY term, source),
+       tot AS (SELECT term, CAST(sum(cf) AS BIGINT) AS cf_tot FROM tsc GROUP BY term),
+       full_top AS (
+         SELECT term FROM (
+           SELECT term, row_number() OVER (ORDER BY cf_tot DESC, term) AS rk
+           FROM tot) r WHERE rk <= 10),
+       held AS (SELECT unnest(['src0', 'src1', 'src2', 'src3']) AS held_out),
+       variant AS (
+         SELECT h.held_out, t.term,
+                t.cf_tot - COALESCE(s.cf, 0) AS adj_cf
+         FROM tot t CROSS JOIN held h
+         LEFT JOIN tsc s ON s.term = t.term AND s.source = h.held_out),
+       vtop AS (
+         SELECT held_out, term FROM (
+           SELECT held_out, term,
+                  row_number() OVER (PARTITION BY held_out
+                                     ORDER BY adj_cf DESC, term) AS rk
+           FROM variant) r WHERE rk <= 10)
+       SELECT v.held_out,
+              CAST(count(f.term) AS BIGINT) AS n_common,
+              FLOOR(count(f.term) / 10.0 * 10000 + 0.5) / 10000 AS overlap_frac
+       FROM vtop v LEFT JOIN full_top f ON v.term = f.term
+       GROUP BY v.held_out""",
+)
+def pipe_topk_stability(spark, sf_dir):
+    """Jackknife stability of a reported top-k list: the corpus's top-10
+    terms recomputed with each of four sources held out, scored by
+    overlap with the full-corpus list — the robustness audit every
+    "top terms / top domains / top errors" dashboard needs before
+    anyone acts on it (a list that churns when one source drops is
+    measuring that source, not the corpus; cf. pipe_source_overlap for
+    WHY a single source can dominate).
+
+    The jackknife is algebraic, not re-run: leave-one-source-out counts
+    are total-minus-source differences off ONE (term, source) count
+    frame, so k variants cost zero extra corpus passes (the same
+    global-minus-part identity as pipe_kfold_cv). All-integer counts
+    with (count desc, term) deterministic ranking; frames are
+    vocab-bounded."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tsc = tok.groupBy("term", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    tsc = persist_tracked(tsc)
+    tot = tsc.groupBy("term").agg(F.sum("cf").alias("cf_tot"))
+    w_full = Window.orderBy(F.col("cf_tot").desc(), "term")
+    full_top = (
+        tot.withColumn("rk", F.row_number().over(w_full))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("term").alias("fterm"))
+    )
+    held = spark.createDataFrame(
+        [("src0",), ("src1",), ("src2",), ("src3",)], "held_out string"
+    )
+    variant = (
+        tot.join(F.broadcast(held))
+        .join(
+            tsc.select(
+                F.col("term").alias("sterm"), F.col("source").alias("ssrc"), "cf"
+            ),
+            (F.col("term") == F.col("sterm")) & (F.col("held_out") == F.col("ssrc")),
+            "left",
+        )
+        .select(
+            "held_out",
+            "term",
+            (F.col("cf_tot") - F.coalesce(F.col("cf"), F.lit(0))).alias("adj_cf"),
+        )
+    )
+    w_var = Window.partitionBy("held_out").orderBy(F.col("adj_cf").desc(), "term")
+    vtop = (
+        variant.withColumn("rk", F.row_number().over(w_var))
+        .filter(F.col("rk") <= 10)
+        .select("held_out", "term")
+    )
+    return (
+        vtop.join(F.broadcast(full_top), vtop["term"] == full_top["fterm"], "left")
+        .groupBy("held_out")
+        .agg(
+            F.count("fterm").cast("bigint").alias("n_common"),
+            pround(F.count("fterm") / 10.0, 4).alias("overlap_frac"),
+        )
     )
