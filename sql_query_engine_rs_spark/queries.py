@@ -20,6 +20,9 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -3216,11 +3219,12 @@ _ROUND6_STAGED = [
     "ext_window_first_last", "pipe_ingest_anomaly", "pipe_token_gini",
     "pipe_source_overlap", "pipe_label_centroid_sim", "pipe_charclass_audit",
     "pipe_distinct_ngrams", "ext_window_dist_funcs",
-    # -- code changed this round after the last green row ---------------
-    # (max_band_size=256 now explicit at every duplicate_clusters site —
-    # output unchanged at test SFs, re-rowed on the new binary anyway)
-    "pipe_dup_clusters", "pipe_dedup_keeplist",
 ]
+
+# Entries whose code changed after their last green driver row: re-rowed on
+# the new binary even though the old row is green (max_band_size=256 is now
+# explicit at every duplicate_clusters site — output unchanged at test SFs).
+_FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 
 # Round-7 staging head (this round's window was already full at 50): the
 # late-round-6 additions below are locally oracle-green (vanilla-session
@@ -3292,11 +3296,49 @@ _STALE_COHORT = [
 _WINDOW_SIZE = 50
 
 
+def _driver_green_names() -> set[str]:
+    """Names with a green driver row in any repo-root CORRECTNESS_r*.json.
+
+    The driver verifies only the first ``_WINDOW_SIZE`` entries of
+    ``queries()`` per round, so ordering IS the coverage budget.  Reading
+    the driver's own artifacts makes the window self-staging: entries that
+    already have a green row yield their slot to unchecked ones without a
+    hand-maintained list each round.  A full-oracle row is green when the
+    value hash matched; a rows-only row (no oracle) when the row count
+    matched.  Missing or unparseable files (fresh checkout) contribute
+    nothing — the static staging lists below still apply.
+    """
+    green: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            hash_ok = row.get("hash_match")
+            rows_only_ok = hash_ok is None and row.get("rows_match")
+            if hash_ok or rows_only_ok:
+                green.add(name)
+    return green
+
+
 def _ordered_names() -> list[str]:
-    head = [n for n in _ROUND6_STAGED if n in QUERIES]
-    pad = [n for n in _STALE_COHORT if n in QUERIES and n not in head]
-    window = head + pad[: max(0, _WINDOW_SIZE - len(head))]
-    return window + [n for n in QUERIES if n not in window]
+    green = _driver_green_names()
+    head = [n for n in _ROUND6_STAGED if n in QUERIES and n not in green]
+    head += [n for n in _FORCE_REROW if n in QUERIES and n not in head]
+    in_head = set(head)
+    unchecked = [n for n in QUERIES if n not in green and n not in in_head]
+    pad = [n for n in _STALE_COHORT if n in QUERIES and n not in in_head]
+    fill = unchecked + [n for n in pad if n not in set(unchecked)]
+    window = head + fill[: max(0, _WINDOW_SIZE - len(head))]
+    seen = set(window)
+    return window + [n for n in QUERIES if n not in seen]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
