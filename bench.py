@@ -292,6 +292,10 @@ BENCH_QUERIES = [
     "pipe_cuped_adjustment",
     "pipe_dedup_method_agreement",
     "pipe_topk_stability",
+    "pipe_bradley_terry",
+    "pipe_fleiss_kappa",
+    "pipe_sinkhorn_ot",
+    "pipe_token_budget_mix",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite
