@@ -296,6 +296,9 @@ BENCH_QUERIES = [
     "pipe_fleiss_kappa",
     "pipe_sinkhorn_ot",
     "pipe_token_budget_mix",
+    "pipe_log_odds_terms",
+    "pipe_conformal_interval",
+    "pipe_skipgram_pairs",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

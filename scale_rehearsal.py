@@ -160,6 +160,14 @@ HEAVY = [
     "pipe_bpe_merge_train",
     "pipe_centroid_classifier",
     "stream_late_data_drop",
+    # round-6 session 4: the method-triangulation audit runs BOTH pair
+    # generators (MinHash-LSH banding + SimHash Hamming blocking) plus a
+    # full-outer set compare on (lo, hi) pair keys — expected linear, since
+    # each side is individually rehearsed linear and the compare is keyed
+    # by pair ids (skinny). The session's other additions (bradley_terry /
+    # fleiss_kappa / sinkhorn_ot / token_budget_mix) are single-scan +
+    # bounded-scalar shapes and are not worth rehearsal wall-clock.
+    "pipe_dedup_method_agreement",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100

@@ -3273,7 +3273,8 @@ _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 #   stream_min_watermark_union, pipe_uplift_segments,
 #   pipe_cuped_adjustment, pipe_dedup_method_agreement,
 #   pipe_topk_stability, pipe_bradley_terry, pipe_fleiss_kappa,
-#   pipe_sinkhorn_ot, pipe_token_budget_mix
+#   pipe_sinkhorn_ot, pipe_token_budget_mix, pipe_log_odds_terms,
+#   pipe_conformal_interval, pipe_skipgram_pairs
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -16914,18 +16915,24 @@ def pipe_kcore_decompose(spark, sf_dir):
         knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
         .union(knn.select(F.col("nbr_id"), F.col("src_id")))
         .distinct()
+        # truncate the LSH lineage: without this, round r's logical plan
+        # embeds the knn-graph plan 2^r times (each round references the
+        # previous round's alive twice) and Catalyst ANALYSIS — not
+        # execution — dominates (measured 19.6 s at sf0.1; the same
+        # reliable-checkpoint trade as dedup.connected_components)
+        .localCheckpoint(eager=True)
     )
-    e = persist_tracked(e)
     alive = e.select(F.col("src").alias("node")).distinct()
     rows = []
-    cur_edges = e
     for rnd in range(4):
+        alive = alive.localCheckpoint(eager=True)  # node-id frame, tiny
         s = alive.select(F.col("node").alias("sn"))
         d = alive.select(F.col("node").alias("dn"))
         cur_edges = (
             e.join(s, e["src"] == F.col("sn"))
             .join(d, e["dst"] == F.col("dn"))
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
         n_nodes = alive.count()
         n_edges = cur_edges.count() // 2
@@ -19331,4 +19338,367 @@ def pipe_token_budget_mix(spark, sf_dir):
         F.floor(target).cast("long").alias("target_tokens"),
         pround(target / F.col("n_tokens"), 4).alias("epochs"),
         (target / F.col("n_tokens") > 1.0).alias("repeated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-odds-ratio distinctive terms (informative Dirichlet prior)
+# ---------------------------------------------------------------------------
+
+_LOGODDS_SRCS = ("src0", "src1", "src2", "src3")
+_LOGODDS_A0 = 500.0  # prior mass, spread over terms by global frequency
+
+
+def _logodds_oracle() -> str:
+    src_list = ", ".join(f"'{s}'" for s in _LOGODDS_SRCS)
+    return f"""WITH tok AS (
+         SELECT source,
+                unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS term
+         FROM documents),
+       tc AS (SELECT term, source, CAST(count(*) AS BIGINT) AS y
+              FROM tok GROUP BY term, source),
+       gt AS (SELECT term, CAST(sum(y) AS BIGINT) AS y_all FROM tc GROUP BY term),
+       tot AS (SELECT CAST(sum(y) AS BIGINT) AS n_all FROM tc),
+       per_src AS (SELECT source, CAST(sum(y) AS BIGINT) AS n_s FROM tc GROUP BY source),
+       scored AS (
+         SELECT s.source, g.term,
+                COALESCE(t.y, 0) AS y_s, g.y_all, p.n_s, o.n_all,
+                (g.y_all * {_LOGODDS_A0} / o.n_all) AS a_w
+         FROM gt g
+         CROSS JOIN (SELECT source, n_s FROM per_src WHERE source IN ({src_list})) s(source, n_s)
+         JOIN per_src p ON p.source = s.source
+         JOIN tot o ON TRUE
+         LEFT JOIN tc t ON t.term = g.term AND t.source = s.source),
+       z AS (
+         SELECT source, term, y_s,
+                (ln((y_s + a_w) / (n_s + {_LOGODDS_A0} - y_s - a_w))
+                 - ln(((y_all - y_s) + a_w) / ((n_all - n_s) + {_LOGODDS_A0} - (y_all - y_s) - a_w)))
+                / sqrt(1.0 / (y_s + a_w) + 1.0 / ((y_all - y_s) + a_w)) AS zscore
+         FROM scored),
+       rk AS (
+         SELECT source, term, y_s, zscore,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY FLOOR(zscore * 1e9 + 0.5) / 1e9 DESC, term) AS r
+         FROM z)
+       SELECT source, term, y_s AS term_count,
+              FLOOR(zscore * 1e6 + 0.5) / 1e6 AS z
+       FROM rk WHERE r <= 5"""
+
+
+@register("pipe_log_odds_terms", _logodds_oracle())
+def pipe_log_odds_terms(spark, sf_dir):
+    """Distinctive vocabulary per source via the log-odds-ratio with an
+    informative Dirichlet prior (Monroe/Colaresi/Quinn "Fightin' Words"):
+    for each of four sources vs the rest of the corpus, the top-5 terms
+    by prior-shrunk z-score. Unlike TF-IDF/PMI (cf. pipe_tfidf_topterms,
+    pipe_pmi_collocations) the prior a_w ∝ global frequency shrinks
+    rare-term noise TOWARD zero and the variance term 1/(y+a) makes the
+    scores comparable across frequencies — the corpus-drift / source-
+    fingerprint tool that survives vocabulary imbalance.
+
+    Scale: one tokenize pass → (term, source) counts; everything after is
+    vocab-bounded (the term-count frame), with the rank window partitioned
+    by source. Rank ties broken on the 9-dp-pinned z then term so the
+    top-5 cut is deterministic cross-engine. ln() agrees cross-engine at
+    the 6-dp output pin (the pipe_doc_entropy precedent).
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql import Window
+
+    srcs = list(_LOGODDS_SRCS)
+    d = docs_parallel(spark, sf_dir)
+    tok = d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+    tc = tok.groupBy("term", "source").agg(F.count(F.lit(1)).cast("long").alias("y"))
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    tc = persist_tracked(tc)
+    gt = tc.groupBy("term").agg(F.sum("y").cast("long").alias("y_all"))
+    tot = tc.agg(F.sum("y").cast("long").alias("n_all"))
+    per_src = tc.groupBy("source").agg(F.sum("y").cast("long").alias("n_s"))
+    sel = per_src.filter(F.col("source").isin(srcs))
+    scored = (
+        gt.crossJoin(F.broadcast(sel))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            tc.select(F.col("term").alias("tterm"), F.col("source").alias("tsrc"), "y"),
+            (F.col("term") == F.col("tterm")) & (F.col("source") == F.col("tsrc")),
+            "left",
+        )
+        .select(
+            "source",
+            "term",
+            F.coalesce(F.col("y"), F.lit(0)).alias("y_s"),
+            "y_all",
+            "n_s",
+            "n_all",
+            (F.col("y_all") * _LOGODDS_A0 / F.col("n_all")).alias("a_w"),
+        )
+    )
+    a0 = _LOGODDS_A0
+    num = (F.col("y_s") + F.col("a_w")) / (
+        F.col("n_s") + a0 - F.col("y_s") - F.col("a_w")
+    )
+    den = ((F.col("y_all") - F.col("y_s")) + F.col("a_w")) / (
+        (F.col("n_all") - F.col("n_s")) + a0 - (F.col("y_all") - F.col("y_s")) - F.col("a_w")
+    )
+    var = 1.0 / (F.col("y_s") + F.col("a_w")) + 1.0 / (
+        (F.col("y_all") - F.col("y_s")) + F.col("a_w")
+    )
+    z = (F.log(num) - F.log(den)) / F.sqrt(var)
+    w = Window.partitionBy("source").orderBy(pround(z, 9).desc(), "term")
+    return (
+        scored.withColumn("zscore", z)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("y_s").alias("term_count"),
+            pround(F.col("zscore"), 6).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+_CONFORMAL_ORACLE = """WITH base AS (
+         SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS y,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS x,
+                ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS nib_a
+         FROM documents),
+       split AS (
+         SELECT doc_id, y, x,
+                CASE WHEN nib_a BETWEEN 48 AND 55 THEN 'train'
+                     WHEN nib_a IN (56, 57, 97, 98) THEN 'calib'
+                     ELSE 'test' END AS part
+         FROM base),
+       fit AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         FROM split WHERE part = 'train'),
+       coef AS (
+         SELECT n AS n_train,
+                CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b1,
+                (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n AS b0
+         FROM fit),
+       calib AS (
+         SELECT count(*) AS n_calib,
+                quantile_cont(abs(y - (b0 + b1 * x)), 0.9) AS q_hat
+         FROM split, coef WHERE part = 'calib'),
+       test AS (
+         SELECT CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN abs(y - (b0 + b1 * x)) <= q_hat THEN 1 ELSE 0 END) AS BIGINT) AS covered
+         FROM split, coef, calib WHERE part = 'test')
+       SELECT n_train, CAST(n_calib AS BIGINT) AS n_calib, n_test,
+              FLOOR(b0 * 1e6 + 0.5) / 1e6 AS b0,
+              FLOOR(b1 * 1e6 + 0.5) / 1e6 AS b1,
+              FLOOR(q_hat * 1e4 + 0.5) / 1e4 AS q_hat,
+              FLOOR((CAST(covered AS DOUBLE) / n_test) * 1e6 + 0.5) / 1e6 AS coverage
+       FROM coef, calib, test"""
+
+
+@register("pipe_conformal_interval", _CONFORMAL_ORACLE)
+def pipe_conformal_interval(spark, sf_dir):
+    """Split-conformal prediction intervals — the distribution-free
+    coverage guarantee every model-assisted curation filter should ship
+    with (a point prediction plus "90% of future residuals fall within
+    ±q̂", valid with NO assumptions on the model or noise). Pipeline:
+    md5-split train/calib/test (50/25/25), OLS chars~tokens fit on train
+    from INTEGER sufficient statistics (exact, order-free sums — the
+    pipe_ols_two_feature convention; at 100 TB the int128/decimal sum
+    variant takes over), q̂ = 90th percentile of |calib residuals|
+    (Spark percentile() == DuckDB quantile_cont, the
+    pipe_length_quality_hist precedent), then the measured coverage on
+    the held-out test split — the number that must land near 0.9 for
+    the guarantee to be working.
+
+    Scale: three conditional single-scan aggregates + one exact
+    percentile over the calib split (percentile_approx swaps in at
+    corpus scale); no joins wider than a broadcast 1-row coef frame.
+
+    Reference: extension beyond /root/reference scope."""
+    base = docs_parallel(spark, sf_dir).select(
+        F.length("text").cast("long").alias("y"),
+        T.token_count(F.col("text")).cast("long").alias("x"),
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)).alias("nib_a"),
+    )
+    split = base.select(
+        "y",
+        "x",
+        F.when(F.col("nib_a").between(48, 55), "train")
+        .when(F.col("nib_a").isin(56, 57, 97, 98), "calib")
+        .otherwise("test")
+        .alias("part"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    split = persist_tracked(split)
+    fit = split.filter(F.col("part") == "train").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    coef = fit.select(
+        F.col("n").alias("n_train"),
+        b1.alias("b1"),
+        ((F.col("sy").cast("double") - b1 * F.col("sx").cast("double")) / F.col("n")).alias("b0"),
+    )
+    resid = F.abs(F.col("y") - (F.col("b0") + F.col("b1") * F.col("x")))
+    calib = (
+        split.filter(F.col("part") == "calib")
+        .crossJoin(F.broadcast(coef))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calib"),
+            F.expr(
+                "percentile(abs(y - (b0 + b1 * x)), 0.9D)"
+            ).alias("q_hat"),
+        )
+    )
+    test = (
+        split.filter(F.col("part") == "test")
+        .crossJoin(F.broadcast(coef))
+        .crossJoin(F.broadcast(calib.select("q_hat", "n_calib")))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum((resid <= F.col("q_hat")).cast("int")).cast("long").alias("covered"),
+        )
+    )
+    return (
+        coef.crossJoin(F.broadcast(calib))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_calib",
+            "n_test",
+            pround(F.col("b0"), 6).alias("b0"),
+            pround(F.col("b1"), 6).alias("b1"),
+            pround(F.col("q_hat"), 4).alias("q_hat"),
+            pround(F.col("covered").cast("double") / F.col("n_test"), 6).alias("coverage"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram pair extraction with word2vec frequency subsampling
+# ---------------------------------------------------------------------------
+
+_SG_T = 1e-3  # word2vec subsample threshold
+
+
+def _skipgram_oracle() -> str:
+    u = _md5_u16_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)")
+    return f"""WITH tk AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+         FROM documents),
+       pos AS (
+         SELECT doc_id, CAST(i AS BIGINT) AS p, toks[i + 1] AS w
+         FROM tk, UNNEST(range(len(toks))) u(i)),
+       cf AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cf),
+       kept AS (
+         SELECT pos.doc_id, pos.p, pos.w
+         FROM pos JOIN cf ON cf.w = pos.w, tot
+         WHERE {u} / 65536.0
+               < LEAST(1.0, sqrt({_SG_T} * n / c) + {_SG_T} * n / c)),
+       seq AS (
+         SELECT doc_id, w,
+                row_number() OVER (PARTITION BY doc_id ORDER BY p) AS q
+         FROM kept),
+       pairs AS (
+         SELECT a.w AS center, b.w AS context
+         FROM seq a JOIN seq b
+           ON a.doc_id = b.doc_id AND b.q BETWEEN a.q - 2 AND a.q + 2 AND b.q != a.q),
+       cnt AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM pairs GROUP BY center, context),
+       rk AS (SELECT center, context, n_pairs,
+                     row_number() OVER (ORDER BY n_pairs DESC, center, context) AS r
+              FROM cnt)
+       SELECT center, context, n_pairs FROM rk WHERE r <= 10"""
+
+
+@register("pipe_skipgram_pairs", _skipgram_oracle())
+def pipe_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair extraction with word2vec
+    frequency subsampling — the training-pair generator for embedding
+    pretraining run AT CORPUS SCALE (Mikolov subsampling:
+    P_keep = √(t/f) + t/f with t = 1e-3, so head words are thinned
+    BEFORE the window pass and the pair stream shrinks ~an order of
+    magnitude). The keep decision is md5-derandomized per token
+    OCCURRENCE (doc_id:position), the window (±2) applies to the
+    SUBSAMPLED sequence (word2vec semantics — distant words "move
+    closer" when head words drop), and the report is the top-10 pairs.
+
+    Scale: one tokenize+posexplode pass; the frequency table is
+    vocab-bounded and broadcast back (Zipf makes vocab ≪ corpus; if a
+    tokenizer blows vocab past executor memory, drop the hint and the
+    join falls back to shuffle-on-w); the window pair join is
+    co-partitioned on doc_id with fan-out ≤ 2·window; pair counts are
+    a skinny (center, context) shuffle. √ is IEEE-exact; the keep
+    comparison operates on identical doubles both engines.
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    pos = d.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.lower(F.col("text")))).alias("p", "w"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    pos = persist_tracked(pos)
+    cf = pos.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cf.agg(F.sum("c").cast("long").alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("p").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / 65536.0
+    )
+    keep_p = F.least(
+        F.lit(1.0),
+        F.sqrt(_SG_T * F.col("n") / F.col("c")) + _SG_T * F.col("n") / F.col("c"),
+    )
+    kept = (
+        pos.join(F.broadcast(cf), on="w")
+        .crossJoin(F.broadcast(tot))
+        .filter(u < keep_p)
+        .select("doc_id", "p", "w")
+    )
+    seq = kept.withColumn(
+        "q", F.row_number().over(Window.partitionBy("doc_id").orderBy("p"))
+    ).select("doc_id", "w", "q")
+    a = seq.select("doc_id", F.col("w").alias("center"), F.col("q").alias("qa"))
+    b = seq.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("context"), F.col("q").alias("qb"))
+    pairs = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("qb") >= F.col("qa") - 2)
+        & (F.col("qb") <= F.col("qa") + 2)
+        & (F.col("qb") != F.col("qa")),
+    )
+    cnt = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    w_rk = Window.orderBy(F.col("n_pairs").desc(), "center", "context")
+    return (
+        cnt.withColumn("r", F.row_number().over(w_rk))
+        .filter(F.col("r") <= 10)
+        .select("center", "context", "n_pairs")
     )
