@@ -299,6 +299,8 @@ BENCH_QUERIES = [
     "pipe_log_odds_terms",
     "pipe_conformal_interval",
     "pipe_skipgram_pairs",
+    "pipe_shard_coverage_curve",
+    "pipe_quantile_normalize",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

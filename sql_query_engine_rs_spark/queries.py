@@ -3274,7 +3274,8 @@ _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 #   pipe_cuped_adjustment, pipe_dedup_method_agreement,
 #   pipe_topk_stability, pipe_bradley_terry, pipe_fleiss_kappa,
 #   pipe_sinkhorn_ot, pipe_token_budget_mix, pipe_log_odds_terms,
-#   pipe_conformal_interval, pipe_skipgram_pairs
+#   pipe_conformal_interval, pipe_skipgram_pairs,
+#   pipe_shard_coverage_curve, pipe_quantile_normalize
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -19701,4 +19702,162 @@ def pipe_skipgram_pairs(spark, sf_dir):
         cnt.withColumn("r", F.row_number().over(w_rk))
         .filter(F.col("r") <= 10)
         .select("center", "context", "n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard coverage curve — marginal new content per ingested shard
+# ---------------------------------------------------------------------------
+
+_COVERAGE_ORACLE = f"""WITH fp AS (
+         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fng,
+                {{bucket}} AS shard
+         FROM documents),
+       first_seen AS (
+         SELECT fng, CAST(min(shard) AS INT) AS first_shard FROM fp GROUP BY fng),
+       per AS (
+         SELECT first_shard AS shard, CAST(count(*) AS BIGINT) AS new_fps
+         FROM first_seen GROUP BY first_shard),
+       sizes AS (
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM fp GROUP BY shard),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct FROM first_seen)
+       SELECT s.shard, s.n_docs,
+              COALESCE(p.new_fps, 0) AS new_fps,
+              CAST(sum(COALESCE(p.new_fps, 0)) OVER (ORDER BY s.shard) AS BIGINT) AS cum_distinct,
+              FLOOR((sum(COALESCE(p.new_fps, 0)) OVER (ORDER BY s.shard) / CAST(t.n_distinct AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS coverage_frac,
+              FLOOR((COALESCE(p.new_fps, 0) / CAST(s.n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS novelty_rate
+       FROM sizes s LEFT JOIN per p ON p.shard = s.shard, tot t"""
+
+
+@register(
+    "pipe_shard_coverage_curve",
+    _COVERAGE_ORACLE.replace(
+        "{bucket}",
+        "(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48 - "
+        "CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) >= 97 THEN 39 ELSE 0 END)",
+    ),
+)
+def pipe_shard_coverage_curve(spark, sf_dir):
+    """Marginal-content curve over an ingest order: docs are assigned to 16
+    shards (md5), and for each shard in ingest order the report gives how
+    many NEW normalized-text fingerprints it contributes, the cumulative
+    distinct coverage, and its novelty rate (new / docs) — the sheet that
+    answers "is the next 10 TB of this crawl still worth ingesting, or
+    are we paying to re-dedup the same content?" (diminishing novelty =
+    stop). The first-occurrence trick (min shard per fingerprint) makes
+    the whole curve ONE groupBy + a 16-row window — no per-prefix
+    re-deduplication (same identity as pipe_heaps_law's vocabulary curve,
+    applied to the dedup gate).
+
+    Scale: fingerprint hash is map-side; min-per-fingerprint is one
+    skinny shuffle on the hash; everything downstream is shards-sized.
+    The cumulative window runs over 16 rows regardless of corpus size.
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    fp = d.select(
+        T.fingerprint(F.col("text")).alias("fng"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1), 16, 10)
+        .cast("int")
+        .alias("shard"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    fp = persist_tracked(fp)
+    first_seen = fp.groupBy("fng").agg(F.min("shard").cast("int").alias("first_shard"))
+    per = first_seen.groupBy(F.col("first_shard").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_fps")
+    )
+    sizes = fp.groupBy("shard").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = first_seen.agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    w = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        sizes.join(per, on="shard", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            F.coalesce(F.col("new_fps"), F.lit(0)).alias("new_fps"),
+            "n_distinct",
+        )
+    )
+    return joined.select(
+        "shard",
+        "n_docs",
+        "new_fps",
+        F.sum("new_fps").over(w).cast("long").alias("cum_distinct"),
+        pround(F.sum("new_fps").over(w) / F.col("n_distinct").cast("double"), 6).alias(
+            "coverage_frac"
+        ),
+        pround(F.col("new_fps") / F.col("n_docs").cast("double"), 6).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — cross-source batch-effect removal
+# ---------------------------------------------------------------------------
+
+_QNORM_ORACLE = """WITH sc AS (
+         SELECT source, doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS score
+         FROM documents),
+       rk AS (
+         SELECT source, score,
+                row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r
+         FROM sc),
+       ref AS (
+         SELECT r, avg(score) AS ref_score FROM rk GROUP BY r),
+       norm AS (
+         SELECT rk.source, rk.score, ref.ref_score
+         FROM rk JOIN ref ON ref.r = rk.r)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n,
+              FLOOR(avg(score) * 1e6 + 0.5) / 1e6 AS mean_before,
+              FLOOR(avg(ref_score) * 1e6 + 0.5) / 1e6 AS mean_after
+       FROM norm GROUP BY source"""
+
+
+@register("pipe_quantile_normalize", _QNORM_ORACLE)
+def pipe_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of a per-document score (token count)
+    across sources — the batch-effect remover: rank within source, build
+    the reference distribution as the cross-source mean of each order
+    statistic, and assign every document its rank's reference value.
+    After normalization all equal-sized sources share the SAME score
+    multiset (mean_after is identical across them — visible in the
+    output), so downstream quality thresholds compare documents, not
+    crawler artifacts (a source whose extractor pads whitespace no
+    longer looks "longer"). With unequal source sizes each rank averages
+    the sources that reach it (the per-rank variant; the interpolating
+    form swaps in when shard sizes diverge materially).
+
+    Scale: one tokenize scan, one rank window per source partition, one
+    rank-keyed skinny aggregate + join back on (rank) — rank frames carry
+    (source, rank, score) only; text never shuffles.
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql import Window
+
+    d = docs_parallel(spark, sf_dir)
+    sc = d.select(
+        "source", "doc_id", T.token_count(F.col("text")).cast("long").alias("score")
+    )
+    rk = sc.select(
+        "source",
+        "score",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("score", "doc_id"))
+        .alias("r"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    rk = persist_tracked(rk)
+    ref = rk.groupBy("r").agg(F.avg("score").alias("ref_score"))
+    norm = rk.join(ref, on="r")
+    return norm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pround(F.avg("score"), 6).alias("mean_before"),
+        pround(F.avg("ref_score"), 6).alias("mean_after"),
     )
