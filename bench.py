@@ -301,6 +301,8 @@ BENCH_QUERIES = [
     "pipe_skipgram_pairs",
     "pipe_shard_coverage_curve",
     "pipe_quantile_normalize",
+    "ext_variant_semistructured",
+    "pipe_observed_funnel_metrics",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

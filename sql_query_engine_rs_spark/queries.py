@@ -3275,7 +3275,8 @@ _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 #   pipe_topk_stability, pipe_bradley_terry, pipe_fleiss_kappa,
 #   pipe_sinkhorn_ot, pipe_token_budget_mix, pipe_log_odds_terms,
 #   pipe_conformal_interval, pipe_skipgram_pairs,
-#   pipe_shard_coverage_curve, pipe_quantile_normalize
+#   pipe_shard_coverage_curve, pipe_quantile_normalize,
+#   ext_variant_semistructured, pipe_observed_funnel_metrics
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -19860,4 +19861,90 @@ def pipe_quantile_normalize(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         pround(F.avg("score"), 6).alias("mean_before"),
         pround(F.avg("ref_score"), 6).alias("mean_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 VARIANT semi-structured path + observe() piggybacked telemetry
+# ---------------------------------------------------------------------------
+
+@register(
+    "ext_variant_semistructured",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS BIGINT) AS n_with_k,
+              CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type""",
+)
+def ext_variant_semistructured(spark, sf_dir):
+    """The Spark 4 VARIANT path for semi-structured columns: parse_json()
+    into a binary VARIANT once, then typed try_variant_get() extractions
+    — the open-format twin of get_json_object (cf. ext_json_extract) that
+    avoids re-parsing the JSON string per extraction and pushes typed
+    access into the engine (one parse, many gets: the semi-structured
+    telemetry/props pattern at ingest scale). Results are required to
+    match the string-path oracle exactly — VARIANT is an encoding, not a
+    semantics change.
+
+    Reference: beyond scope — the reference's type system is scalar-only
+    (src/types/mod.rs:34)."""
+    e = events_table(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(k).cast("long").alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+@register(
+    "pipe_observed_funnel_metrics",
+    """WITH q AS (
+         SELECT doc_id, text,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS n_toks
+         FROM documents),
+       kept AS (SELECT * FROM q WHERE n_toks >= 50),
+       uniq AS (
+         SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fng,
+                CAST(min(doc_id) AS BIGINT) AS keep_id
+         FROM kept GROUP BY 1)
+       SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_input,
+              CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_after_filter,
+              CAST((SELECT count(*) FROM uniq) AS BIGINT) AS n_output""",
+)
+def pipe_observed_funnel_metrics(spark, sf_dir):
+    """Pipeline telemetry via df.observe(): input size and filter
+    survivorship are collected as Observation metrics DURING the single
+    dedup pass — zero extra scans — then emitted beside the output count.
+    At 100 TB this is the difference between "the funnel report costs
+    one pass" and "the funnel report costs one pass per stage" (the
+    DuckDB oracle pays the per-stage scans; Spark must not). The
+    stage-count semantics match pipe_curation_funnel's first stages;
+    this entry pins the MECHANISM (AccumulatorV2-backed observe) rather
+    than the funnel itself.
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql import Observation
+
+    d = docs_parallel(spark, sf_dir)
+    obs_in = Observation()
+    obs_kept = Observation()
+    q = d.select("doc_id", "text", T.token_count(F.col("text")).alias("n_toks")).observe(
+        obs_in, F.count(F.lit(1)).alias("n_input")
+    )
+    kept = q.filter(F.col("n_toks") >= 50).observe(
+        obs_kept, F.count(F.lit(1)).alias("n_after_filter")
+    )
+    uniq = kept.groupBy(T.fingerprint(F.col("text")).alias("fng")).agg(
+        F.min("doc_id").cast("long").alias("keep_id")
+    )
+    n_output = uniq.count()  # the ONE action; observations fill as it runs
+    return spark.createDataFrame(
+        [(int(obs_in.get["n_input"]), int(obs_kept.get["n_after_filter"]), int(n_output))],
+        "n_input bigint, n_after_filter bigint, n_output bigint",
     )
