@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "pipe_quantile_normalize",
     "ext_variant_semistructured",
     "pipe_observed_funnel_metrics",
+    "stream_variant_telemetry",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

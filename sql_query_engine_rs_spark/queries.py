@@ -3276,7 +3276,8 @@ _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 #   pipe_sinkhorn_ot, pipe_token_budget_mix, pipe_log_odds_terms,
 #   pipe_conformal_interval, pipe_skipgram_pairs,
 #   pipe_shard_coverage_curve, pipe_quantile_normalize,
-#   ext_variant_semistructured, pipe_observed_funnel_metrics
+#   ext_variant_semistructured, pipe_observed_funnel_metrics,
+#   stream_variant_telemetry
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -19948,3 +19949,88 @@ def pipe_observed_funnel_metrics(spark, sf_dir):
         [(int(obs_in.get["n_input"]), int(obs_kept.get["n_after_filter"]), int(n_output))],
         "n_input bigint, n_after_filter bigint, n_output bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming VARIANT telemetry — semi-structured props parsed on the stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_variant_telemetry",
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+              event_type,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS BIGINT) AS n_with_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+              CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+       FROM events
+       GROUP BY 1, 2""",
+)
+def stream_variant_telemetry(spark, sf_dir):
+    """Semi-structured telemetry ingest ON the stream: each micro-batch
+    parses the JSON props column into VARIANT once (parse_json), extracts
+    the typed metric with try_variant_get, and feeds a watermarked hourly
+    window per event type — the canonical product-telemetry pipeline
+    (clients ship schemaless JSON; the warehouse wants typed hourly
+    rollups) with the parse cost paid inside the streaming stage, not in
+    a downstream batch repair job. Complete-mode memory sink drained via
+    availableNow (the registry's streaming drain contract); state is the
+    windowed aggregate only — VARIANT never enters the state store.
+
+    Oracle: the identical hourly rollup via DuckDB's string-path JSON
+    functions over the same events — VARIANT is an encoding, not a
+    semantics change (cf. ext_variant_semistructured for the batch pin).
+
+    Reference: beyond scope — no streaming or semi-structured surface
+    exists in the reference."""
+    import uuid
+
+    prior = _set_confs(spark, {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.shuffle.partitions": "8",
+    })
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        static = parquet_scan(spark, f"{sf_dir}/events.parquet")
+        stream_dir = _single_batch_stream_dir(sf_dir, "events_variant_")
+        stream = _normalize_events_ts(
+            spark.readStream.schema(static.schema).parquet(stream_dir)
+        )
+        v = F.parse_json("props")
+        k = F.try_variant_get(v, "$.k", "int")
+        out = (
+            stream.withColumn("k", k)
+            .withWatermark("ts", "2 hours")
+            .groupBy(
+                F.window(F.col("ts"), "1 hour").alias("win"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.count("k").cast("long").alias("n_with_k"),
+                F.sum("k").cast("long").alias("sum_k"),
+                F.max("k").alias("max_k"),
+            )
+            .select(
+                F.col("win.start").cast("string").alias("window_start"),
+                "event_type",
+                "n_events",
+                "n_with_k",
+                "sum_k",
+                "max_k",
+            )
+        )
+        sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+        (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        drained = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return drained
+    finally:
+        _restore_confs(spark, prior)
