@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "ext_variant_semistructured",
     "pipe_observed_funnel_metrics",
     "stream_variant_telemetry",
+    "pipe_class_balance_reweight",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

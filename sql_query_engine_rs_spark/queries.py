@@ -3277,7 +3277,7 @@ _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 #   pipe_conformal_interval, pipe_skipgram_pairs,
 #   pipe_shard_coverage_curve, pipe_quantile_normalize,
 #   ext_variant_semistructured, pipe_observed_funnel_metrics,
-#   stream_variant_telemetry
+#   stream_variant_telemetry, pipe_class_balance_reweight
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -20034,3 +20034,69 @@ def stream_variant_telemetry(spark, sf_dir):
         return drained
     finally:
         _restore_confs(spark, prior)
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced reweighting (effective number of samples)
+# ---------------------------------------------------------------------------
+
+_CB_BETA = 0.999
+
+
+@register(
+    "pipe_class_balance_reweight",
+    f"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+       eff AS (
+         SELECT lang, n,
+                FLOOR(((1.0 - {_CB_BETA}) / (1.0 - pow({_CB_BETA}, n))) * 1e10 + 0.5) / 1e10 AS raw_w
+         FROM c),
+       tot AS (SELECT CAST(sum(CAST(raw_w AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS w_total,
+                      CAST(sum(n) AS BIGINT) AS n_total
+               FROM eff)
+       SELECT lang, n,
+              FLOOR((CAST(CAST(raw_w AS DECIMAL(28,10)) AS DOUBLE) / CAST(w_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cb_weight,
+              FLOOR((CAST(n_total AS DOUBLE) / (5.0 * n)) * 1e6 + 0.5) / 1e6 AS inv_freq_weight
+       FROM eff, tot""",
+)
+def pipe_class_balance_reweight(spark, sf_dir):
+    """Class-balanced loss weights via the effective number of samples
+    (Cui et al. 2019): w_c ∝ (1−β)/(1−β^n_c) with β = 0.999 — between
+    uniform (β=0) and inverse-frequency (β→1), it stops over-rewarding
+    tail classes whose marginal samples are near-duplicates of what the
+    model already saw. Reported beside the plain inverse-frequency
+    weight (n_total / (K·n_c)) so the shrinkage is visible per lang
+    class — the weighting sheet for a lang-ID or quality-classifier
+    training job on an imbalanced corpus (cf. pipe_lang_balance_weights
+    for the sampling-side counterpart).
+
+    Exactness: β^n is pow on both engines, pinned at 10 dp (the ln/exp
+    precedent), then normalized through the DECIMAL(28,10) exact-sum
+    trick (pipe_token_budget_mix) so the total is partition-order-free.
+    One count-by-class scan; everything else is K-row math.
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql.types import DecimalType
+
+    d = docs_parallel(spark, sf_dir)
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    eff = c.withColumn(
+        "raw_w",
+        pround((1.0 - _CB_BETA) / (1.0 - F.pow(F.lit(_CB_BETA), F.col("n"))), 10),
+    ).withColumn("raw_w_dec", F.col("raw_w").cast(DecimalType(28, 10)))
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    eff = persist_tracked(eff)
+    tot = eff.agg(
+        F.sum("raw_w_dec").cast(DecimalType(38, 10)).alias("w_total"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        pround(F.col("raw_w_dec").cast("double") / F.col("w_total").cast("double"), 6).alias(
+            "cb_weight"
+        ),
+        pround(F.col("n_total").cast("double") / (5.0 * F.col("n")), 6).alias(
+            "inv_freq_weight"
+        ),
+    )
