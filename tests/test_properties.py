@@ -146,3 +146,63 @@ def test_unigram_logprob_nonnegative_and_bounded(spark, sf_dir):
         assert 0.0 <= r.avg_neg_logprob
         # loosest bound: a token seen once in the whole corpus
         assert r.avg_neg_logprob <= math.log(max(total, 2)) + 20
+
+
+def test_bradley_terry_invariants(spark, sf_dir):
+    """BT strengths are a probability-style vector: positive, ~sum to 1
+    (each component 10-dp pinned, so the sum sits within 4e-10 + the 6-dp
+    output floor), and ordered consistently with win share when the
+    design is near-balanced."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_bradley_terry"].build(spark, sf_dir).collect()
+    assert len(rows) == 4
+    total = sum(r.strength for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert all(r.strength > 0 for r in rows)
+    assert all(0 <= r.wins <= r.comparisons for r in rows)
+    # the arm with the highest win RATE must carry the highest strength
+    best_rate = max(rows, key=lambda r: (r.wins / r.comparisons, r.source))
+    best_strength = max(rows, key=lambda r: (r.strength, r.source))
+    assert best_rate.source == best_strength.source
+
+
+def test_fleiss_kappa_bounds(spark, sf_dir):
+    """Fleiss' kappa lies in [-1, 1]; P̄ and P_e are proportions."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    row = QUERIES["pipe_fleiss_kappa"].build(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.p_bar <= 1.0 and 0.0 <= row.p_e < 1.0
+    assert -1.0 <= row.kappa <= 1.0
+
+
+def test_sinkhorn_plan_mass_and_cost(spark, sf_dir):
+    """The Sinkhorn plan's total mass must approach 1 (marginal fitting)
+    and the transport cost is bounded by the maximum bin distance."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    row = QUERIES["pipe_sinkhorn_ot"].build(spark, sf_dir).collect()[0]
+    assert abs(row.plan_mass - 1.0) < 0.05
+    assert 0.0 <= row.ot_cost <= 7.0 * row.plan_mass + 1e-9
+
+
+def test_token_budget_mix_weights_sum(spark, sf_dir):
+    """Mixture weights sum to ~1 and sqrt-temperature orders epochs
+    inversely to source size (smaller source -> more epochs)."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_token_budget_mix"].build(spark, sf_dir).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    epochs = [r.epochs for r in by_size]
+    assert epochs == sorted(epochs, reverse=True)
+
+
+def test_quantile_normalize_equalizes_means(spark, sf_dir):
+    """After quantile normalization all equal-sized sources share one
+    score multiset: mean_after must be a single value across sources."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    rows = QUERIES["pipe_quantile_normalize"].build(spark, sf_dir).collect()
+    if len({r.n for r in rows}) == 1:  # equal-sized sources (the fixture)
+        assert len({r.mean_after for r in rows}) == 1
