@@ -947,10 +947,18 @@ def connected_components(
     # branches reference `pairs`, so without the checkpoint the entire
     # upstream plan (e.g. the MinHash-LSH pipeline) executes twice.
     base = _truncate(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # Co-partition the immutable edge frame on its join key ONCE: the
+    # checkpointed plan advertises hashpartitioning(b), so every
+    # iteration's edges⋈labels join re-exchanges only the (node, label)
+    # frame, never the edges. One upfront exchange replaces one per
+    # iteration — strictly ahead whenever the graph needs ≥ 2 rounds
+    # (same fix measured on pipe_graph_pagerank: x100 deep point went
+    # 135.5 s -> 73.7 s, superlinear -> sublinear).
     edges = _truncate(
         base
         .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .repartition("b")
     )
     labels = _truncate(
         edges.select(F.col("a").alias("node"))
