@@ -15773,7 +15773,10 @@ def pipe_lpa_communities(spark, sf_dir):
     e = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
-    e = persist_tracked(e)
+    # co-partition the immutable edge frame on the per-round join key once
+    # (the connected_components / pagerank fix): rounds re-exchange only
+    # the (node, label) frame
+    e = persist_tracked(e.repartition("dst"))
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
