@@ -127,3 +127,64 @@ def _codegen_subtrees(df: DataFrame) -> int:
         return 0
     m = re.search(r"Found (\d+) WholeStageCodegen", text)
     return int(m.group(1)) if m else 0
+
+
+def workload_reuse_report(
+    frames: dict[str, DataFrame], min_queries: int = 2, top: int = 10
+) -> list[dict]:
+    """SparkCruise-style workload common-subplan detection (VLDB 2021:
+    "SparkCruise: Workload Optimization in Managed Spark Clusters at
+    Microsoft" — see PAPERS.md): canonicalize every subtree of each
+    query's analyzed logical plan, fingerprint it, and report the largest
+    subplans that appear in >= ``min_queries`` distinct queries. Those are
+    the materialization candidates — at 100 TB, a tokenize or pair-
+    generation subplan shared by five registry queries is a pass over the
+    corpus paid five times that one persisted/written frame would pay
+    once (this repo's operator-internal ``persist_tracked`` covers reuse
+    WITHIN a query; this report surfaces reuse ACROSS queries).
+
+    Pure diagnostics: walks plan trees via the JVM gateway (same private-
+    API posture as ``explain_str``), touches no data, and returns
+    [{fingerprint, node, weight, queries}] sorted by (query count, weight).
+    """
+    import hashlib
+
+    seen: dict[str, dict] = {}
+
+    def visit(node, qname: str) -> None:
+        try:
+            canon = node.canonicalized()
+            key_src = canon.treeString()
+        except Exception:
+            return
+        weight = key_src.count("\n") + 1
+        if weight >= 2:  # single leaves (bare scans) are trivially shared
+            key = hashlib.md5(key_src.encode()).hexdigest()[:16]
+            ent = seen.setdefault(
+                key,
+                {
+                    "fingerprint": key,
+                    "node": node.nodeName() + ": " + key_src.split("\n", 1)[0][:120],
+                    "weight": weight,
+                    "queries": set(),
+                },
+            )
+            ent["queries"].add(qname)
+        try:
+            for i in range(node.children().size()):
+                visit(node.children().apply(i), qname)
+        except Exception:
+            return
+
+    for qname, df in frames.items():
+        try:
+            visit(df._jdf.queryExecution().analyzed(), qname)  # type: ignore[attr-defined]
+        except Exception:
+            continue
+    out = [
+        {**e, "queries": sorted(e["queries"])}
+        for e in seen.values()
+        if len(e["queries"]) >= min_queries
+    ]
+    out.sort(key=lambda e: (-len(e["queries"]), -e["weight"], e["fingerprint"]))
+    return out[:top]

@@ -746,3 +746,45 @@ def test_stream_variant_telemetry_one_stateful_op(spark, sf_dir):
     r = plan_report(out)
     assert r["shuffle_joins"] == 0 and r["broadcast_joins"] == 0
     assert out.count() > 0
+
+
+def test_workload_reuse_report_finds_shared_subplans(spark, sf_dir):
+    """SparkCruise-style cross-query reuse detection: the three tokenize
+    queries share the repartitioned documents subplan; the two TPC-H
+    anchors share the lineitem scan; disjoint pairs report nothing."""
+    from sql_query_engine_rs_spark.plans import workload_reuse_report
+
+    frames = {
+        n: QUERIES[n].build(spark, sf_dir)
+        for n in [
+            "pipe_token_count",
+            "pipe_token_histogram",
+            "pipe_quality_score",
+            "ext_tpch_q1",
+            "ext_tpch_q6",
+        ]
+    }
+    rep = workload_reuse_report(frames)
+    assert rep, "expected shared subplans in the tokenize family"
+    tok3 = next(
+        (
+            e
+            for e in rep
+            if set(e["queries"])
+            >= {"pipe_token_count", "pipe_token_histogram", "pipe_quality_score"}
+        ),
+        None,
+    )
+    assert tok3 is not None and tok3["weight"] >= 2
+    li2 = next(
+        (e for e in rep if set(e["queries"]) >= {"ext_tpch_q1", "ext_tpch_q6"}), None
+    )
+    assert li2 is not None
+    # a disjoint workload has no common subplan of weight >= 2
+    disjoint = workload_reuse_report(
+        {
+            "a": QUERIES["ext_tpch_q6"].build(spark, sf_dir),
+            "b": QUERIES["pipe_token_count"].build(spark, sf_dir),
+        }
+    )
+    assert all(len(e["queries"]) < 2 for e in disjoint)
