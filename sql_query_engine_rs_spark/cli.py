@@ -75,7 +75,8 @@ def main() -> None:
         "sql-query-engine-rs-spark REPL — employee table pre-loaded.\n"
         "Meta: \\dt, \\load csv|parquet|json|orc <name> <path>, "
         "\\load memory <name> <schema> <json-rows>, \\explain <sql>, \\plan <sql>, "
-        "\\bench <query> [trials]. Ctrl-D or 'exit' quits.\n"
+        "\\bench <query> [trials], \\reuse <query> <query> [...]. "
+        "Ctrl-D or 'exit' quits.\n"
     )
     repl(db)
 

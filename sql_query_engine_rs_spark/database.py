@@ -141,6 +141,34 @@ class Database:
                 [(name, sf_dir, trials, round(times[0], 3), round(min(times[1:]), 3))],
                 "query string, sf_dir string, trials int, cold_sec double, steady_sec double",
             )
+        if parts[0] == "reuse":
+            # \reuse <query> <query> [...] — SparkCruise-style cross-query
+            # common-subplan report over registered queries: which subplans
+            # repeat across the named workload (materialization candidates).
+            if len(parts) < 3:
+                raise MetaCommandError(
+                    f"usage: \\reuse <query> <query> [...], got: {cmd}"
+                )
+            import os
+
+            from sql_query_engine_rs_spark.plans import workload_reuse_report
+            from sql_query_engine_rs_spark.queries import QUERIES
+
+            unknown = [n for n in parts[1:] if n not in QUERIES]
+            if unknown:
+                raise MetaCommandError(f"unknown queries: {unknown}")
+            sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            frames = {n: QUERIES[n].build(self.spark, sf_dir) for n in parts[1:]}
+            rep = workload_reuse_report(frames)
+            rows = [
+                (e["fingerprint"], e["weight"], len(e["queries"]),
+                 ",".join(e["queries"]), e["node"])
+                for e in rep
+            ] or [("(none)", 0, 0, "", "no shared subplan of weight >= 2")]
+            return self.spark.createDataFrame(
+                rows,
+                "fingerprint string, weight int, n_queries int, queries string, node string",
+            )
         if parts[0] == "load" and len(parts) >= 2 and parts[1] == "memory":
             # \load memory <name> <schema> <json-rows> — inline fixtures
             # without touching disk, e.g.:

@@ -144,3 +144,14 @@ def test_plan_meta_command_usage_error(db):
 
     with pytest.raises(MetaCommandError):
         db.run("\\plan")
+
+
+def test_reuse_meta_command(db, monkeypatch, sf_dir):
+    """\\reuse reports cross-query common subplans (SparkCruise-style) for
+    registered queries; bad inputs get usage errors, not tracebacks."""
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    out = run_script(db, "\\reuse pipe_token_count pipe_token_histogram\n")
+    assert "fingerprint weight n_queries queries node" in out
+    assert "pipe_token_count" in out and "Run Error" not in out
+    assert "usage" in run_script(db, "\\reuse pipe_token_count\n")
+    assert "unknown queries" in run_script(db, "\\reuse nope1 nope2\n")
