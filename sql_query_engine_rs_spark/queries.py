@@ -3283,7 +3283,8 @@ _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
 #   pipe_conformal_interval, pipe_skipgram_pairs,
 #   pipe_shard_coverage_curve, pipe_quantile_normalize,
 #   ext_variant_semistructured, pipe_observed_funnel_metrics,
-#   stream_variant_telemetry, pipe_class_balance_reweight
+#   stream_variant_telemetry, pipe_class_balance_reweight,
+#   pipe_slo_burn_rate, pipe_ldiversity_audit
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -20107,5 +20108,154 @@ def pipe_class_balance_reweight(spark, sf_dir):
         ),
         pround(F.col("n_total").cast("double") / (5.0 * F.col("n")), 6).alias(
             "inv_freq_weight"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SLO burn-rate alerting (multi-window, multi-burn-rate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_slo_burn_rate",
+    """WITH hourly AS (
+         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+                epoch(date_trunc('hour', ts)) AS h,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs
+         FROM events GROUP BY 1, 2),
+       win AS (
+         SELECT hour_ts, n, errs,
+                sum(errs) OVER w1 AS e1,  sum(n) OVER w1 AS n1,
+                sum(errs) OVER w6 AS e6,  sum(n) OVER w6 AS n6,
+                sum(errs) OVER w24 AS e24, sum(n) OVER w24 AS n24
+         FROM hourly
+         WINDOW w1 AS (ORDER BY h ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+                w6 AS (ORDER BY h ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                w24 AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT hour_ts,
+              FLOOR((CAST(e1 AS DOUBLE) / n1 / 0.25) * 1e6 + 0.5) / 1e6 AS burn_1h,
+              FLOOR((CAST(e6 AS DOUBLE) / n6 / 0.25) * 1e6 + 0.5) / 1e6 AS burn_6h,
+              FLOOR((CAST(e24 AS DOUBLE) / n24 / 0.25) * 1e6 + 0.5) / 1e6 AS burn_24h,
+              (CAST(e1 AS DOUBLE) / n1 / 0.25 > 1.3
+               AND CAST(e6 AS DOUBLE) / n6 / 0.25 > 1.15) AS page_alert,
+              (CAST(e6 AS DOUBLE) / n6 / 0.25 > 1.1
+               AND CAST(e24 AS DOUBLE) / n24 / 0.25 > 1.05) AS ticket_alert
+       FROM win""",
+)
+def pipe_slo_burn_rate(spark, sf_dir):
+    """Multi-window multi-burn-rate SLO alerting (the Google SRE workbook
+    pattern): with an error-budget SLO of 75% non-error (this synthetic
+    feed runs ~20% errors by construction, so the budget is 25%), the
+    burn rate in trailing 1 h / 6 h / 24 h windows is error_ratio /
+    budget, and an alert fires only when BOTH a fast and a slow window
+    burn hot — fast-only ignores blips, slow-only catches smolder; the
+    pairing is what kills flappy paging. Thresholds here (1.3/1.15 page,
+    1.1/1.05 ticket) are scaled to the feed's variance; production uses
+    14.4/6 and 3/1 against a 99.9% SLO — the QUERY SHAPE is the
+    deliverable (cf. pipe_ewma_anomaly / stream_ewma_monitor for the
+    statistical-control cousins).
+
+    Scale: one conditional hourly aggregate collapses the corpus to
+    ~hours rows; the three trailing windows run over that tiny ordered
+    frame (aggregate-first-window-second, the ext_events_window rule).
+
+    Reference: extension beyond /root/reference scope."""
+    from pyspark.sql import Window
+
+    e = events_table(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("_h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).cast("long").alias("errs"),
+    )
+    w = lambda k: Window.orderBy("_h").rowsBetween(-(k - 1), 0)
+    budget = 0.25
+    br = lambda e_, n_: e_.cast("double") / n_ / budget
+    out = hourly.select(
+        F.col("_h").cast("string").alias("hour_ts"),
+        (F.sum("errs").over(w(1))).alias("e1"), F.sum("n").over(w(1)).alias("n1"),
+        (F.sum("errs").over(w(6))).alias("e6"), F.sum("n").over(w(6)).alias("n6"),
+        (F.sum("errs").over(w(24))).alias("e24"), F.sum("n").over(w(24)).alias("n24"),
+    )
+    return out.select(
+        "hour_ts",
+        pround(br(F.col("e1"), F.col("n1")), 6).alias("burn_1h"),
+        pround(br(F.col("e6"), F.col("n6")), 6).alias("burn_6h"),
+        pround(br(F.col("e24"), F.col("n24")), 6).alias("burn_24h"),
+        ((br(F.col("e1"), F.col("n1")) > 1.3) & (br(F.col("e6"), F.col("n6")) > 1.15)).alias("page_alert"),
+        ((br(F.col("e6"), F.col("n6")) > 1.1) & (br(F.col("e24"), F.col("n24")) > 1.05)).alias("ticket_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the k-anonymity companion
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_ldiversity_audit",
+    """WITH t AS (
+         SELECT c_nationkey, c_mktsegment,
+                CASE WHEN c_acctbal < 0 THEN 'neg'
+                     WHEN c_acctbal < 4500 THEN 'mid' ELSE 'high' END AS bal_class
+         FROM customer),
+       g AS (
+         SELECT c_nationkey, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS k_size,
+                CAST(count(DISTINCT bal_class) AS BIGINT) AS l_distinct,
+                CAST(max(cnt) AS BIGINT) AS max_class
+         FROM (SELECT c_nationkey, c_mktsegment, bal_class,
+                      count(*) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_class) AS cnt
+               FROM t) x
+         GROUP BY c_nationkey, c_mktsegment)
+       SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(sum(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT) AS l_violations,
+              CAST(sum(CASE WHEN k_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS k_violations,
+              CAST(min(l_distinct) AS BIGINT) AS min_l,
+              FLOOR((max(CAST(max_class AS DOUBLE) / k_size)) * 1e6 + 0.5) / 1e6 AS worst_homogeneity
+       FROM g""",
+)
+def pipe_ldiversity_audit(spark, sf_dir):
+    """l-diversity audit over quasi-identifier groups — the privacy-family
+    leg that k-anonymity misses (cf. pipe_kanonymity_audit, leg #1;
+    pipe_dp_count_noise, leg #3): a group can be k-anonymous yet leak its
+    SENSITIVE attribute if every member shares one value (the
+    homogeneity attack). Quasi-identifiers (nation, segment); sensitive
+    = account-balance class. Reports group count, l<2 violations, k<5
+    violations, the corpus minimum l, and the worst within-group
+    homogeneity (max class share — 1.0 means some group is fully
+    disclosed).
+
+    Scale: one window + two grouped aggregates, all keyed on the
+    quasi-identifier — group count is bounded by the QI domain, not the
+    corpus.
+
+    Reference: extension beyond /root/reference scope."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 4500, "mid")
+        .otherwise("high")
+        .alias("bal_class"),
+    )
+    g = (
+        c.groupBy("c_nationkey", "c_mktsegment", "bal_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("long").alias("k_size"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.max("cnt").cast("long").alias("max_class"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("l_distinct") < 2).cast("int")).cast("long").alias("l_violations"),
+        F.sum((F.col("k_size") < 5).cast("int")).cast("long").alias("k_violations"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+        pround(F.max(F.col("max_class").cast("double") / F.col("k_size")), 6).alias(
+            "worst_homogeneity"
         ),
     )
