@@ -3231,6 +3231,29 @@ _ROUND6_STAGED = [
 # the new binary even though the old row is green (max_band_size=256 is now
 # explicit at every duplicate_clusters site — output unchanged at test SFs).
 _FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
+# The re-row demand is satisfied once the driver has verified the round
+# that carries the changed code: after CORRECTNESS_r{_FORCE_REROW_ROUND}
+# exists, these entries stop pinning window slots (the self-staging
+# ordering then treats them like any other green entry).
+_FORCE_REROW_ROUND = 6
+
+
+def _latest_driver_round() -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")]
+        try:
+            rounds.append(int(stem))
+        except ValueError:
+            continue
+    return max(rounds, default=0)
+
+
+def _active_force_rerow() -> list[str]:
+    if _latest_driver_round() >= _FORCE_REROW_ROUND:
+        return []
+    return _FORCE_REROW
 
 # Round-7 staging head (this round's window was already full at 50): the
 # late-round-6 additions below are locally oracle-green (vanilla-session
@@ -3346,7 +3369,7 @@ def _driver_green_names() -> set[str]:
 def _ordered_names() -> list[str]:
     green = _driver_green_names()
     head = [n for n in _ROUND6_STAGED if n in QUERIES and n not in green]
-    head += [n for n in _FORCE_REROW if n in QUERIES and n not in head]
+    head += [n for n in _active_force_rerow() if n in QUERIES and n not in head]
     in_head = set(head)
     unchecked = [n for n in QUERIES if n not in green and n not in in_head]
     pad = [n for n in _STALE_COHORT if n in QUERIES and n not in in_head]

@@ -7,8 +7,11 @@ from __future__ import annotations
 
 from sql_query_engine_rs_spark.queries import (
     _FORCE_REROW,
+    _FORCE_REROW_ROUND,
     _WINDOW_SIZE,
+    _active_force_rerow,
     _driver_green_names,
+    _latest_driver_round,
     _ordered_names,
     QUERIES,
 )
@@ -17,7 +20,7 @@ from sql_query_engine_rs_spark.queries import (
 def test_window_spends_slots_on_unchecked_entries():
     green = _driver_green_names()
     window = _ordered_names()[:_WINDOW_SIZE]
-    wasted = [n for n in window if n in green and n not in _FORCE_REROW]
+    wasted = [n for n in window if n in green and n not in _active_force_rerow()]
     assert not wasted, f"green entries occupying window slots: {wasted}"
 
 
@@ -25,8 +28,17 @@ def test_window_is_full_while_unchecked_entries_remain():
     green = _driver_green_names()
     unchecked = [n for n in QUERIES if n not in green]
     window = _ordered_names()[:_WINDOW_SIZE]
-    expected = min(_WINDOW_SIZE, len(unchecked) + len(_FORCE_REROW))
+    expected = min(_WINDOW_SIZE, len(unchecked) + len(_active_force_rerow()))
     assert len(window) >= expected
+
+
+def test_force_rerow_expires_after_its_round():
+    """Once the driver has verified the round carrying the changed code,
+    the re-row pins must stop occupying window slots."""
+    if _latest_driver_round() >= _FORCE_REROW_ROUND:
+        assert _active_force_rerow() == []
+    else:
+        assert _active_force_rerow() == _FORCE_REROW
 
 
 def test_ordering_is_a_permutation_of_the_registry():
