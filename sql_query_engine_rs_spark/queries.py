@@ -3307,7 +3307,7 @@ def _active_force_rerow() -> list[str]:
 #   pipe_shard_coverage_curve, pipe_quantile_normalize,
 #   ext_variant_semistructured, pipe_observed_funnel_metrics,
 #   stream_variant_telemetry, pipe_class_balance_reweight,
-#   pipe_slo_burn_rate, pipe_ldiversity_audit
+#   pipe_slo_burn_rate, pipe_ldiversity_audit, pipe_group_sequential_test
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -20282,3 +20282,112 @@ def pipe_ldiversity_audit(spark, sf_dir):
             "worst_homogeneity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential A/B monitoring (O'Brien–Fleming boundaries)
+# ---------------------------------------------------------------------------
+
+# two-sided alpha=0.05, 4 equally-spaced looks: c/sqrt(k/4) with c = 2.024
+_OBF_BOUNDS = {1: 4.049, 2: 2.863, 3: 2.338, 4: 2.024}
+
+
+def _gst_oracle() -> str:
+    arm = (
+        "((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 48 - "
+        "CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 + "
+        "(ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 48 - "
+        "CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) >= 97 THEN 39 ELSE 0 END)) % 2"
+    )
+    looks = []
+    for k in (1, 2, 3, 4):
+        b = _OBF_BOUNDS[k]
+        looks.append(f"""
+       SELECT {k} AS look, n0, n1, z,
+              CAST({b} AS DOUBLE) AS obf_bound, abs(z) > {b} AS crossed
+       FROM (
+         SELECT CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
+                CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+                FLOOR(((sum(CASE WHEN arm = 1 THEN v END) / count(CASE WHEN arm = 1 THEN 1 END)
+                        - sum(CASE WHEN arm = 0 THEN v END) / count(CASE WHEN arm = 0 THEN 1 END))
+                       / sqrt(
+                           ((sum(CASE WHEN arm = 0 THEN v * v END)
+                             - sum(CASE WHEN arm = 0 THEN v END) * sum(CASE WHEN arm = 0 THEN v END)
+                               / count(CASE WHEN arm = 0 THEN 1 END))
+                            / (count(CASE WHEN arm = 0 THEN 1 END) - 1))
+                           / count(CASE WHEN arm = 0 THEN 1 END)
+                           + ((sum(CASE WHEN arm = 1 THEN v * v END)
+                               - sum(CASE WHEN arm = 1 THEN v END) * sum(CASE WHEN arm = 1 THEN v END)
+                                 / count(CASE WHEN arm = 1 THEN 1 END))
+                              / (count(CASE WHEN arm = 1 THEN 1 END) - 1))
+                             / count(CASE WHEN arm = 1 THEN 1 END))) * 1e4 + 0.5) / 1e4 AS z
+         FROM armed, bounds WHERE t <= mn + (mx - mn) * {k} / 4.0) s{k}""")
+    body = "\n       UNION ALL".join(looks)
+    return f"""WITH armed AS (
+         SELECT {arm} AS arm, value AS v, floor(epoch(ts)) AS t FROM events),
+       bounds AS (SELECT min(t) AS mn, max(t) AS mx FROM armed)
+       {body}"""
+
+
+@register("pipe_group_sequential_test", _gst_oracle())
+def pipe_group_sequential_test(spark, sf_dir):
+    """Group-sequential A/B monitoring with O'Brien–Fleming boundaries —
+    the fix for the peeking problem (naive repeated z>1.96 checks inflate
+    false positives ~3-4x over 4 looks): at each of four equally-spaced
+    interim looks the Welch z of the value metric is compared against the
+    OBF spend c/√(k/4) (4.05, 2.86, 2.34, 2.02), which is nearly
+    unspendable early and converges to the fixed-horizon bound at the
+    final look. Arms are the md5-parity assignment of pipe_ab_srm_check;
+    on these exchangeable synthetic arms no boundary should cross — the
+    harness's own null check. Completes the experimentation family
+    (SRM → CUPED → ratio-metric delta → power → sequential monitoring).
+
+    Scale: each look is ONE conditional-aggregate scan bounded by the
+    look's time cutoff (in production the looks are incremental reads of
+    an aggregate table, not rescans); all moments are mergeable sums.
+
+    Reference: extension beyond /root/reference scope."""
+    e = events_table(spark, sf_dir)
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 2
+    )
+    armed = e.select(
+        arm.alias("arm"),
+        F.col("value").alias("v"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    armed = persist_tracked(armed)
+    b = armed.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).collect()[0]
+    mn, mx = int(b["mn"]), int(b["mx"])
+    outs = []
+    for k in (1, 2, 3, 4):
+        cut = mn + (mx - mn) * k / 4.0
+        look = armed.filter(F.col("t") <= cut)
+        c0 = F.count(F.when(F.col("arm") == 0, 1))
+        c1 = F.count(F.when(F.col("arm") == 1, 1))
+        s0 = F.sum(F.when(F.col("arm") == 0, F.col("v")))
+        s1 = F.sum(F.when(F.col("arm") == 1, F.col("v")))
+        q0 = F.sum(F.when(F.col("arm") == 0, F.col("v") * F.col("v")))
+        q1 = F.sum(F.when(F.col("arm") == 1, F.col("v") * F.col("v")))
+        var0 = (q0 - s0 * s0 / c0) / (c0 - 1)
+        var1 = (q1 - s1 * s1 / c1) / (c1 - 1)
+        z = (s1 / c1 - s0 / c0) / F.sqrt(var0 / c0 + var1 / c1)
+        bound = _OBF_BOUNDS[k]
+        outs.append(
+            look.agg(
+                F.lit(k).alias("look"),
+                c0.cast("long").alias("n0"),
+                c1.cast("long").alias("n1"),
+                pround(z, 4).alias("z"),
+                F.lit(bound).alias("obf_bound"),
+                (F.abs(pround(z, 4)) > bound).alias("crossed"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
