@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "pipe_slo_burn_rate",
     "pipe_ldiversity_audit",
     "pipe_group_sequential_test",
+    "pipe_cem_att",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

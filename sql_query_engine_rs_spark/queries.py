@@ -3307,7 +3307,8 @@ def _active_force_rerow() -> list[str]:
 #   pipe_shard_coverage_curve, pipe_quantile_normalize,
 #   ext_variant_semistructured, pipe_observed_funnel_metrics,
 #   stream_variant_telemetry, pipe_class_balance_reweight,
-#   pipe_slo_burn_rate, pipe_ldiversity_audit, pipe_group_sequential_test
+#   pipe_slo_burn_rate, pipe_ldiversity_audit, pipe_group_sequential_test,
+#   pipe_cem_att
 # (plus any added after this comment; see SURVEY.md round-6 session log.)
 # NOTE round 7+: the hand-maintained staging above is now a fallback —
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
@@ -20391,3 +20392,121 @@ def pipe_group_sequential_test(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Coarsened exact matching — observational ATT estimate
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_cem_att",
+    """WITH u AS (
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INT) AS treated,
+                sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS outcome
+         FROM events GROUP BY user_id),
+       c AS (SELECT treated, outcome,
+                    LEAST(9, CAST(n_events / 5 AS BIGINT)) AS stratum
+             FROM u),
+       s AS (
+         SELECT stratum,
+                CAST(count(CASE WHEN treated = 1 THEN 1 END) AS BIGINT) AS nt,
+                CAST(count(CASE WHEN treated = 0 THEN 1 END) AS BIGINT) AS nc,
+                sum(CASE WHEN treated = 1 THEN outcome END) AS st,
+                sum(CASE WHEN treated = 0 THEN outcome END) AS sc
+         FROM c GROUP BY stratum),
+       m AS (SELECT * FROM s WHERE nt > 0 AND nc > 0),
+       att AS (
+         SELECT CAST(sum(nt) AS BIGINT) AS n_treated_matched,
+                FLOOR((sum(nt * (st / nt - sc / nc)) / sum(nt)) * 1e4 + 0.5) / 1e4 AS att
+         FROM m),
+       raw AS (
+         SELECT FLOOR((sum(CASE WHEN treated = 1 THEN outcome END) / count(CASE WHEN treated = 1 THEN 1 END)
+                       - sum(CASE WHEN treated = 0 THEN outcome END) / count(CASE WHEN treated = 0 THEN 1 END))
+                      * 1e4 + 0.5) / 1e4 AS naive_diff
+         FROM c),
+       drop_t AS (
+         SELECT CAST(COALESCE(sum(CASE WHEN nc = 0 THEN nt END), 0) AS BIGINT) AS n_treated_unmatched
+         FROM s)
+       SELECT n_treated_matched, n_treated_unmatched, att, naive_diff,
+              CAST((SELECT count(*) FROM m) AS BIGINT) AS n_strata_matched
+       FROM att, drop_t, raw""",
+)
+def pipe_cem_att(spark, sf_dir):
+    """Coarsened-exact-matching ATT — the observational-causal leg beside
+    the randomized family (SRM/CUPED/sequential) and DiD: "treated" =
+    users with a signup event, outcome = purchase spend, confounder =
+    activity level coarsened into strata of 5 events (capped at 10 bins).
+    Within each stratum that contains BOTH groups, the treated-vs-control
+    mean difference is computed and pooled with treated-count weights
+    (the ATT estimand); strata with no controls are REPORTED as
+    unmatched, not silently imputed (CEM's honesty property), and the
+    naive unmatched difference is printed beside the matched one so the
+    confounding correction is visible — activity drives both signup
+    probability and spend, which is exactly what the stratification
+    removes.
+
+    Scale: one per-user conditional aggregate, one strata-sized groupBy,
+    and scalar pooling — no joins wider than the strata frame; coarsening
+    choices are literals, the 100 TB plan is unchanged.
+
+    Reference: extension beyond /root/reference scope."""
+    e = events_table(spark, sf_dir)
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max((F.col("event_type") == "signup").cast("int")).alias("treated"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("outcome"),
+    )
+    c = u.select(
+        "treated",
+        "outcome",
+        F.least(F.lit(9), (F.col("n_events") / 5).cast("long")).alias("stratum"),
+    )
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+
+    c = persist_tracked(c)
+    s = c.groupBy("stratum").agg(
+        F.count(F.when(F.col("treated") == 1, 1)).cast("long").alias("nt"),
+        F.count(F.when(F.col("treated") == 0, 1)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("outcome"))).alias("st"),
+        F.sum(F.when(F.col("treated") == 0, F.col("outcome"))).alias("sc"),
+    )
+    s = persist_tracked(s)
+    m = s.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    att = m.agg(
+        F.sum("nt").cast("long").alias("n_treated_matched"),
+        pround(
+            F.sum(F.col("nt") * (F.col("st") / F.col("nt") - F.col("sc") / F.col("nc")))
+            / F.sum("nt"),
+            4,
+        ).alias("att"),
+        F.count(F.lit(1)).cast("long").alias("n_strata_matched"),
+    )
+    raw = c.agg(
+        pround(
+            F.sum(F.when(F.col("treated") == 1, F.col("outcome")))
+            / F.count(F.when(F.col("treated") == 1, 1))
+            - F.sum(F.when(F.col("treated") == 0, F.col("outcome")))
+            / F.count(F.when(F.col("treated") == 0, 1)),
+            4,
+        ).alias("naive_diff")
+    )
+    drop_t = s.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("nc") == 0, F.col("nt"))), F.lit(0)
+        ).cast("long").alias("n_treated_unmatched")
+    )
+    return (
+        att.crossJoin(F.broadcast(drop_t))
+        .crossJoin(F.broadcast(raw))
+        .select(
+            "n_treated_matched",
+            "n_treated_unmatched",
+            "att",
+            "naive_diff",
+            "n_strata_matched",
+        )
+    )
