@@ -73,7 +73,7 @@ def main() -> None:
     load_employee(db)
     sys.stdout.write(
         "sql-query-engine-rs-spark REPL — employee table pre-loaded.\n"
-        "Meta: \\dt, \\load csv|parquet|json|orc <name> <path>, "
+        "Meta: \\dt, \\d <table>, \\load csv|parquet|json|orc <name> <path>, "
         "\\load memory <name> <schema> <json-rows>, \\explain <sql>, \\plan <sql>, "
         "\\bench <query> [trials], \\reuse <query> <query> [...]. "
         "Ctrl-D or 'exit' quits.\n"

@@ -104,6 +104,20 @@ class Database:
         parts = shlex.split(cmd[1:])
         if parts[0] == "dt":
             return self.catalog.show_tables()
+        if parts[0] == "d":
+            # \d <table> — per-column schema (Postgres-style describe):
+            # name, Spark SQL type, nullability. Errors through CatalogError
+            # for unknown tables, same as every catalog lookup.
+            if len(parts) != 2:
+                raise MetaCommandError(f"usage: \\d <table>, got: {cmd}")
+            df = self.catalog.get_table(parts[1])
+            rows = [
+                (f.name, f.dataType.simpleString(), bool(f.nullable))
+                for f in df.schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "column string, type string, nullable boolean"
+            )
         if parts[0] == "bench":
             # \bench <registered-query> [trials] — one-query min-of-warm
             # micro-bench with the same method as bench.py: full

@@ -155,3 +155,13 @@ def test_reuse_meta_command(db, monkeypatch, sf_dir):
     assert "pipe_token_count" in out and "Run Error" not in out
     assert "usage" in run_script(db, "\\reuse pipe_token_count\n")
     assert "unknown queries" in run_script(db, "\\reuse nope1 nope2\n")
+
+
+def test_describe_meta_command(db):
+    """\\d <table> renders per-column name/type/nullability; unknown tables
+    and bad arity get catalog/usage errors, not tracebacks."""
+    out = run_script(db, "\\d employee\n")
+    assert "column type nullable" in out and "Run Error" not in out
+    assert "salary" in out
+    assert "table not found" in run_script(db, "\\d nope\n")
+    assert "usage" in run_script(db, "\\d\n")
