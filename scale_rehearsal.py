@@ -160,6 +160,11 @@ HEAVY = [
     "pipe_bpe_merge_train",
     "pipe_centroid_classifier",
     "stream_late_data_drop",
+    # round-6 session 4: skip-gram pair extraction is the session's one
+    # explode-heavy text op (posexplode + subsample + window self-join);
+    # the suffixed-copy corpus multiplies docs, vocab and pairs by the
+    # copy count, so linear is the expected read.
+    "pipe_skipgram_pairs",
     # round-6 session 4: the method-triangulation audit runs BOTH pair
     # generators (MinHash-LSH banding + SimHash Hamming blocking) plus a
     # full-outer set compare on (lo, hi) pair keys — expected linear, since
