@@ -463,6 +463,30 @@ def test_bench_set_is_registered(spark, sf_dir):
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES), "duplicate bench entries"
 
 
+def test_bench_stdout_line_stays_driver_safe():
+    """The driver captures bench.py's ONE stdout line and has twice lost the
+    headline number to line growth (BENCH_r05/r06 parsed: null — the line
+    inlined 253 per-query values and the capture kept only the tail). Pin
+    the serialized summary line under 2 KB even at full registry scale so
+    per-query data can never creep back onto the capture surface."""
+    import json as _json
+
+    import bench
+
+    # worst-case shape: every registered bench query present with a 4-char
+    # name-collision-free value; slowest-5 capped by construction
+    times = {n: 123.456 for n in bench.BENCH_QUERIES}
+    cold = {n: 456.789 for n in bench.BENCH_QUERIES}
+    sorted_times = sorted(times.values())
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    line = _json.dumps(bench.summary_line(times, cold, sorted_times, slowest, 0.1))
+    assert len(line) < 2000, f"bench stdout line {len(line)} bytes — driver-unsafe"
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_time"
+    assert parsed["value"] > 0 and parsed["unit"] == "sec"
+    assert len(parsed["queries"]) <= 5
+
+
 def test_knn_graph_skinny_bucket_join(spark, sf_dir):
     """The k-NN graph's within-bucket self-join must move only (id, bucket)
     pairs — no hash exchange may carry the embedding array; the vectors
