@@ -309,6 +309,12 @@ BENCH_QUERIES = [
     "pipe_ldiversity_audit",
     "pipe_group_sequential_test",
     "pipe_cem_att",
+    # round-7 additions (registration freeze round — only the auto-default
+    # twins the verdict ordered): the derived-k SemDeDup, the derived-planes
+    # near-dup, and the distributed zorder range-bucket write audit
+    "pipe_semdedup_auto_k",
+    "pipe_embedding_near_dup_auto",
+    "pipe_zorder_range_layout",
     # pipe_curation_funnel is deliberately NOT here: it is a 6-stage
     # composite of primitives that are each benched individually (quality,
     # dedup, minhash+components, decontaminate), and its ~11 s composite

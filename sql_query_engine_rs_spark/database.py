@@ -171,6 +171,19 @@ class Database:
             unknown = [n for n in parts[1:] if n not in QUERIES]
             if unknown:
                 raise MetaCommandError(f"unknown queries: {unknown}")
+            # \reuse presents as a pure plan-fingerprint report, but
+            # build() on stream_* entries (and eagerly-checkpointing
+            # builders) EXECUTES work — drains streams, writes temp dirs,
+            # sets/restores confs. Streaming plans also have no stable
+            # batch subplan to fingerprint, so reject them outright
+            # rather than execute a "read-only" command's side effects.
+            streams = [n for n in parts[1:] if n.startswith("stream_")]
+            if streams:
+                raise MetaCommandError(
+                    f"\\reuse does not accept streaming queries {streams}: "
+                    "building a stream_* entry executes its drain; "
+                    "fingerprints only apply to batch plans"
+                )
             sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
             frames = {n: QUERIES[n].build(self.spark, sf_dir) for n in parts[1:]}
             rep = workload_reuse_report(frames)

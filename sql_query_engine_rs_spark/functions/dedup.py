@@ -931,9 +931,30 @@ def connected_components(
     sc = pairs.sparkSession.sparkContext
     if reliable_checkpoint:
         if sc.getCheckpointDir() is None:
+            import atexit
+            import shutil
             import tempfile
+            import warnings
 
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc_checkpoint_"))
+            tmp = tempfile.mkdtemp(prefix="cc_checkpoint_")
+            # A driver-local temp dir defeats the flag's purpose (reliable
+            # checkpoints exist to survive EXECUTOR loss, which needs a
+            # shared store) — and Spark never deletes reliable checkpoint
+            # files (spark.cleaner.referenceTracking.cleanCheckpoints
+            # defaults to false), so per-iteration label frames would
+            # otherwise accumulate across runs. Warn loudly and reap the
+            # temp dir at interpreter exit, when no returned frame can
+            # still be reading from it.
+            warnings.warn(
+                "connected_components(reliable_checkpoint=True) with no "
+                "sc.setCheckpointDir configured: falling back to driver-local "
+                f"{tmp}, which is NOT executor-loss-safe on a real cluster — "
+                "set a shared (HDFS/S3) checkpoint dir in production",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+            sc.setCheckpointDir(tmp)
 
         def _truncate(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)

@@ -238,11 +238,19 @@ def ewma_stateful(
             if n_seen == 0:
                 e = x
             else:
-                dev = abs(x - e) / e
-                if dev > dev_threshold:
-                    n_anom += 1
-                if dev > maxdev:
-                    maxdev = dev
+                # e == 0 guard: the batch twin's SQL (pipe_ewma_anomaly)
+                # divides abs(x-e)/e, which is NULL at e=0 — NULL > thresh
+                # is false and greatest(maxdev, NULL) keeps maxdev, i.e.
+                # the anomaly checks are silently skipped. Mirror that
+                # contract instead of raising ZeroDivisionError on a
+                # zero-valued carry (possible on gauge series even though
+                # the registry's count series are always >= 1).
+                if e != 0.0:
+                    dev = abs(x - e) / e
+                    if dev > dev_threshold:
+                        n_anom += 1
+                    if dev > maxdev:
+                        maxdev = dev
                 e = alpha * x + (1.0 - alpha) * e
             n_seen += 1
         return e, n_anom, maxdev, n_seen

@@ -155,6 +155,11 @@ def test_reuse_meta_command(db, monkeypatch, sf_dir):
     assert "pipe_token_count" in out and "Run Error" not in out
     assert "usage" in run_script(db, "\\reuse pipe_token_count\n")
     assert "unknown queries" in run_script(db, "\\reuse nope1 nope2\n")
+    # stream_* entries are rejected: \reuse presents as a pure report, but
+    # building a streaming entry executes its drain (side effects)
+    assert "does not accept streaming" in run_script(
+        db, "\\reuse pipe_token_count stream_sliding_windows\n"
+    )
 
 
 def test_describe_meta_command(db):

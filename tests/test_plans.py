@@ -677,6 +677,22 @@ def test_zorder_layout_no_python_and_three_sorts(spark, sf_dir):
     assert "SinglePartition" in formatted
 
 
+def test_zorder_range_layout_fully_distributed(spark, sf_dir):
+    """The production-path twin (pipe_zorder_range_layout) must have NO
+    single-task stage: value-range bucketing replaces the exact global
+    row_number chunking, so the plan may contain no global-order Window
+    and no SinglePartition exchange at all (the 1-row stats aggregate
+    plans as partial-agg -> regular exchange -> broadcast). Also stays
+    JVM-side end to end."""
+    df = QUERIES["pipe_zorder_range_layout"].build(spark, sf_dir)
+    formatted = explain_str(df, "formatted")
+    assert "BatchEvalPython" not in formatted and "ArrowEvalPython" not in formatted
+    import re
+
+    assert not re.findall(r"\(\d+\) Window\b", formatted), "unexpected Window"
+    assert "Exchange SinglePartition" not in formatted
+
+
 def test_bucketed_join_no_exchange(spark, sf_dir):
     """The bucketed-table join must be exchange-free: both sides written
     bucketBy(8, orderkey), so the SortMergeJoin reads bucket files aligned
