@@ -172,7 +172,16 @@ HEAVY = [
     # by pair ids (skinny). The session's other additions (bradley_terry /
     # fleiss_kappa / sinkhorn_ot / token_budget_mix) are single-scan +
     # bounded-scalar shapes and are not worth rehearsal wall-clock.
+    # (Round 7: the compare exchange is now volume_scaled_partitions-sized;
+    # the round-6 x100/x30 = 4.1 was pair-key width at 32 fixed partitions.)
     "pipe_dedup_method_agreement",
+    # round 7: record_linkage is rehearsable now that its blocking scales
+    # with N — the capped (nation x segment) arm drops flooded blocks at
+    # rehearsal scale and the digits-key numeric-token arm (bucket size ~2
+    # at any N, thanks to the per-copy name remap above) carries recall;
+    # expected linear. Before this fix the fixed blocking key made the op
+    # the documented quadratic and it was deliberately excluded.
+    "pipe_record_linkage",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
@@ -275,6 +284,27 @@ def build_data(spark, copies: int) -> None:
         ),
         "lineitem": lambda df, c: df.withColumn(
             "l_orderkey", F.col("l_orderkey") + F.lit(c * OFFSET)
+        ),
+        # customer scaling (round 7, for pipe_record_linkage): the NAME must
+        # track the remapped key — record_linkage's numeric-token blocking
+        # keys on the digits of c_name, so copies keeping identical names
+        # would collide `copies` originals per digits bucket (quadratic
+        # in-bucket growth that measures the corpus construction, not the
+        # operator). Copy 0 keeps the original 9-digit names; copies c>0
+        # rewrite to Customer#<15-digit new key> — same prefix shape, so
+        # the corruption classes (delete char 5 / '#'->'=' / append 'x')
+        # behave identically.
+        "customer": lambda df, c: df.select(
+            (F.col("c_custkey") + F.lit(c * OFFSET)).alias("c_custkey"),
+            (
+                F.col("c_name")
+                if c == 0
+                else F.concat(
+                    F.lit("Customer#"),
+                    F.lpad((F.col("c_custkey") + F.lit(c * OFFSET)).cast("string"), 15, "0"),
+                ).alias("c_name")
+            ),
+            *[f for f in df.columns if f not in ("c_custkey", "c_name")],
         ),
     }
     for tbl, remap in plans.items():
