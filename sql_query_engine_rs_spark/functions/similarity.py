@@ -325,8 +325,13 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_rank: bool = False,
 ) -> DataFrame:
     """Attach each vector's ``nprobe`` nearest centroid ids (cosine).
+    ``keep_rank=True`` (nprobe>1 path only) retains the probe order as
+    ``probe_rank`` (1 = nearest cell) — a single max-nprobe assignment
+    then serves every smaller nprobe by filtering ``probe_rank <= p``,
+    which is what makes a one-pass nprobe sweep possible.
 
     Scoring is a broadcast cross join (N·k rows); the reduction to the
     nearest cell(s) is where scale is won or lost:
@@ -355,11 +360,14 @@ def ivf_assign(
         "*", cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_cscore").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= nprobe)
-        .drop("_centroid", "_cscore", "_crank")
+    ranked = scored.withColumn("_crank", F.row_number().over(w)).filter(
+        F.col("_crank") <= nprobe
     )
+    if keep_rank:
+        return ranked.withColumnRenamed("_crank", "probe_rank").drop(
+            "_centroid", "_cscore"
+        )
+    return ranked.drop("_centroid", "_cscore", "_crank")
 
 
 def ivf_assign_two_level(

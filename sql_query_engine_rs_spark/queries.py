@@ -5328,28 +5328,64 @@ def pipe_ann_nprobe_sweep(spark, sf_dir):
     codebook ('measure, don't guess' applied to the index's own knob; at
     nprobe = num_centroids the arm is exhaustive and recall must hit 1.0,
     which doubles as an end-to-end self-check of the cell routing). Scale
-    shape: the exact reference is query-bounded (20 queries broadcast), the
-    four probe arms reuse the IVF cell join, and everything collapses to a
-    4-row report — the sweep costs ~4 probe passes regardless of corpus
-    size. The deterministic codebook is computed ONCE and shared across
-    all four arms (the cents param of ivf_topk) — the sweep costs one
-    codebook build + four probe passes."""
+    shape (round 7 — ONE corpus pass for the whole sweep, not four): the
+    corpus-cell assignment (N·num_centroids cosines, the dominant term)
+    and the candidate cosine scoring both run ONCE at the maximum nprobe,
+    with the query's probe ORDER retained (ivf_assign keep_rank); arm p
+    is then just ``probe_rank <= p`` + the per-query top-k window over
+    that one persisted candidate frame — identical rows to four separate
+    ivf_topk calls (same rounded cosine, same (cos desc, id) rank rule,
+    same cell routing), verified value-equal against the per-arm oracle.
+    The exact reference is query-bounded (20 queries broadcast) and
+    everything collapses to a 4-row report."""
     emb = t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 20)
     exact = S.brute_force_topk(emb, qv, k=5).select("query_id", "vec_id")
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
+    from sql_query_engine_rs_spark.functions.similarity import (
+        _ensure_parallelism,
+        cosine,
+    )
 
+    from pyspark.sql import Window
+
+    NPROBES, K, NQ = (1, 2, 4, 8), 5, 20
     cents = persist_tracked(S.ivf_centroids(emb, num_centroids=8, iterations=1))
+    corpus_cells = S.ivf_assign(
+        _ensure_parallelism(emb.select("vec_id", "embedding")), cents, nprobe=1
+    )
+    query_cells = S.ivf_assign(
+        qv.select("vec_id", "embedding"), cents, nprobe=max(NPROBES), keep_rank=True
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        "centroid_id",
+        "probe_rank",
+    )
+    cand = persist_tracked(
+        corpus_cells.join(F.broadcast(query_cells), on="centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "probe_rank",
+            pround(cosine(F.col("_qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     tagged = None
-    for np_ in (1, 2, 4, 8):
-        arm = S.ivf_topk(
-            emb, qv, k=5, num_centroids=8, nprobe=np_, cents=cents
-        ).select(F.lit(np_).alias("nprobe"), "query_id", "vec_id")
+    for np_ in NPROBES:
+        arm = (
+            cand.filter(F.col("probe_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select(F.lit(np_).alias("nprobe"), "query_id", "vec_id")
+        )
         tagged = arm if tagged is None else tagged.unionAll(arm)
     hits = tagged.join(exact, ["query_id", "vec_id"])
     return hits.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-        pround(F.count(F.lit(1)) / F.lit(100.0), 4).alias("recall"),
+        pround(F.count(F.lit(1)) / F.lit(float(NQ * K)), 4).alias("recall"),
     )
 
 
