@@ -1272,3 +1272,33 @@ def test_fk_integrity_detects_planted_orphans(spark, tmp_path):
     assert rows["lineitem->supplier"].n_orphans == 0
     assert rows["documents->embeddings"].n_orphans == 1     # doc_id 2
     assert rows["lineitem->orders"].n_child == 4
+
+
+def test_ivf_assign_keep_rank_contract(spark, sf_dir):
+    """ivf_assign(keep_rank=True) retains the probe ORDER: per vector the
+    probe_rank values are exactly 1..nprobe, rank 1 is the nprobe=1
+    nearest cell, and filtering probe_rank <= p reproduces the plain
+    nprobe=p assignment — the contract the one-pass nprobe sweep
+    (pipe_ann_nprobe_sweep) rests on."""
+    from sql_query_engine_rs_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    cents = ivf_centroids(emb, num_centroids=8)
+    ranked = ivf_assign(qv, cents, nprobe=4, keep_rank=True)
+    rows = ranked.select("vec_id", "centroid_id", "probe_rank").collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.probe_rank] = r.centroid_id
+    assert all(sorted(m) == [1, 2, 3, 4] for m in by_vec.values())
+    for p in (1, 2):
+        plain = ivf_assign(qv, cents, nprobe=p)
+        expect = {(r.vec_id, r.centroid_id) for r in plain.collect()}
+        got = {
+            (r.vec_id, r.centroid_id)
+            for r in ranked.filter(F.col("probe_rank") <= p).collect()
+        }
+        assert got == expect, f"probe_rank<={p} must equal nprobe={p}"
