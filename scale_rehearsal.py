@@ -182,6 +182,15 @@ HEAVY = [
     # expected linear. Before this fix the fixed blocking key made the op
     # the documented quadratic and it was deliberately excluded.
     "pipe_record_linkage",
+    # round 7: the two remaining new registered entries, measured rather
+    # than argued — the range-bucketed layout audit is two lineitem scans
+    # (1-row stats broadcast + bucket-assign/min-max, no global sort, the
+    # n log n exact-chunking entry's production twin, expected linear),
+    # and the auto-plane near-dup twin re-derives planes from count() so
+    # bucket populations stay ~64 as the corpus grows (expected linear;
+    # the rotated-copy corpus keeps the dup rate constant).
+    "pipe_zorder_range_layout",
+    "pipe_embedding_near_dup_auto",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
