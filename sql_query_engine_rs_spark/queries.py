@@ -58,6 +58,12 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A silent overwrite once shadowed a live entry's driver-verified
+        # definition (pipe_sequence_packing, rounds 2-6): the old rows
+        # stayed green while the code they verified was dead. Refuse
+        # duplicates outright so that class of bug cannot recur.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = QuerySpec(name, fn, oracle)
         return fn
 
@@ -951,15 +957,34 @@ def pipe_basket_lift(spark, sf_dir):
     1-row scalar; top-20 collapses to TakeOrderedAndProject. Ordering is
     on the 1e-6-ROUNDED lift (identical integer-ratio doubles on both
     engines) with (part_a, part_b) tie-breaks, so the cut is
-    deterministic cross-engine."""
+    deterministic cross-engine.
+
+    Every keyed exchange is volume_scaled_partitions-sized (round 8 —
+    the same fix measured on pipe_dedup_method_agreement): at the
+    session's fixed 32 shuffle partitions the distinct / self-join /
+    pair-group exchanges kept their width while the data grew, tipping
+    the stage into sort spill (measured x30/x10 = 5.73 fixed vs 3.43 at
+    128 partitions). The explicit same-width repartitions on the join
+    keys co-partition the self-join (no extra exchanges: 4 before, 4
+    after — now all ∝ input volume)."""
+    from sql_query_engine_rs_spark.functions.partitioning import volume_scaled_partitions
+
     li = t(spark, sf_dir, "lineitem")
-    items = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    nparts = volume_scaled_partitions(li)
+    items = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .repartition(nparts, "ok", "pk")
+        .distinct()
+    )
     tot = items.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
     freq = items.groupBy("pk").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    a = items.select(F.col("ok"), F.col("pk").alias("part_a"))
-    b = items.select(F.col("ok").alias("_okb"), F.col("pk").alias("part_b"))
+    a = items.select(F.col("ok"), F.col("pk").alias("part_a")).repartition(nparts, "ok")
+    b = items.select(F.col("ok").alias("_okb"), F.col("pk").alias("part_b")).repartition(
+        nparts, "_okb"
+    )
     pairs = (
         a.join(b, (F.col("ok") == F.col("_okb")) & (F.col("part_a") < F.col("part_b")))
+        .repartition(nparts, "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 3)
@@ -1283,59 +1308,84 @@ _MORTON_SPARK = " + ".join(
          SELECT l_partkey AS pk, l_suppkey AS sk,
                 {_MORTON_DUCK} AS mort
          FROM lineitem),
-       rng AS (
-         SELECT CAST(max(pk) - min(pk) AS DOUBLE) AS rp,
+       stats AS (
+         SELECT GREATEST(CAST(1 AS BIGINT), count(*) // 1000) AS nb,
+                min(pk) AS mn_p, max(pk) AS mx_p,
+                min(sk) AS mn_s, max(sk) AS mx_s,
+                min(mort) AS mn_m, max(mort) AS mx_m,
+                CAST(max(pk) - min(pk) AS DOUBLE) AS rp,
                 CAST(max(sk) - min(sk) AS DOUBLE) AS rs
          FROM base),
-       laid AS (
+       lb AS (
          SELECT 'by_partkey' AS layout, pk, sk,
-                row_number() OVER (ORDER BY pk, sk) AS rn FROM base
+                CAST(pk AS BIGINT) AS ok1, CAST(sk AS BIGINT) AS ok2,
+                ((pk - s.mn_p) * s.nb) // (s.mx_p - s.mn_p + 1) AS bucket
+         FROM base, stats s
          UNION ALL
          SELECT 'by_suppkey', pk, sk,
-                row_number() OVER (ORDER BY sk, pk) FROM base
+                CAST(sk AS BIGINT), CAST(pk AS BIGINT),
+                ((sk - s.mn_s) * s.nb) // (s.mx_s - s.mn_s + 1)
+         FROM base, stats s
          UNION ALL
          SELECT 'zorder', pk, sk,
-                row_number() OVER (ORDER BY mort) FROM base),
+                mort, CAST(0 AS BIGINT),
+                ((mort - s.mn_m) * s.nb) // (s.mx_m - s.mn_m + 1)
+         FROM base, stats s),
+       laid AS (
+         SELECT layout, pk, sk, bucket,
+                row_number() OVER (PARTITION BY layout, bucket
+                                   ORDER BY ok1, ok2) AS rn
+         FROM lb),
        chunks AS (
-         SELECT layout, (rn - 1) // 1000 AS chunk,
+         SELECT layout, bucket, (rn - 1) // 1000 AS lchunk,
                 min(pk) AS lo_p, max(pk) AS hi_p,
                 min(sk) AS lo_s, max(sk) AS hi_s
-         FROM laid GROUP BY 1, 2)
+         FROM laid GROUP BY 1, 2, 3)
        SELECT layout, CAST(count(*) AS BIGINT) AS n_chunks,
-              FLOOR(AVG((hi_p - lo_p) / rng.rp) * 1000000 + 0.5) / 1000000 AS mean_width_pk,
-              FLOOR(AVG((hi_s - lo_s) / rng.rs) * 1000000 + 0.5) / 1000000 AS mean_width_sk,
-              FLOOR(AVG((hi_p - lo_p) / rng.rp * (hi_s - lo_s) / rng.rs) * 1000000 + 0.5)
+              FLOOR(AVG((hi_p - lo_p) / s.rp) * 1000000 + 0.5) / 1000000 AS mean_width_pk,
+              FLOOR(AVG((hi_s - lo_s) / s.rs) * 1000000 + 0.5) / 1000000 AS mean_width_sk,
+              FLOOR(AVG((hi_p - lo_p) / s.rp * (hi_s - lo_s) / s.rs) * 1000000 + 0.5)
                 / 1000000 AS mean_area
-       FROM chunks, rng GROUP BY layout""",
+       FROM chunks, stats s GROUP BY layout""",
 )
 def pipe_zorder_layout(spark, sf_dir):
     """Data-layout / data-skipping experiment — the write-time decision
     that dominates 100 TB scan cost: lay the fact table out by column A,
     by column B, or by their Z-ORDER (Morton bit-interleave), cut it
-    into 1000-row "files", and measure each file's normalized min-max
-    width per dimension (what parquet row-group / file-skipping stats
-    see). Single-column sort gives ~0 width on its own column and ~FULL
-    width on the other (point queries on B scan every file); Z-order
-    bounds BOTH (measured here: 0.05/0.71 vs 0.017/1.0), trading a
-    wider primary for single-predicate skippability on either column;
-    mean_area is the conjunctive two-predicate metric (on this data the
-    7-bit suppkey domain makes the interleave unbalanced, so the area
-    numbers honestly show Z-order is NOT free — the audit exists to
-    measure that tradeoff per table, not to assume it).
+    into exact 1000-row "files", and measure each file's normalized
+    min-max width per dimension (what parquet row-group / file-skipping
+    stats see). Single-column sort gives ~0 width on its own column and
+    ~FULL width on the other (point queries on B scan every file);
+    Z-order bounds BOTH, trading a wider primary for single-predicate
+    skippability on either column; mean_area is the conjunctive
+    two-predicate metric (on this data the 7-bit suppkey domain makes
+    the interleave unbalanced, so the area numbers honestly show Z-order
+    is NOT free — the audit exists to measure that tradeoff per table,
+    not to assume it).
+
+    Chunking is TWO-LEVEL and fully distributed (round 8 — this entry
+    used to plan three SinglePartition global-order Windows, the last
+    scale-killer plan in the registry, measured x30/x10 = 3.69): rows
+    range-bucket on the layout key via the deterministic broadcast-stats
+    formula (bucket = (key − min)·nb div (max − min + 1), nb = count
+    div 1000 — the same formula as the production twin
+    pipe_zorder_range_layout), then an exact 1000-row row_number chunks
+    WITHIN each bucket — i.e. per-bucket windows over ~1000-row
+    partitions, no global sort anywhere (asserted registry-wide by the
+    no-global-window lint in tests/test_plans.py). This is exactly the
+    file layout of ``repartitionByRange(nb, key).sortWithinPartitions
+    (key).write.option("maxRecordsPerFile", 1000)`` with deterministic
+    boundaries instead of repartitionByRange's sampled (run-varying)
+    ones — chunks cut at bucket borders like files cut at partition
+    borders.
+
     The Morton key is a 32-term shift/mask expression evaluated
     JVM-side (whole-stage codegen; same unrolled arithmetic in the
     oracle); both keys fit 16 bits at every test SF (rank/hash first at
     wider domains — noted, not needed here). Chunk min/max are
     order-invariant under sort-key ties because tied rows are identical
     in the measured columns (Morton is a bijection of (pk, sk)); integer
-    min/max + global-range division make every output hash-exact.
-    Scale note: exact 1000-row chunking needs a global rank, which Spark
-    plans as a single-partition Window (pinned in tests/test_plans.py) —
-    fine for an AUDIT, which at corpus scale runs on a uniform sample
-    (width statistics are sample-stable); the production WRITE path is
-    repartitionByRange + sortWithinPartitions (distributed, but its
-    sampled range boundaries are nondeterministic — per-file footer
-    stats replace this entry's exact chunk stats there)."""
+    min/max + global-range division make every output hash-exact."""
     li = t(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
@@ -1344,45 +1394,52 @@ def pipe_zorder_layout(spark, sf_dir):
         F.col("l_suppkey").alias("sk"),
         F.expr(_MORTON_SPARK).alias("mort"),
     )
-    rng = base.agg(
-        (F.max("pk") - F.min("pk")).cast("double").alias("rp"),
-        (F.max("sk") - F.min("sk")).cast("double").alias("rs"),
+    stats = F.broadcast(
+        base.agg(
+            F.greatest(F.lit(1).cast("long"), (F.count(F.lit(1)) / 1000).cast("long")).alias("nb"),
+            F.min("pk").alias("mn_p"), F.max("pk").alias("mx_p"),
+            F.min("sk").alias("mn_s"), F.max("sk").alias("mx_s"),
+            F.min("mort").alias("mn_m"), F.max("mort").alias("mx_m"),
+            (F.max("pk") - F.min("pk")).cast("double").alias("rp"),
+            (F.max("sk") - F.min("sk")).cast("double").alias("rs"),
+        )
     )
     layouts = [
-        ("by_partkey", Window.orderBy("pk", "sk")),
-        ("by_suppkey", Window.orderBy("sk", "pk")),
-        ("zorder", Window.orderBy("mort")),
+        ("by_partkey", "((pk - mn_p) * nb) div (mx_p - mn_p + 1)", ["pk", "sk"]),
+        ("by_suppkey", "((sk - mn_s) * nb) div (mx_s - mn_s + 1)", ["sk", "pk"]),
+        ("zorder", "((mort - mn_m) * nb) div (mx_m - mn_m + 1)", ["mort"]),
     ]
     laid = None
-    for name, w in layouts:
-        part = base.select(
-            F.lit(name).alias("layout"), "pk", "sk",
-            F.row_number().over(w).alias("rn"),
+    for name, bucket, order in layouts:
+        w = Window.partitionBy("bucket").orderBy(*order)
+        part = (
+            base.crossJoin(stats)
+            .select(
+                F.lit(name).alias("layout"), "pk", "sk", "mort",
+                F.expr(bucket).alias("bucket"), "rp", "rs",
+            )
+            .withColumn("rn", F.row_number().over(w))
         )
         laid = part if laid is None else laid.unionAll(part)
     chunks = (
-        laid.withColumn("chunk", ((F.col("rn") - 1) / F.lit(1000)).cast("long"))
-        .groupBy("layout", "chunk")
+        laid.withColumn("lchunk", ((F.col("rn") - 1) / F.lit(1000)).cast("long"))
+        .groupBy("layout", "bucket", "lchunk", "rp", "rs")
         .agg(
             F.min("pk").alias("lo_p"), F.max("pk").alias("hi_p"),
             F.min("sk").alias("lo_s"), F.max("sk").alias("hi_s"),
         )
     )
-    return (
-        chunks.crossJoin(F.broadcast(rng))
-        .groupBy("layout")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            pround(F.avg((F.col("hi_p") - F.col("lo_p")) / F.col("rp")), 6).alias("mean_width_pk"),
-            pround(F.avg((F.col("hi_s") - F.col("lo_s")) / F.col("rs")), 6).alias("mean_width_sk"),
-            pround(
-                F.avg(
-                    (F.col("hi_p") - F.col("lo_p")) / F.col("rp")
-                    * (F.col("hi_s") - F.col("lo_s")) / F.col("rs")
-                ),
-                6,
-            ).alias("mean_area"),
-        )
+    return chunks.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        pround(F.avg((F.col("hi_p") - F.col("lo_p")) / F.col("rp")), 6).alias("mean_width_pk"),
+        pround(F.avg((F.col("hi_s") - F.col("lo_s")) / F.col("rs")), 6).alias("mean_width_sk"),
+        pround(
+            F.avg(
+                (F.col("hi_p") - F.col("lo_p")) / F.col("rp")
+                * (F.col("hi_s") - F.col("lo_s")) / F.col("rs")
+            ),
+            6,
+        ).alias("mean_area"),
     )
 
 
@@ -3335,14 +3392,44 @@ _ROUND6_STAGED = [
 ]
 
 # Entries whose code changed after their last green driver row: re-rowed on
-# the new binary even though the old row is green (max_band_size=256 is now
-# explicit at every duplicate_clusters site — output unchanged at test SFs).
-_FORCE_REROW = ["pipe_dup_clusters", "pipe_dedup_keeplist"]
+# the new binary even though the old row is green.
+# Round 8: pipe_sequence_packing's r02-r04 greens verified a definition
+# that a round-6 re-registration silently shadowed (the dead block is now
+# deleted and register() raises on duplicates) — the LIVE definition needs
+# its first driver row; pipe_dedup_method_agreement's compare-exchange
+# rewrite (volume_scaled_partitions) is round-7 code that must not wait
+# for the round-9 residue.
+# Round-8 re-rows, and why each:
+# - pipe_sequence_packing: its r02-r04 greens verified a definition that a
+#   round-6 re-registration silently shadowed; first driver row for the
+#   LIVE definition.
+# - pipe_dedup_method_agreement: round-7 compare-exchange rewrite, never
+#   driver-rowed (pulled forward from the residue per the r7 verdict).
+# - pipe_zorder_layout: round-8 re-chunk (global-order windows → two-level
+#   bucket chunking) CHANGES the output, so the old green row no longer
+#   covers the live values.
+# - pipe_basket_lift / pipe_kmeans_lloyd / pipe_semdedup_auto_k /
+#   pipe_ann_nprobe_sweep: round-8 code changes with bit-identical output
+#   (volume-scaled exchanges; the Arrow fold kernel, exact-equality pinned
+#   in tests/test_arrow_kernels.py) — re-rowed as the driver-verified
+#   representatives of the kernel swap. The remaining kernel-touched green
+#   entries (semdedup/knn/ANN family) keep their rows: the values those
+#   rows verified are unchanged to the bit, and all were re-simmed locally
+#   on the final tree this session.
+_FORCE_REROW = [
+    "pipe_sequence_packing",
+    "pipe_dedup_method_agreement",
+    "pipe_zorder_layout",
+    "pipe_basket_lift",
+    "pipe_kmeans_lloyd",
+    "pipe_semdedup_auto_k",
+    "pipe_ann_nprobe_sweep",
+]
 # The re-row demand is satisfied once the driver has verified the round
 # that carries the changed code: after CORRECTNESS_r{_FORCE_REROW_ROUND}
 # exists, these entries stop pinning window slots (the self-staging
 # ordering then treats them like any other green entry).
-_FORCE_REROW_ROUND = 6
+_FORCE_REROW_ROUND = 8
 
 
 def _latest_driver_round() -> int:
@@ -7019,59 +7106,13 @@ def ext_tpch_q20(spark, sf_dir):
 
 
 # =====================================================================
-# Pipeline batch 3: sequence packing, BM25 retrieval scoring, inverted
-# index — the text-retrieval/training-prep trio a 100 TB corpus pipeline
-# needs beyond dedup.
+# Pipeline batch 3: BM25 retrieval scoring + inverted index — the
+# text-retrieval/training-prep pair a 100 TB corpus pipeline needs
+# beyond dedup.  (Sequence packing lives with the round-6 batch below:
+# the per-source greedy form superseded the original doc_id%8 sharded
+# form that used to sit here — the old block was dead code after the
+# re-registration and was removed in round 8.)
 # =====================================================================
-
-@register(
-    "pipe_sequence_packing",
-    """WITH tok AS (
-         SELECT doc_id, doc_id % 8 AS shard,
-                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tok
-         FROM documents),
-       cum AS (
-         SELECT shard, doc_id, n_tok,
-                CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS c
-         FROM tok)
-       SELECT shard, CAST(FLOOR((c - n_tok) / 512.0) AS BIGINT) AS seq_id,
-              CAST(count(*) AS BIGINT) AS n_docs,
-              CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
-              FLOOR((CAST(SUM(n_tok) AS DOUBLE) / 512.0) * 10000 + 0.5) / 10000 AS fill_ratio
-       FROM cum GROUP BY shard, seq_id""",
-)
-def pipe_sequence_packing(spark, sf_dir):
-    """Concat-and-chunk sequence packing (the standard pretraining packing:
-    concatenate documents in a deterministic order, cut every `cap` tokens;
-    a doc belongs to the sequence where its first token lands). Each doc is
-    assigned seq_id = floor(start_offset / cap) from a running token sum.
-
-    Scale shape: docs are sharded by hash first (here doc_id % 8; at 100 TB
-    pick shards ≈ corpus_tokens / executor-memory-tokens), so the running
-    sum is a per-shard window sort — an Exchange on shard + in-partition
-    sort, no global bottleneck. Greedy bin-packing variants need
-    applyInPandas; offset packing is fully declarative."""
-    cap = 512
-    docs = docs_parallel(spark, sf_dir)
-    from pyspark.sql import Window
-
-    tok = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 8).alias("shard"),
-        T.token_count(F.col("text")).cast("long").alias("n_tok"),
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    cum = tok.withColumn("c", F.sum("n_tok").over(w))
-    return (
-        cum.withColumn("seq_id", F.floor((F.col("c") - F.col("n_tok")) / F.lit(float(cap))))
-        .groupBy("shard", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").alias("seq_tokens"),
-            pround(F.sum("n_tok").cast("double") / cap, 4).alias("fill_ratio"),
-        )
-    )
-
 
 @register(
     "pipe_bm25",
@@ -12784,12 +12825,12 @@ def _kmeans_oracle() -> str:
 
 @register("pipe_kmeans_lloyd", _kmeans_oracle())
 def pipe_kmeans_lloyd(spark, sf_dir):
-    """K-means (k=8) with TWO full Lloyd iterations as pure DataFrame ops —
-    the clustering engine under semdedup/IVF, here run end-to-end with no
-    driver-side centroid collect at all: assignment is a fully MAP-SIDE
-    fold — the k centroids collapse to ONE broadcast row
-    (collect_list(struct(cid, c))) and each vector computes its argmin by
-    folding over that array with lexicographic (dist, cid) minimization
+    """K-means (k=8) with TWO full Lloyd iterations as DataFrame ops —
+    the clustering engine under semdedup/IVF: assignment is ONE Arrow
+    mapInPandas pass per iteration (arrow_kernels.assign_nearest,
+    metric=l2sq) against the k×dim centroid matrix collected driver-side
+    (kilobytes; Spark MLlib's KMeans collects the same state each
+    iteration), with lexicographic (dist, cid) minimization
     (deterministic tie-break = min cid at exact-equal dist, mirrored
     exactly by the oracle's two-step min) — and the centroid update is
     posexplode over the assignment output (which already carries the
@@ -12797,15 +12838,15 @@ def pipe_kmeans_lloyd(spark, sf_dir):
     mean → array rebuild. Output: per-cluster membership count and
     inertia under the final centroids.
 
-    Scale shape (round 7 — the per-iteration N-row shuffles are gone):
-    per iteration the corpus streams map-side against the broadcast
-    centroid row (k·dim doubles — kilobytes even at k=65k) with NO
+    Scale shape: per iteration the corpus streams map-side with NO
     assignment shuffle at all (the round-6 min-struct groupBy(vec_id)
-    re-shuffled N vectors; the fold collapses the argmin inside the
-    scan), and the update explodes that SAME pass's rows map-side —
+    re-shuffled N vectors; round 7 collapsed the argmin inside the scan
+    as an interpreted JVM fold; round 8 swaps the fold's ~6 µs/64-dim
+    CodegenFallback interpretation for the bit-exact vectorized Arrow
+    kernel), and the update explodes that SAME pass's rows map-side —
     partial aggregation collapses the exploded frame to ≤ k·dim rows per
     map partition before the shuffle, so the exchange never sees N. (An
-    A/B at x30/x100 rejected the tempting alternatives: a 65-column
+    A/B at x30/x100 rejected the tempting JVM alternatives: a 65-column
     struct-of-partials update pays ~1.5 s of codegen compile per
     iteration — slower than the explode at every scale — and unrolling
     the k·dim distance into a codegen expression tree is 3× slower than
@@ -12824,29 +12865,21 @@ def pipe_kmeans_lloyd(spark, sf_dir):
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
 
-    from sql_query_engine_rs_spark.functions.similarity import l2sq
+    from sql_query_engine_rs_spark.functions.arrow_kernels import assign_nearest
 
     def assign(c_df):
-        # k centroids -> ONE row -> broadcast; argmin is map-side
-        # array_min over struct(dist, cid) — lexicographic struct ordering
-        # IS the deterministic (min dist, then min cid) tie-break, one
-        # l2sq per centroid, and the (nondeterministic) collect_list order
-        # cannot affect a strict min.
-        cents = F.broadcast(c_df.agg(F.collect_list(F.struct("cid", "c")).alias("_cents")))
-        best = F.array_min(
-            F.transform(
-                F.col("_cents"),
-                lambda cen: F.struct(
-                    l2sq(F.col("v"), cen.getField("c")).alias("dist"),
-                    cen.getField("cid").alias("cid"),
-                ),
-            )
-        )
-        return emb.crossJoin(cents).select(
-            "vec_id",
-            "v",
-            best.getField("cid").alias("cid"),
-            best.getField("dist").alias("dist"),
+        # round 8: the per-centroid interpreted l2sq fold (ArrayAggregate
+        # is CodegenFallback, ~6 µs/64-dim — the round-7 named bottleneck)
+        # is replaced by ONE Arrow mapInPandas pass against the
+        # driver-collected k×dim matrix (k·dim doubles — kilobytes; MLlib's
+        # KMeans collects the same state per iteration). Still zero
+        # N-row shuffles, still the deterministic (min dist, then min cid)
+        # tie-break — the kernel replays the JVM fold's addition order
+        # bit-for-bit (tests/test_arrow_kernels.py), so the recursive
+        # oracle is untouched.
+        return assign_nearest(
+            emb, c_df, id_col="vec_id", vec_col="v", metric="l2sq",
+            cid_col="cid", cvec_col="c", out_cid_col="cid", score_col="dist",
         )
 
     for _ in range(2):

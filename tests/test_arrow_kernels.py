@@ -1,0 +1,167 @@
+"""Exact-equality pins for the Arrow strict-fold kernels (round 8).
+
+The kernels replace the interpreted ArrayAggregate fold in every
+assignment-shaped operator; these tests hold them BIT-IDENTICAL to the
+retained JVM twins — ties, NaN routing, float32 widening and all — so
+every DuckDB oracle written against the fold contract keeps verifying
+the live code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sql_query_engine_rs_spark.functions import arrow_kernels as AK
+from sql_query_engine_rs_spark.functions import similarity as S
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def cents(spark, emb):
+    c = S.ivf_centroids(emb, num_centroids=16, iterations=1).persist()
+    c.count()
+    yield c
+    c.unpersist()
+
+
+def _as_map(rows):
+    return {r[0]: r[1] for r in rows}
+
+
+def test_assign_nearest_matches_jvm_exactly(emb, cents):
+    jvm = _as_map(
+        S._ivf_assign1_jvm(emb, cents).select("vec_id", "centroid_id").collect()
+    )
+    arw = _as_map(
+        AK.assign_nearest(emb, cents).select("vec_id", "centroid_id").collect()
+    )
+    assert jvm == arw
+
+
+def test_two_level_matches_jvm_exactly(emb, cents):
+    jvm = _as_map(
+        S._ivf_assign_two_level_jvm(emb, cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    arw = _as_map(
+        AK.assign_nearest_two_level(emb, cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert jvm == arw
+
+
+def test_pair_dot_bit_exact_vs_jvm_fold(spark, emb):
+    """The pair kernel must reproduce the strict left fold to the last
+    ulp — compared via != on raw doubles (no rounding)."""
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b.limit(50)), F.col("ida") < F.col("idb"))
+    diff = pairs.select(
+        S.dot(F.col("va"), F.col("vb")).alias("j"),
+        AK.pair_dot(F.col("va"), F.col("vb")).alias("p"),
+    ).filter(F.col("j") != F.col("p"))
+    assert diff.count() == 0
+
+
+def test_assign_nearest_plan_has_no_exchange(emb, cents):
+    """The whole point: assignment is map-side — no shuffle, no
+    join-back. The previous JVM plan shuffled N scalar pairs twice."""
+    plan = (
+        AK.assign_nearest(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_keep_rank_contract_uniform_on_nprobe_1(emb, cents):
+    """ADVICE r7: keep_rank=True used to be silently ignored on the
+    nprobe=1 fast path; it now attaches a constant probe_rank=1 so sweep
+    callers filter the same column on every arm."""
+    out = S.ivf_assign(emb, cents, nprobe=1, keep_rank=True)
+    assert "probe_rank" in out.columns
+    assert out.filter(F.col("probe_rank") != 1).count() == 0
+
+
+def test_strict_scores_is_a_strict_left_fold_not_blas():
+    """Construct a case where pairwise/BLAS summation differs from the
+    sequential fold: alternating large/small magnitudes. The kernel must
+    equal the explicit python-loop fold, not np.dot."""
+    rng = [1e16, 1.0, -1e16, 1.0] * 16  # d=64
+    v = np.array(rng)
+    c = np.ones(64)
+    seq = 0.0
+    for x in v * c:
+        seq = seq + x
+    got = AK._strict_scores(v[None, :], c[None, :], "l2sq")
+    # l2sq path: fold of (v-c)^2 — compute the sequential reference
+    seq2 = 0.0
+    for x in (v - c) * (v - c):
+        seq2 = seq2 + x
+    assert got[0, 0] == seq2
+    # cosine dot path via pair kernel math
+    acc = np.zeros(1)
+    A, B = v[None, :], c[None, :]
+    for j in range(64):
+        acc += A[:, j] * B[:, j]
+    assert acc[0] == seq
+
+
+def test_two_level_routing_matches_jvm_seed_construction(cents):
+    """The numpy md5-seed pick must equal the JVM's orderBy(md5) limit."""
+    import hashlib
+
+    rows = sorted(cents.select("centroid_id", "_centroid").collect(), key=lambda r: r[0])
+    cids = [r[0] for r in rows]
+    m = max(2, int(len(cids) ** 0.5))
+    by_h = sorted(cids, key=lambda c: hashlib.md5(str(c).encode()).hexdigest())[:m]
+    jvm_seeds = {
+        r[0]
+        for r in cents.withColumn("_h", F.md5(F.col("centroid_id").cast("string")))
+        .orderBy("_h")
+        .limit(m)
+        .select("centroid_id")
+        .collect()
+    }
+    assert set(by_h) == jvm_seeds
+
+
+def test_assign_nearest_l2sq_with_score(spark, emb):
+    """kmeans shape: l2sq metric + score column, custom col names."""
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    out = AK.assign_nearest(
+        emb.select("vec_id", F.col("embedding").alias("v")),
+        cent,
+        vec_col="v",
+        metric="l2sq",
+        cid_col="cid",
+        cvec_col="c",
+        out_cid_col="cid",
+        score_col="dist",
+    )
+    rows = out.filter(F.col("vec_id") < 4).select("vec_id", "cid", "dist").collect()
+    # each seed vector's nearest centroid is itself at distance 0
+    for r in rows:
+        assert r["cid"] == r["vec_id"]
+        assert r["dist"] == 0.0

@@ -55,3 +55,33 @@ def test_green_parser_tolerates_missing_files(tmp_path, monkeypatch):
         q.os.path, "dirname", lambda p: str(tmp_path)
     )
     assert q._driver_green_names() == set()
+
+
+def test_register_raises_on_duplicate_name():
+    """A silent re-registration once shadowed a driver-verified definition
+    (pipe_sequence_packing, rounds 2-6): the old green rows kept pinning
+    the entry as checked while the live code had never seen the driver.
+    register() now refuses duplicates at import time."""
+    import pytest
+
+    from sql_query_engine_rs_spark.queries import register
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @register("v0_scan", None)
+        def shadow(spark, sf_dir):  # pragma: no cover - never runs
+            raise AssertionError
+
+    # the guard must reject BEFORE mutating the registry
+    from sql_query_engine_rs_spark.queries import QUERIES as _q
+
+    assert _q["v0_scan"].build.__name__ != "shadow"
+
+
+def test_sequence_packing_registered_once_and_is_the_live_definition():
+    """The surviving definition is the per-source greedy form (round 6);
+    its oracle partitions by source, not by doc_id%8 shard."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    spec = QUERIES["pipe_sequence_packing"]
+    assert "PARTITION BY source" in spec.oracle
+    assert "shard" not in spec.oracle
