@@ -10,6 +10,7 @@ scan + shuffle + aggregation work, not plan construction.
 from __future__ import annotations
 
 import json
+import statistics
 import os
 import sys
 import time
@@ -506,7 +507,7 @@ def summary_line(times, cold, sorted_times, slowest, sf):
         "sf": sf,
         "cold_value": round(sum(cold.values()), 3),
         "n_queries": n,
-        "median": round(sorted_times[n // 2], 3) if n else 0.0,
+        "median": round(statistics.median(sorted_times), 3) if n else 0.0,
         "max": round(sorted_times[-1], 3) if n else 0.0,
         "note": f"min-of-warm steady total over {n} queries; queries shows the 5 slowest; full per-query map in bench_queries.json, raw {TRIALS}-trial arrays in bench_trials.json; fresh session every {COHORT_SIZE} queries",
     }

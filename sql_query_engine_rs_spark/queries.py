@@ -16267,9 +16267,17 @@ def pipe_jl_projection(spark, sf_dir):
     import math
 
     scale = F.lit(math.sqrt(float(k)))
+    # one parsed F.expr per plane, not 64 py4j F.lit calls each — the same
+    # plan-build-cost trick as random_hyperplane_signature (measured here:
+    # ~1.0 s of driver time per build at k=8, the whole r7 "drift")
     pcols = [
         pround(
-            S.dot(F.col("embedding"), F.array(*[F.lit(c) for c in coeffs])) / scale, 6
+            S.dot(
+                F.col("embedding"),
+                F.expr("array(" + ",".join(f"{c:.1f}D" for c in coeffs) + ")"),
+            )
+            / scale,
+            6,
         ).alias(f"p{p}")
         for p, coeffs in enumerate(planes)
     ]
