@@ -966,11 +966,17 @@ def pipe_basket_lift(spark, sf_dir):
     the stage into sort spill (measured x30/x10 = 5.73 fixed vs 3.43 at
     128 partitions). The explicit same-width repartitions on the join
     keys co-partition the self-join (no extra exchanges: 4 before, 4
-    after — now all ∝ input volume)."""
+    after — now all ∝ input volume). bytes_per_partition is 8 MB of
+    SOURCE plan bytes, not the 256 KB pair-explosion default: the
+    basket fan-out is bounded by C(basket,2) ≈ 6× (vs hundreds× for
+    shingle pairs), and 8 MB reproduces the measured-good 128 at x30
+    (the 256 KB default gave 4036 partitions there — explicit
+    repartitions are not AQE-coalescible, so the stage drowned in task
+    scheduling instead of spill)."""
     from sql_query_engine_rs_spark.functions.partitioning import volume_scaled_partitions
 
     li = t(spark, sf_dir, "lineitem")
-    nparts = volume_scaled_partitions(li)
+    nparts = volume_scaled_partitions(li, bytes_per_partition=8 * 1024 * 1024)
     items = (
         li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .repartition(nparts, "ok", "pk")
