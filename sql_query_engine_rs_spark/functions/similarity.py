@@ -676,16 +676,97 @@ def _pq_slices(
     ).select(id_col, "m", F.expr(f"slice(_v, m * {sub} + 1, {sub})").alias("_sv"))
 
 
-def _pq_assign(sliced: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def _pq_assign_jvm(sliced: DataFrame, codebook: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Per (vector, subspace) argmin-L2² centroid: broadcast-join the
     codebook, collapse map-side via min_by partial agg (ties → lowest
-    centroid id). Shuffle = ~N·M (id, m, code) triples."""
+    centroid id). Shuffle = ~N·M (id, m, code) triples. Retained as the
+    Arrow kernel's exact-equality reference twin
+    (tests/test_arrow_kernels.py)."""
     scored = sliced.join(F.broadcast(codebook), on="m").select(
         id_col, "m", "centroid_id", l2sq(F.col("_sv"), F.col("_centroid")).alias("_d2")
     )
     return scored.groupBy(id_col, "m").agg(
         F.min_by("centroid_id", F.struct(F.col("_d2"), F.col("centroid_id"))).alias("code")
     )
+
+
+def pq_assign_codes(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused Arrow PQ assignment: ALL subspace codes for a vector in one
+    ``mapInPandas`` pass over the corpus — (id, m, code) long form,
+    bit-identical to the JVM slice→explode→broadcast-join→min_by chain
+    but with no N·M exploded frame, no N·M·ks interpreted l2sq folds,
+    and no (id, m)-keyed shuffle at all (the codes ride the scan).
+
+    Bit-exactness: per subspace the kernel slices the float64-widened
+    vector and accumulates (v−c)² one dimension at a time — the JVM
+    fold's exact addition order (see arrow_kernels) — and resolves
+    ``min_by(cid, struct(d2, cid))`` ties via argmin-first over a
+    cid-ascending centroid matrix. Pinned exact-equal to
+    ``_pq_assign_jvm`` in tests/test_arrow_kernels.py.
+
+    The codebook (M·ks rows, ≤16k in production) collects driver-side —
+    the same rows ``F.broadcast`` shipped before."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    import numpy as np
+
+    sub = dim // num_subspaces
+    rows = codebook.select("m", "centroid_id", "_centroid").collect()
+    per_m: dict[int, tuple] = {}
+    for m in range(num_subspaces):
+        mrows = sorted(((r[1], r[2]) for r in rows if r[0] == m), key=lambda x: x[0])
+        per_m[m] = (
+            np.array([c for c, _ in mrows], dtype=np.int64),
+            np.array([list(v) for _, v in mrows], dtype=np.float64),
+        )
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("m", IntegerType(), False),
+            StructField("code", IntegerType(), True),
+        ]
+    )
+    src = _ensure_parallelism(corpus).select(id_col, vec_col)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf[id_col].to_numpy()
+            out_m = np.empty(n * num_subspaces, dtype=np.int32)
+            out_code = np.empty(n * num_subspaces, dtype=np.int64)
+            for m in range(num_subspaces):
+                cids, C = per_m[m]
+                Vm = V[:, m * sub : (m + 1) * sub]
+                acc = np.zeros((n, len(cids)))
+                for j in range(sub):
+                    diff = np.subtract.outer(Vm[:, j], C[:, j])
+                    acc += diff * diff
+                # argmin-first over cid-ascending == min_by(struct(d2, cid))
+                out_m[m::num_subspaces] = m
+                out_code[m::num_subspaces] = cids[np.argmin(acc, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, num_subspaces),
+                    "m": out_m,
+                    "code": out_code.astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def pq_codebook(
@@ -735,7 +816,10 @@ def pq_codebook(
     if iterations:
         sliced = _pq_slices(corpus, num_subspaces, dim, id_col, vec_col)
         for _ in range(iterations):
-            assigned = _pq_assign(sliced, cb, id_col=id_col)
+            assigned = pq_assign_codes(
+                corpus, cb, num_subspaces=num_subspaces, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            )
             cb = (
                 sliced.join(assigned, on=[id_col, "m"])
                 .select("m", "code", F.posexplode("_sv"))
@@ -766,12 +850,16 @@ def pq_encode(
     vector downstream (64 floats → 4 bytes here; ×64 compression is what
     makes 100 TB ANN corpora RAM-resident).
 
-    Returns the long form (id, m, code). Scoring is a broadcast join
-    (N·M·ks skinny rows); the argmin collapses map-side via ``min_by``
-    partial aggregation, so the shuffle carries ~N·M (id, code) pairs —
-    never the vectors."""
-    sliced = _pq_slices(corpus, num_subspaces, dim, id_col, vec_col)
-    return _pq_assign(sliced, codebook, id_col=id_col)
+    Returns the long form (id, m, code). Since round 8 this is ONE fused
+    Arrow pass (``pq_assign_codes``): all M codes per vector computed
+    map-side against the driver-collected codebook — no exploded N·M
+    frame, no interpreted folds, no shuffle (the JVM
+    slice/explode/broadcast-join/min_by twin ``_pq_assign_jvm`` is
+    retained and pinned exact-equal in tests)."""
+    return pq_assign_codes(
+        corpus, codebook, num_subspaces=num_subspaces, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
 
 
 def pq_topk(

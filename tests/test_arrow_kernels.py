@@ -165,3 +165,26 @@ def test_assign_nearest_l2sq_with_score(spark, emb):
     for r in rows:
         assert r["cid"] == r["vec_id"]
         assert r["dist"] == 0.0
+
+
+def test_pq_assign_codes_matches_jvm_exactly(spark, emb):
+    """The fused PQ kernel (all M subspace codes in one Arrow pass) must
+    equal the JVM slice->explode->broadcast-join->min_by chain code for
+    code — same strict l2sq fold per subspace slice, same
+    min_by(struct(d2, cid)) tie-break."""
+    M, DIM = 4, 64
+    cb = S.pq_codebook(emb, num_subspaces=M, num_centroids=8, dim=DIM, iterations=1)
+    cb = cb.persist()
+    cb.count()
+    jvm = {
+        (r[0], r[1]): r[2]
+        for r in S._pq_assign_jvm(
+            S._pq_slices(emb, M, DIM), cb
+        ).collect()
+    }
+    arw = {
+        (r[0], r[1]): r[2]
+        for r in S.pq_assign_codes(emb, cb, num_subspaces=M, dim=DIM).collect()
+    }
+    cb.unpersist()
+    assert jvm == arw
