@@ -262,7 +262,14 @@ def assign_nearest_two_level(
     return df.mapInPandas(gen, schema=out_schema)
 
 
-_PAIR_DOT_UDF = None
+# (SparkContext id, udf) — the cache MUST be per-context: a pandas_udf
+# captures the creating context's Python accumulator, and reusing it
+# after that context stops (bench/REPL session restarts) makes every
+# task completion in the new context stall the DAGScheduler with "EOF
+# reached before Python server acknowledged" while it tries to reach
+# the dead context's accumulator server (found round 8: the full bench
+# ran 2x+ slow with ~1000 such errors across cohort restarts).
+_PAIR_DOT_CACHE: tuple[object, object] | None = None
 
 
 def pair_dot(a: Column, b: Column) -> Column:
@@ -270,10 +277,15 @@ def pair_dot(a: Column, b: Column) -> Column:
     ``similarity.dot`` for PAIR-shaped frames (both sides vary per row:
     SemDeDup's within-cell scan, knn-graph scoring), where no centroid
     matrix can be closed over.  Bit-exact to the JVM fold (same
-    per-dimension addition order).  The pandas_udf is built lazily —
-    decorating at import time needs an active SparkSession."""
-    global _PAIR_DOT_UDF
-    if _PAIR_DOT_UDF is None:
+    per-dimension addition order).  The pandas_udf is built lazily (an
+    active SparkSession is required) and cached per SparkContext."""
+    global _PAIR_DOT_CACHE
+    from pyspark import SparkContext
+
+    # key on the context OBJECT (strong ref — prevents a GC'd context's
+    # id being reused by its successor and aliasing the cache)
+    ctx = SparkContext._active_spark_context
+    if _PAIR_DOT_CACHE is None or _PAIR_DOT_CACHE[0] is not ctx:
         as_matrix = _worker_fns()[0]
 
         def _pair_dot_fn(a, b):
@@ -287,8 +299,8 @@ def pair_dot(a: Column, b: Column) -> Column:
                 acc += A[:, j] * B[:, j]
             return pd.Series(acc)
 
-        _PAIR_DOT_UDF = pandas_udf(_pair_dot_fn, "double")
-    return _PAIR_DOT_UDF(a, b)
+        _PAIR_DOT_CACHE = (ctx, pandas_udf(_pair_dot_fn, "double"))
+    return _PAIR_DOT_CACHE[1](a, b)
 
 
 def pair_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
