@@ -24,6 +24,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from sql_query_engine_rs_spark.functions.expressions import portable_round
 from sql_query_engine_rs_spark.functions.partitioning import ensure_parallelism as _ensure_parallelism
@@ -108,6 +109,45 @@ def random_hyperplane_signature(
     sequence, so the sign (hence the bucket) matches bit for bit. Products
     are exact (±1 × a float32-exact double), leaving summation order as the
     only rounding source.
+
+    Since round 8 this is an Arrow pandas_udf over the plane matrix
+    (strict per-dimension accumulation — the arrow_kernels fold
+    contract), replacing num_planes interpreted JVM folds per row: the
+    signature pass was ~all of pipe_embedding_near_dup_auto's x100 time.
+    Bit-exact to the retained JVM form ``_random_hyperplane_signature_jvm``
+    (exact-equality pinned in tests/test_arrow_kernels.py): same fold
+    order, and sign(NaN/anything >= 0) is False on both sides. The
+    wrong-length guard raises in the worker (ValueError) where the JVM
+    form raised via assert_true — same failure semantics, no silent
+    bucket-0 collapse.
+    """
+    import numpy as np
+
+    P = np.array(hyperplane_coeffs(num_planes, dim, plane_offset), dtype=np.float64)
+    weights = np.array([1 << p for p in range(num_planes)], dtype=np.int64)
+
+    def _sig_fn(series):
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(series.to_numpy()).astype(np.float64, copy=False)
+        if V.shape[1] != P.shape[1]:
+            raise ValueError(
+                f"LSH vector length != dim={P.shape[1]}: got {V.shape[1]}"
+            )
+        acc = np.zeros((len(V), len(P)))
+        for j in range(P.shape[1]):
+            acc += np.multiply.outer(V[:, j], P[:, j])
+        return pd.Series(((acc >= 0).astype(np.int64) @ weights).astype(np.int32))
+
+    return pandas_udf(_sig_fn, "int")(vec)
+
+
+def _random_hyperplane_signature_jvm(
+    vec: Column, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
+    """The pre-round-8 JVM signature (one interpreted fold per plane),
+    retained as the Arrow form's exact-equality reference twin.
 
     A runtime guard raises on any vector whose length differs from ``dim``:
     zip_with would null-pad the mismatch, the projection would go NULL, and

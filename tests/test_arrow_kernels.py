@@ -188,3 +188,27 @@ def test_pq_assign_codes_matches_jvm_exactly(spark, emb):
     }
     cb.unpersist()
     assert jvm == arw
+
+
+def test_lsh_signature_matches_jvm_exactly(spark, emb):
+    """The Arrow sign-LSH signature must bucket every vector identically
+    to the JVM per-plane fold form — sign flips are exactly the rounding
+    sensitivity the strict-fold contract exists to prevent."""
+    for planes, offset in [(8, 0), (12, 0), (4, 7)]:
+        jvm = _as_map(
+            emb.select(
+                "vec_id",
+                S._random_hyperplane_signature_jvm(
+                    F.col("embedding"), planes, 64, offset
+                ).alias("b"),
+            ).collect()
+        )
+        arw = _as_map(
+            emb.select(
+                "vec_id",
+                S.random_hyperplane_signature(
+                    F.col("embedding"), planes, 64, offset
+                ).alias("b"),
+            ).collect()
+        )
+        assert jvm == arw, f"planes={planes} offset={offset}"
