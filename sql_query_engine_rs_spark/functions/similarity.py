@@ -260,9 +260,18 @@ def knn_graph(
     n_vecs = v.count()
     if num_planes is None:
         num_planes = auto_num_planes(n_vecs)
-    bkt = v.select(
-        "_id", random_hyperplane_signature(F.col("_v"), num_planes).alias("bucket")
+    # Persist + materialize the skinny (id, bucket) frame: the self-join
+    # below reads it on BOTH sides, and an unpersisted bucket column would
+    # re-evaluate the signature pass per side (2·N plane folds — the same
+    # recompute embedding_near_dup documents and avoids; measured +0.8 s
+    # per evaluation at sf0.1 after the Arrow signature swap, and a
+    # pure-waste double pass at any scale).
+    bkt = persist_tracked(
+        v.select(
+            "_id", random_hyperplane_signature(F.col("_v"), num_planes).alias("bucket")
+        )
     )
+    bkt.count()
     a, b = bkt.alias("a"), bkt.alias("b")
     cand = (
         a.join(b, on="bucket")

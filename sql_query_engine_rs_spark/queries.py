@@ -3422,20 +3422,54 @@ _ROUND6_STAGED = [
 #   entries (semdedup/knn/ANN family) keep their rows: the values those
 #   rows verified are unchanged to the bit, and all were re-simmed locally
 #   on the final tree this session.
-_FORCE_REROW = [
-    "pipe_sequence_packing",
-    "pipe_dedup_method_agreement",
-    "pipe_zorder_layout",
-    "pipe_basket_lift",
-    "pipe_kmeans_lloyd",
-    "pipe_semdedup_auto_k",
-    "pipe_ann_nprobe_sweep",
-]
-# The re-row demand is satisfied once the driver has verified the round
-# that carries the changed code: after CORRECTNESS_r{_FORCE_REROW_ROUND}
-# exists, these entries stop pinning window slots (the self-staging
-# ordering then treats them like any other green entry).
-_FORCE_REROW_ROUND = 8
+# Round-9 re-rows: the round-8 Arrow kernel swaps (strict-fold assignment,
+# fused PQ codes, batched LSH signatures) are bit-exact — exact-equality
+# pinned against the retained JVM twins in tests/test_arrow_kernels.py and
+# re-probed green on the final tree — but the round-8 window only had room
+# for four kernel-swap representatives (kmeans_lloyd, semdedup_auto_k,
+# ann_nprobe_sweep, plus link_prediction riding knn_graph). Round 9's
+# residue is 41 entries, leaving exactly 9 spare slots: spend them on the
+# kernel-touched green entries whose executed code changed most, chosen
+# for kernel-path coverage —
+# - pipe_ann_pq / pipe_pq_distortion: the fused pq_assign_codes kernel has
+#   NO driver row on the new code path otherwise (no PQ entry in the r8
+#   window).
+# - pipe_semdedup_hierarchical: the only ivf_assign_two_level caller.
+# - pipe_semdedup: the base ivf_assign + pair_cosine semdedup path.
+# - pipe_embedding_near_dup / _auto / pipe_embedding_dedup_lsh: the
+#   batched LSH-signature + pair_cosine near-dup stack.
+# - pipe_knn_graph / pipe_lsh_bucket_balance: the direct knn_graph and
+#   random_hyperplane_buckets callers.
+# (pipe_knn_label_purity / pipe_mutual_knn ride the same knn_graph path
+# already double-covered by link_prediction (r8) + pipe_knn_graph (r9).)
+_FORCE_REROW_SCHEDULE = {
+    8: [
+        "pipe_sequence_packing",
+        "pipe_dedup_method_agreement",
+        "pipe_zorder_layout",
+        "pipe_basket_lift",
+        "pipe_kmeans_lloyd",
+        "pipe_semdedup_auto_k",
+        "pipe_ann_nprobe_sweep",
+    ],
+    9: [
+        "pipe_ann_pq",
+        "pipe_pq_distortion",
+        "pipe_semdedup_hierarchical",
+        "pipe_semdedup",
+        "pipe_embedding_near_dup",
+        "pipe_embedding_near_dup_auto",
+        "pipe_embedding_dedup_lsh",
+        "pipe_knn_graph",
+        "pipe_lsh_bucket_balance",
+    ],
+}
+# A round's pins activate only when that round is the NEXT driver round
+# (the smallest scheduled round still ahead of the newest CORRECTNESS
+# file): round-9 pins must not consume round-8 slots, and once the driver
+# has verified the round carrying the changed code the pins expire (the
+# self-staging ordering then treats the entries like any other green
+# entry).
 
 
 def _latest_driver_round() -> int:
@@ -3451,9 +3485,11 @@ def _latest_driver_round() -> int:
 
 
 def _active_force_rerow() -> list[str]:
-    if _latest_driver_round() >= _FORCE_REROW_ROUND:
+    latest = _latest_driver_round()
+    pending = [r for r in _FORCE_REROW_SCHEDULE if r > latest]
+    if not pending:
         return []
-    return _FORCE_REROW
+    return _FORCE_REROW_SCHEDULE[min(pending)]
 
 # Round-7 staging head (this round's window was already full at 50): the
 # late-round-6 additions below are locally oracle-green (vanilla-session

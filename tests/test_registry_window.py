@@ -6,8 +6,7 @@ entries fall to the tail, and deliberate re-rows stay explicit."""
 from __future__ import annotations
 
 from sql_query_engine_rs_spark.queries import (
-    _FORCE_REROW,
-    _FORCE_REROW_ROUND,
+    _FORCE_REROW_SCHEDULE,
     _WINDOW_SIZE,
     _active_force_rerow,
     _driver_green_names,
@@ -32,13 +31,34 @@ def test_window_is_full_while_unchecked_entries_remain():
     assert len(window) >= expected
 
 
-def test_force_rerow_expires_after_its_round():
-    """Once the driver has verified the round carrying the changed code,
-    the re-row pins must stop occupying window slots."""
-    if _latest_driver_round() >= _FORCE_REROW_ROUND:
-        assert _active_force_rerow() == []
+def test_force_rerow_activates_only_the_next_scheduled_round():
+    """A round's pins occupy slots only while that round is the next one
+    the driver will verify: later rounds' pins must not consume earlier
+    slots, and verified rounds' pins must expire."""
+    latest = _latest_driver_round()
+    pending = [r for r in _FORCE_REROW_SCHEDULE if r > latest]
+    if pending:
+        assert _active_force_rerow() == _FORCE_REROW_SCHEDULE[min(pending)]
     else:
-        assert _active_force_rerow() == _FORCE_REROW
+        assert _active_force_rerow() == []
+
+
+def test_force_rerow_schedule_names_exist():
+    for rnd, names in _FORCE_REROW_SCHEDULE.items():
+        missing = [n for n in names if n not in QUERIES]
+        assert not missing, f"round {rnd} pins not in registry: {missing}"
+
+
+def test_round9_window_fits_residue_plus_pins():
+    """Round 9 must drain the full no-driver-row residue: the 9 re-row
+    pins may not push any never-checked entry out of the 50-slot window."""
+    green = _driver_green_names()
+    window8 = set(_ordered_names()[:_WINDOW_SIZE])
+    residue = [n for n in QUERIES if n not in green and n not in window8]
+    assert len(residue) + len(_FORCE_REROW_SCHEDULE[9]) <= _WINDOW_SIZE, (
+        f"{len(residue)} residue + {len(_FORCE_REROW_SCHEDULE[9])} pins "
+        f"exceed the {_WINDOW_SIZE}-slot window"
+    )
 
 
 def test_ordering_is_a_permutation_of_the_registry():
