@@ -67,6 +67,8 @@ def out_dir(copies: int) -> str:
 # clustering, broadcast-probe decontamination, ANN, stateful streaming,
 # retrieval scoring — plus one scan/agg anchor (TPC-H Q1).
 HEAVY = [
+    "pipe_knn_graph",
+    "pipe_kcore_decompose",
     "pipe_minhash_lsh",
     "pipe_simhash",
     "pipe_dup_clusters",

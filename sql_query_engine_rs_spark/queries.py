@@ -2569,11 +2569,17 @@ def pipe_knn_graph(spark, sf_dir):
     is a skinny (id, bucket) self-join — vectors join back by id, never
     enter the bucket join — and per-vector candidates are bounded by the
     bucket population, which similarity.knn_graph's auto-plane default
-    holds at ~64 as N grows (3 planes here = the auto value at this SF,
-    explicit to keep the oracle static). Deterministic md5-derived planes
+    holds at ~64 as N grows (the static 3-plane oracle replays exactly
+    because auto_num_planes(500)==3 at the driver SF, a pinned anchor —
+    same contract as pipe_semdedup_auto_k). Deterministic md5-derived planes
     make buckets, cosines, and ranks engine-portable, so DuckDB replays
     the full graph under the driver hash gate."""
-    return S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3)
+    # num_planes=None → auto ⌈log2(N/64)⌉; == 3 at the driver/test SFs
+    # (auto_num_planes(500)==3, anchored in tests), so the static 3-plane
+    # oracle still replays bit-exact — while at scale the bucket count
+    # grows with N instead of freezing at 8 (a fixed 3-plane bucket join
+    # is O(N²/8) pairs: the x100 rehearsal corpus alone made it minutes).
+    return S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None)
 
 
 @register(
@@ -2610,7 +2616,7 @@ def pipe_knn_label_purity(spark, sf_dir):
     embedding-conditioned filter or the SemDeDup family. Reuses the
     registered knn_graph (skinny LSH-bucket self-join); labels join on by
     id, so only (id, id, label) triples move after the graph."""
-    g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3)
+    g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None)
     emb = t(spark, sf_dir, "embeddings")
     la = emb.select(F.col("vec_id").alias("src_id"), F.col("label").alias("_la"))
     lb = emb.select(F.col("vec_id").alias("nbr_id"), F.col("label").alias("_lb"))
@@ -2651,7 +2657,7 @@ def pipe_mutual_knn(spark, sf_dir):
     reversed key — skinny (src, nbr, sim) rows — so the filter costs one
     co-partitioned shuffle regardless of corpus size. Output one row per
     undirected pair (id_a < id_b)."""
-    g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+    g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id", "cos_sim"
     )
     rev = g.select(
@@ -16664,7 +16670,7 @@ def pipe_link_prediction(spark, sf_dir):
     pinned before the deterministic (score, id, id) ranking. Common
     neighbors with degree 1 cannot exist (a pivot needs two edges), so
     ln(deg) never hits zero."""
-    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id"
     )
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
@@ -17368,7 +17374,7 @@ def pipe_kcore_decompose(spark, sf_dir):
     peeling converges in O(graph diameter)-ish rounds in practice).
     Shares the knn-graph CTE with pipe_link_prediction / pipe_knn_graph,
     so the only new work is the peel."""
-    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id"
     )
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
@@ -17639,7 +17645,7 @@ def pipe_graph_assortativity(spark, sf_dir):
     knn-graph construction (and its oracle CTE) with pipe_link_prediction
     / pipe_kcore_decompose; on the symmetric edge list each undirected
     edge contributes both directions, which is the standard definition."""
-    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=3).select(
+    knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id"
     )
     e = (
