@@ -3183,9 +3183,9 @@ def pipe_embedding_near_dup(spark, sf_dir):
     0.45 threshold (measured against the exact all-pairs reference in
     tests/test_pipeline_ops.py). Candidate generation joins skinny
     (id, bucket) frames — 8 buckets per table bound each join at
-    ~(N/8)²/2 pairs per bucket, and at production scale planes grow with
-    log2(N) to keep bucket populations fixed (auto_num_planes — the
-    explicit value here keeps the oracle static). The exact all-pairs form
+    ~(N/8)²/2 pairs per bucket at the driver SF, and planes grow with
+    log2(N) to keep bucket populations fixed (auto_num_planes; the pinned
+    auto(500)==3 anchor keeps the static 3-plane oracle exact). The exact all-pairs form
     (dedup.embedding_cosine_dups) remains a pytest-only recall reference —
     a cartesian product is not a plan that survives 100x data.
 
@@ -3193,10 +3193,16 @@ def pipe_embedding_near_dup(spark, sf_dir):
     4 tables x 3 planes) vs ~1.2 s for the old 1-plane registration — a
     deliberate recall-for-time trade made in round 5; the round-5 bench's
     2.8 s reading was session-state inflation, fixed by bench cohorts."""
+    # num_planes=None → auto ⌈log2(N/64)⌉; == _NEARDUP_PLANES (3) at the
+    # driver/test SFs via the pinned auto_num_planes(500) anchor, so the
+    # static 3-plane x 4-table oracle replays bit-exact — while at scale
+    # per-table bucket counts grow with N instead of freezing at 8
+    # (tables stay at 4: OR-amplification is a recall knob, not a scale
+    # knob).
     return D.embedding_cosine_dups_lsh(
         t(spark, sf_dir, "embeddings"),
         threshold=0.45,
-        num_planes=_NEARDUP_PLANES,
+        num_planes=None,
         num_tables=_NEARDUP_TABLES,
     )
 
@@ -4630,7 +4636,7 @@ def ext_tpch_q4(spark, sf_dir):
 
 @register(
     "pipe_embedding_dedup_lsh",
-    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 2)} AS bucket
+    f"""WITH bkt AS (SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', 3)} AS bucket
                      FROM embeddings)
         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                FLOOR(({_cosine_sql('x.embedding', 'y.embedding')}) * 1000000 + 0.5) / 1000000 AS cos_sim
@@ -4645,7 +4651,17 @@ def pipe_embedding_dedup_lsh(spark, sf_dir):
     additionally pinned in pytest."""
     from sql_query_engine_rs_spark.functions.dedup import embedding_cosine_dups_lsh
 
-    return embedding_cosine_dups_lsh(t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=2)
+    # num_planes=None → auto ⌈log2(N/64)⌉ == 3 at the driver/test SFs (the
+    # pinned auto_num_planes(500) anchor), matching the static 3-plane
+    # oracle above — and growing the bucket count with N at scale. The
+    # previous pinned num_planes=2 froze the corpus into 4 buckets: an
+    # O(N²/4) bucket join, the same scale-killer shape fixed across the
+    # knn_graph family this round (oracle updated in lockstep, 2 → 3
+    # planes; the entry is a round-9 re-row pin so the driver re-verifies
+    # the new values).
+    return embedding_cosine_dups_lsh(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=None
+    )
 
 
 # =====================================================================
