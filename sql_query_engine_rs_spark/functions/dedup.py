@@ -830,6 +830,25 @@ def embedding_cosine_dups_lsh(
     pair — CPU, not a shuffle. The rounded cosine is deterministic, so
     cross-table duplicate rows are identical and distinct() collapses them
     exactly.
+
+    Exact-clone collapse (round 8, from the planted-skew rehearsal):
+    re-crawled corpora ship EXACT-duplicate vectors, and identical vectors
+    share every bucket in every table — no number of planes separates
+    them, so a clone group of size g costs O(g²)·tables candidate rows,
+    each dragging two full vectors through the verify join-back (measured
+    6.6× on the skew corpus: 5% clones at x10). Identical vectors are
+    also interchangeable everywhere this function looks at them (same
+    signature, same norm, same fold — cosine is a pure function of the
+    two arrays), so the corpus is first collapsed to one REPRESENTATIVE
+    per distinct vector (min id, one keyed window shuffle), candidates
+    form and verify at rep granularity, and member pairs are expanded
+    back through the skinny (rep, id) map: within-group pairs take the
+    group's self-cosine, cross-group pairs take their rep pair's cosine.
+    The output SET is provably identical — membership in a bucket, the
+    verify value, and the ≥ threshold decision are all functions of the
+    vector values alone — and the expansion is O(output), the irreducible
+    floor (the pair list itself enumerates every clone pair). Measured on
+    the skew corpus: 14.8 s → see BENCH_sf1.json "skew_rehearsal".
     """
     from sql_query_engine_rs_spark.functions.similarity import (
         dot,
@@ -837,26 +856,35 @@ def embedding_cosine_dups_lsh(
         random_hyperplane_signature,
     )
 
-    # ONE signature pass computes every table's bucket column, persisted —
-    # without this, each per-table self-join recomputes the plane folds on
-    # BOTH sides (2·tables signature evaluations + their codegen compiles;
-    # measured ~2x the operator's whole runtime). The vectors frame is
-    # persisted too: it feeds the signature pass and both verify join-backs,
-    # and carries each vector's norm so the per-pair verify folds ONE array
-    # (the dot product) instead of three — bit-identical to per-pair norms
-    # (same fold, hoisted), so the DuckDB oracle needs no change.
-    v = persist_tracked(
-        _ensure_parallelism(df).select(
+    from pyspark.sql import Window
+
+    # Exact-clone collapse: one keyed window shuffle attaches each row's
+    # representative (the group's min id); everything downstream runs at
+    # rep granularity. num_planes still derives from the TOTAL count so
+    # the auto-plane anchors (and every static oracle) are unchanged.
+    vm = persist_tracked(
+        _ensure_parallelism(df)
+        .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             norm(F.col(vec_col)).alias("_n"),
         )
+        .withColumn("_rid", F.min("_id").over(Window.partitionBy("_v")))
     )
-    n_vecs = v.count()
+    n_vecs = vm.count()
     if num_planes is None:
         num_planes = auto_num_planes(n_vecs)
+    reps = vm.filter(F.col("_id") == F.col("_rid"))
+    members = vm.select("_rid", "_id")
+    # ONE signature pass computes every table's bucket column, persisted —
+    # without this, each per-table self-join recomputes the plane folds on
+    # BOTH sides (2·tables signature evaluations + their codegen compiles;
+    # measured ~2x the operator's whole runtime). The reps frame carries
+    # each vector's norm so the per-pair verify folds ONE array (the dot
+    # product) instead of three — bit-identical to per-pair norms (same
+    # fold, hoisted), so the DuckDB oracle needs no change.
     bkt = persist_tracked(
-        v.select(
+        reps.select(
             "_id",
             *[
                 random_hyperplane_signature(
@@ -877,9 +905,9 @@ def embedding_cosine_dups_lsh(
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         )
         cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    return (
+    va = reps.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = reps.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    rep_pairs = (
         cand.join(va, on="id_a")
         .join(vb, on="id_b")
         .select(
@@ -892,6 +920,41 @@ def embedding_cosine_dups_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .distinct()
     )
+    # Expansion back to member pairs — O(output) by construction.
+    # Within-group: every pair of clones, at the group's self-cosine
+    # (dot(v,v)/(‖v‖·‖v‖) rounds to 1.0 for any finite non-zero vector;
+    # the filter keeps the degenerate NaN/zero-norm cases out, exactly as
+    # the uncollapsed path's verify did).
+    selfcos = reps.select(
+        F.col("_id").alias("_rid"),
+        portable_round(
+            dot(F.col("_v"), F.col("_v")) / (F.col("_n") * F.col("_n")), 6
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    m1 = members.select(F.col("_rid"), F.col("_id").alias("id_a"))
+    m2 = members.select(F.col("_rid"), F.col("_id").alias("id_b"))
+    within = (
+        m1.join(m2, on="_rid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(selfcos, on="_rid")
+        .select("id_a", "id_b", "cos_sim")
+    )
+    # Cross-group: each rep pair fans out to all (member_a, member_b)
+    # combinations; groups are disjoint so no pair is emitted twice, and
+    # least/greatest restores the id_a < id_b orientation the bucket
+    # self-join produced when every member met every other directly.
+    ma = members.select(F.col("_rid").alias("id_a"), F.col("_id").alias("_ma"))
+    mb = members.select(F.col("_rid").alias("id_b"), F.col("_id").alias("_mb"))
+    cross = (
+        rep_pairs.join(ma, on="id_a")
+        .join(mb, on="id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return cross.unionByName(within)
 
 
 def connected_components(

@@ -1302,3 +1302,88 @@ def test_ivf_assign_keep_rank_contract(spark, sf_dir):
             for r in ranked.filter(F.col("probe_rank") <= p).collect()
         }
         assert got == expect, f"probe_rank<={p} must equal nprobe={p}"
+
+
+def test_embedding_lsh_clone_collapse_equivalence(spark):
+    """The round-8 exact-clone collapse must be output-INVISIBLE: on a
+    corpus with planted exact-duplicate vectors, the collapsed path's
+    (id_a, id_b, cos_sim) set equals an uncollapsed reference that joins
+    the SAME per-table buckets directly on all ids (the pre-collapse
+    plan), including every within-clone pair at cos 1.0 and every
+    cross-group orientation."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+    rows = [Row(vec_id=i, embedding=base[i]) for i in range(30)]
+    # plant two clone groups: ids 100-109 clone base[0], 200-204 clone a
+    # NEAR-dup of base[1] (so cross-group pairs exercise both paths)
+    rows += [Row(vec_id=100 + j, embedding=list(base[0])) for j in range(10)]
+    near1 = [x + 0.001 for x in base[1]]
+    rows += [Row(vec_id=200 + j, embedding=list(near1)) for j in range(5)]
+    emb = spark.createDataFrame(rows)
+
+    def reference(df, threshold, num_planes, num_tables):
+        from sql_query_engine_rs_spark.functions.similarity import (
+            dot,
+            norm,
+            random_hyperplane_signature,
+        )
+        from sql_query_engine_rs_spark.functions.expressions import portable_round
+
+        v = df.select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").alias("_v"),
+            norm(F.col("embedding")).alias("_n"),
+        )
+        bkt = v.select(
+            "_id",
+            *[
+                random_hyperplane_signature(
+                    F.col("_v"), num_planes, plane_offset=t * num_planes
+                ).alias(f"_b{t}")
+                for t in range(num_tables)
+            ],
+        )
+        cand = None
+        for t in range(num_tables):
+            tbl = bkt.select("_id", F.col(f"_b{t}").alias("bucket"))
+            a, b = tbl.alias("a"), tbl.alias("b")
+            p = (
+                a.join(b, on="bucket")
+                .filter(F.col("a._id") < F.col("b._id"))
+                .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+        vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+        return (
+            cand.join(va, on="id_a")
+            .join(vb, on="id_b")
+            .select(
+                "id_a",
+                "id_b",
+                portable_round(
+                    dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct()
+        )
+
+    for planes, tables in ((2, 1), (3, 4)):
+        got = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in D.embedding_cosine_dups_lsh(
+                emb, threshold=0.4, num_planes=planes, num_tables=tables
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in reference(emb, 0.4, planes, tables).collect()
+        }
+        assert got == want
+        # the clone groups themselves must be fully paired at 1.0
+        assert all(
+            (a, b, 1.0) in got for a in range(100, 110) for b in range(a + 1, 110)
+        )
