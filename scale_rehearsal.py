@@ -260,6 +260,45 @@ def _write_single_file(df, dst: str) -> None:
     shutil.rmtree(tmp)
 
 
+def _embedding_remap(c: int):
+    """Per-copy embedding transform: cyclic ROTATION by c % 64 composed,
+    for copies past the rotation period, with a deterministic ±1 SIGN
+    pattern keyed on q = c // 64. Rotation alone wraps at 64 copies —
+    copies c and c+64 of the same vector were EXACT clones, planting
+    ~(copies/64 choose 2) artifact near-dup pairs per base vector
+    (discovered by the x300 deep point: knn_graph's x300/x100 ratio read
+    15.33, exactly the artifact pair growth 560/36, while the
+    clone-collapsed near-dup read 1.31 — the skew-rehearsal fix absorbing
+    the artifact). Both transforms preserve norms and within-copy cosine
+    structure exactly (signs cancel in every within-copy inner product);
+    cross-copy pairs with equal rotation now differ in ~32 of 64 signs —
+    decorrelated like the distinct-rotation pairs. q = 0 keeps the
+    identity pattern, so every corpus of ≤ 64 copies (the committed
+    x10/x30 rows) is bit-identical to the historical construction."""
+    from pyspark.sql import functions as F
+
+    rot = c % 64
+    rotated = (
+        F.col("embedding")
+        if rot == 0
+        else F.concat(
+            F.slice("embedding", rot + 1, 64 - rot),
+            F.slice("embedding", 1, rot),
+        )
+    )
+    q = c // 64
+    if q == 0:
+        return rotated.alias("embedding")
+    signed = F.transform(
+        rotated,
+        lambda x, i: x
+        * F.when(F.pmod(F.hash(F.lit(q), i), F.lit(2)) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .cast("float"),
+    )
+    return signed.cast("array<float>").alias("embedding")
+
+
 def build_data(spark, copies: int) -> None:
     from pyspark.sql import functions as F
 
@@ -283,14 +322,7 @@ def build_data(spark, copies: int) -> None:
         ),
         "embeddings": lambda df, c: df.select(
             (F.col("vec_id") + F.lit(c * OFFSET)).alias("vec_id"),
-            (
-                F.col("embedding")
-                if c == 0
-                else F.concat(
-                    F.slice("embedding", c % 64 + 1, 64 - c % 64),
-                    F.slice("embedding", 1, c % 64),
-                ).alias("embedding")
-            ),
+            _embedding_remap(c),
             "label",
         ),
         "lineitem": lambda df, c: df.withColumn(

@@ -55,6 +55,17 @@ LSH_TARGET_BUCKET = 64
 # corpus derives, where N·k is a non-starter.
 SEMDEDUP_HIERARCHICAL_K = 1024
 
+# Rep count at which the LSH near-dup bucket verify switches from the
+# in-place interpreted JVM fold to the Arrow pair kernel (both bit-exact,
+# so the switch is invisible to outputs/oracles). The fold pays ~40 µs of
+# interpreter time per candidate but ships nothing; the Arrow kernel is
+# ~20× cheaper per pair but ships both vectors per candidate through the
+# Python pipe and pays its setup at every scale. Measured on the x300
+# rehearsal corpus (candidates ≈ 2·tables·target_bucket·N): sf0.1 (2k
+# vecs) fold 2.2 s vs Arrow 5.1 s; x100 (200k) tie at ~17 s; x300 (600k)
+# Arrow 46 s vs fold 82 s.
+PAIR_VERIFY_ARROW_MIN = 150_000
+
 
 def auto_num_centroids(n: int, target_cell: int = SEMDEDUP_TARGET_CELL) -> int:
     """k = ⌈N / target_cell⌉: cell populations stay ~target_cell as N grows,
@@ -807,13 +818,16 @@ def embedding_cosine_dups_lsh(
     (3 planes × 4 tables) recalls ≥ 99%; at looser thresholds recall falls
     (measured against the exact all-pairs reference in pytest).
 
-    Shuffle discipline: candidate generation joins SKINNY (id, bucket)
-    frames — vectors never enter the per-bucket self-join — and the full
-    vectors are joined back for the candidate pairs. The per-bucket join is
-    still quadratic WITHIN a bucket (~(N/2^planes)² pairs per bucket per
-    table): planes must grow with log2(N / target_bucket_size) so bucket
-    populations stay bounded, with tables restoring the recall the extra
-    planes cost. ``num_planes=None`` (the default) derives exactly that —
+    Shuffle discipline: the bucket self-join carries each vector and its
+    norm, the cosine verify runs INLINE in the join stage, and the
+    threshold filter collapses candidates to survivors before any
+    exchange — the candidate stream (~2·tables·target_pop·N rows at the
+    derived plane count) never materializes (see the inline comment for
+    the measured join-back alternative it replaced). The per-bucket join
+    is still quadratic WITHIN a bucket (~(N/2^planes)² pairs per bucket
+    per table): planes must grow with log2(N / target_bucket_size) so
+    bucket populations stay bounded, with tables restoring the recall the
+    extra planes cost. ``num_planes=None`` (the default) derives exactly that —
     ``auto_num_planes(count())`` holds expected bucket populations at
     ~LSH_TARGET_BUCKET at ANY corpus size (one cheap count() probe;
     explicit num_planes overrides, as the registered entries do to keep
@@ -879,13 +893,39 @@ def embedding_cosine_dups_lsh(
     # ONE signature pass computes every table's bucket column, persisted —
     # without this, each per-table self-join recomputes the plane folds on
     # BOTH sides (2·tables signature evaluations + their codegen compiles;
-    # measured ~2x the operator's whole runtime). The reps frame carries
-    # each vector's norm so the per-pair verify folds ONE array (the dot
-    # product) instead of three — bit-identical to per-pair norms (same
-    # fold, hoisted), so the DuckDB oracle needs no change.
+    # measured ~2x the operator's whole runtime). The frame carries each
+    # vector and its norm THROUGH the bucket self-join so the cosine
+    # verify runs inline in the join stage and the threshold filter
+    # collapses candidates to survivors before anything hits an exchange.
+    # (The earlier design joined SKINNY (id, bucket) frames and joined
+    # vectors back by id afterwards — right when candidates are rare, but
+    # at target bucket population ~64 the candidate stream is ~128·N rows
+    # per the four tables, and shuffling it twice through the join-backs
+    # — widened to two full vectors per row — spilled at the x300
+    # rehearsal: 234 s, warm trials slower than cold. Carrying vectors
+    # through the bucket exchange costs 2·tables·N vector-width rows,
+    # ~40× less traffic, and no candidate-sized frame ever materializes:
+    # 234 → 46 s at x300. The inline verify kernel is a measured
+    # crossover, bit-exact either way: below PAIR_VERIFY_ARROW_MIN reps
+    # the interpreted JVM fold reads the vectors in place (~40 µs/pair
+    # but zero transfer — 2.2 s at sf0.1 where Arrow's pipe setup and
+    # per-candidate vector shipping read 5.1 s); above it the Arrow
+    # pair kernel wins despite shipping both vectors per candidate
+    # (x300: 46 s Arrow vs 82 s fold — at 75M candidates the fold's
+    # interpreter time dominates its zero-copy advantage; the two tie
+    # at ~200k reps). A third form — the fold unrolled to a flat
+    # 64-term codegen chain — measured SLOWER than the fold both ways:
+    # extracting from a cast array re-runs the cast per getItem (O(d²)),
+    # and per-element casts leave a method too large to JIT (the same
+    # grave the kmeans unrolled-distance A/B found).)
+    from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
+
+    use_arrow_verify = n_vecs >= PAIR_VERIFY_ARROW_MIN
     bkt = persist_tracked(
         reps.select(
             "_id",
+            "_v",
+            "_n",
             *[
                 random_hyperplane_signature(
                     F.col("_v"), num_planes, plane_offset=t * num_planes
@@ -895,31 +935,30 @@ def embedding_cosine_dups_lsh(
         )
     )
     bkt.count()
-    cand = None
+    surv = None
     for t in range(num_tables):
-        tbl = bkt.select("_id", F.col(f"_b{t}").alias("bucket"))
+        tbl = bkt.select("_id", "_v", "_n", F.col(f"_b{t}").alias("bucket"))
         a, b = tbl.alias("a"), tbl.alias("b")
         pairs_t = (
             a.join(b, on="bucket")
             .filter(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                portable_round(
+                    pair_cosine(
+                        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+                    )
+                    if use_arrow_verify
+                    else dot(F.col("a._v"), F.col("b._v"))
+                    / (F.col("a._n") * F.col("b._n")),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
         )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    va = reps.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    vb = reps.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    rep_pairs = (
-        cand.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            portable_round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
-            ).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .distinct()
-    )
+        surv = pairs_t if surv is None else surv.unionByName(pairs_t)
+    rep_pairs = surv.distinct()
     # Expansion back to member pairs — O(output) by construction.
     # Within-group: every pair of clones, at the group's self-cosine
     # (dot(v,v)/(‖v‖·‖v‖) rounds to 1.0 for any finite non-zero vector;

@@ -232,14 +232,20 @@ def knn_graph(
     WITHOUT a global all-pairs pass.
 
     Unlike ``lsh_topk`` (small query set, broadcast), both sides here are
-    the full corpus, so the shape is the skinny-candidate discipline of
-    ``dedup.embedding_cosine_dups_lsh``: the within-bucket self-join moves
-    only (id, bucket) pairs, the vectors join back by id afterwards, and
-    the per-source top-k window keys on the unique source id (no skew by
-    construction). Candidates per vector ~= bucket population, so
-    ``num_planes=None`` derives ceil(log2(N/64)) from a count() probe to
-    hold bucket populations (hence per-vector candidate counts and
-    per-bucket join cost) constant at any corpus size.
+    the full corpus, so the shape is ``dedup.embedding_cosine_dups_lsh``'s
+    candidates-never-exchange discipline: the bucket self-join carries
+    each vector and its norm, the cosine evaluates INLINE in the join
+    stage (the same measured fold/Arrow crossover — see
+    ``dedup.PAIR_VERIFY_ARROW_MIN``), and only the skinny scored triples
+    (src, nbr, cos) reach the top-k window's exchange, which keys on the
+    unique source id (no skew by construction). The earlier skinny-
+    candidate form joined (id, bucket) pairs and joined vectors back by
+    id — two candidate-volume exchanges widened to two vectors a row; at
+    the x300 rehearsal (600k vectors, ~37M candidates) that spilled and
+    read 106 s vs ~35 s for this plan. Candidates per vector ~= bucket
+    population, so ``num_planes=None`` derives ceil(log2(N/64)) from a
+    count() probe to hold bucket populations (hence per-vector candidate
+    counts and per-bucket join cost) constant at any corpus size.
 
     Directed output (a's top-k is not b's): (src_id, nbr_id, cos_sim,
     rank), rank 1..k by cosine desc, ties to the lower neighbor id.
@@ -250,49 +256,40 @@ def knn_graph(
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
     from sql_query_engine_rs_spark.functions.dedup import auto_num_planes
 
-    v = persist_tracked(
-        _ensure_parallelism(df).select(
+    base = _ensure_parallelism(df)
+    n_vecs = base.count()
+    if num_planes is None:
+        num_planes = auto_num_planes(n_vecs)
+    # Persist + materialize ONE (id, vec, norm, bucket) frame: the
+    # self-join below reads it on BOTH sides, and an unpersisted bucket
+    # column would re-evaluate the signature pass per side (2·N plane
+    # folds — measured +0.8 s per evaluation at sf0.1 after the Arrow
+    # signature swap, and a pure-waste double pass at any scale).
+    bkt = persist_tracked(
+        base.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
             norm(F.col(vec_col)).alias("_n"),
-        )
-    )
-    n_vecs = v.count()
-    if num_planes is None:
-        num_planes = auto_num_planes(n_vecs)
-    # Persist + materialize the skinny (id, bucket) frame: the self-join
-    # below reads it on BOTH sides, and an unpersisted bucket column would
-    # re-evaluate the signature pass per side (2·N plane folds — the same
-    # recompute embedding_near_dup documents and avoids; measured +0.8 s
-    # per evaluation at sf0.1 after the Arrow signature swap, and a
-    # pure-waste double pass at any scale).
-    bkt = persist_tracked(
-        v.select(
-            "_id", random_hyperplane_signature(F.col("_v"), num_planes).alias("bucket")
+            random_hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
         )
     )
     bkt.count()
+    from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
+    from sql_query_engine_rs_spark.functions.dedup import PAIR_VERIFY_ARROW_MIN
+
+    cos_expr = (
+        pair_cosine(F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n"))
+        if n_vecs >= PAIR_VERIFY_ARROW_MIN
+        else dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    )
     a, b = bkt.alias("a"), bkt.alias("b")
-    cand = (
+    scored = (
         a.join(b, on="bucket")
         .filter(F.col("a._id") != F.col("b._id"))
-        .select(F.col("a._id").alias("src_id"), F.col("b._id").alias("nbr_id"))
-    )
-    va = v.select(F.col("_id").alias("src_id"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    vb = v.select(F.col("_id").alias("nbr_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
-
-    scored = (
-        cand.join(va, on="src_id")
-        .join(vb, on="nbr_id")
         .select(
-            "src_id",
-            "nbr_id",
-            # Arrow strict-fold pair dot (bit-exact to the JVM fold;
-            # norms hoisted JVM-side) — see arrow_kernels
-            portable_round(
-                pair_cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
-            ).alias("cos_sim"),
+            F.col("a._id").alias("src_id"),
+            F.col("b._id").alias("nbr_id"),
+            portable_round(cos_expr, 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))

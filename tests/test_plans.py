@@ -14,6 +14,51 @@ from sql_query_engine_rs_spark.plans import explain_str, pushed_filters, uses_br
 from sql_query_engine_rs_spark.queries import QUERIES
 
 
+def hash_exchanges(df) -> list[tuple[str, str]]:
+    """(Arguments line, Input line) for every hash-partitioned Exchange in
+    the formatted plan's detail section — the Input line lists the exact
+    row the exchange moves, the Arguments line its partitioning key.
+
+    This replaces a pattern that split the formatted text on the literal
+    "Exchange hashpartitioning": formatted mode prints "(5) Exchange" and
+    "Arguments: hashpartitioning(…)" on SEPARATE lines, so that split
+    matched nothing and eleven exchange-payload pins were vacuously green
+    (found round 8 when a new pin's positive assertion — "a src_id
+    exchange exists" — failed). Column membership is checked against the
+    Input line with the "name#" ref form so a pruned column named, e.g.,
+    "text_len" cannot false-positive a "text" pin."""
+    import re as _re
+
+    txt = explain_str(df, "formatted")
+    out = []
+    for block in _re.split(r"\n(?=\(\d+\) )", txt):
+        lines = block.split("\n")
+        if not _re.match(r"\(\d+\) Exchange\b", lines[0].strip()):
+            continue
+        inp = next((l for l in lines[1:] if l.startswith("Input")), "")
+        args = next((l for l in lines[1:] if l.startswith("Arguments")), "")
+        if "hashpartitioning" in args:
+            out.append((args, inp))
+    return out
+
+
+def assert_no_col_in_hash_exchanges(df, col: str) -> None:
+    """No hash-partitioned exchange may carry column ``col`` (ref form
+    ``col#``) in its moved row. Positive guard: the plan must contain at
+    least one hash exchange, so a plan refactor that removes exchanges
+    entirely (or a parser regression) cannot make the pin vacuous again —
+    callers whose plans legitimately have no hash exchange should assert
+    that explicitly instead."""
+    import re as _re
+
+    exchanges = hash_exchanges(df)
+    assert exchanges, "expected at least one hash exchange in the plan"
+    # boundary-anchored: 'text#' must not match 'context#342'
+    pat = _re.compile(rf"(?<![A-Za-z0-9_]){_re.escape(col)}#")
+    for args, inp in exchanges:
+        assert not pat.search(inp), f"{col} in exchange row: {inp} | {args}"
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = QUERIES["v0_filter_comparison"].build(spark, sf_dir)
     pf = pushed_filters(df)
@@ -178,10 +223,7 @@ def test_curation_single_plan_no_text_after_scan(spark, sf_dir):
     """The composed curation pipeline must not carry document text past
     the scoring projection: no shuffle exchanges a 'text' column."""
     df = QUERIES["pipe_corpus_curation"].build(spark, sf_dir)
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        first_line = frag.split("\n", 1)[0]
-        assert "text" not in first_line, f"text shuffled: {first_line}"
+    assert_no_col_in_hash_exchanges(df, "text")
 
 
 @pytest.mark.parametrize("name", ["pipe_minhash_lsh", "pipe_simhash"])
@@ -371,9 +413,7 @@ def test_source_rollup_prunes_and_no_text_shuffle(spark, sf_dir):
     df = QUERIES["pipe_source_quality_rollup"].build(spark, sf_dir)
     formatted = explain_str(df, "formatted")
     assert "ReadSchema: struct<text:string,source:string>" in formatted
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        first_line = frag.split("\n", 1)[0]
-        assert "text" not in first_line, f"text shuffled: {first_line}"
+    assert_no_col_in_hash_exchanges(df, "text")
 
 
 def test_unigram_logprob_single_token_cache(spark, sf_dir):
@@ -461,9 +501,9 @@ def test_exact_substring_dedup_prunes_and_hashes_grams(spark, sf_dir):
     df = QUERIES["pipe_exact_substring_dedup"].build(spark, sf_dir)
     formatted = explain_str(df, "formatted")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in formatted
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        first_line = frag.split("\n", 1)[0]
-        assert "gram" not in first_line, f"raw grams shuffled: {first_line}"
+    assert_no_col_in_hash_exchanges(df, "text")
+    for args, inp in hash_exchanges(df):
+        assert "_gram#" not in inp, f"raw grams shuffled: {inp}"
 
 
 def test_countmin_cells_partial_aggregation(spark, sf_dir):
@@ -563,18 +603,24 @@ def test_bench_stdout_line_stays_driver_safe():
     assert len(parsed["queries"]) <= 5
 
 
-def test_knn_graph_skinny_bucket_join(spark, sf_dir):
-    """The k-NN graph's within-bucket self-join must move only (id, bucket)
-    pairs — no hash exchange may carry the embedding array; the vectors
-    join back by id afterwards. This is the shape that survives 100x data
-    (a bucket join shuffling 64-float vectors would move the corpus twice)."""
+def test_knn_graph_candidates_never_exchange_vectors(spark, sf_dir):
+    """The k-NN graph's CANDIDATE-volume exchange (the top-k window keyed
+    on src_id) must be skinny — (src, nbr, cos) only, never the embedding
+    array. The bucket exchange is ALLOWED to carry vectors: that is
+    2·N vector-width rows, while a skinny bucket join + vector join-backs
+    shuffles the ~target_pop·N candidate stream twice, widened to two
+    vectors per row — measured spilling at the x300 rehearsal (106 s vs
+    ~35 s for the inline-verify plan). The scale contract is therefore:
+    vectors may ride N-sized exchanges, never candidate-sized ones."""
     df = QUERIES["pipe_knn_graph"].build(spark, sf_dir)
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        first_line = frag.split("\n", 1)[0]
-        assert "bucket" not in first_line or "_v" not in first_line, first_line
-        if "bucket" in first_line:
-            assert "embedding" not in first_line, f"vectors in bucket join: {first_line}"
+    src_exchanges = [
+        (args, inp) for args, inp in hash_exchanges(df) if "src_id" in args
+    ]
+    assert src_exchanges, "expected a skinny top-k exchange keyed on src_id"
+    for args, inp in src_exchanges:
+        assert "_v#" not in inp and "embedding#" not in inp, (
+            f"vectors in candidate exchange: {inp}"
+        )
 
 
 def test_shard_assignment_single_small_exchange(spark, sf_dir):
@@ -586,9 +632,8 @@ def test_shard_assignment_single_small_exchange(spark, sf_dir):
     r = plan_report(df)
     assert r["shuffle_joins"] == 0
     assert r["broadcast_joins"] >= 1  # the 1-row total
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag.split("\n", 1)[0]
+    for args, inp in hash_exchanges(df):
+        assert "text#" not in inp, f"text shuffled: {inp}"
 
 
 def test_sequence_packing_one_window_pass(spark, sf_dir):
@@ -612,9 +657,7 @@ def test_token_gini_text_stays_in_scan_stage(spark, sf_dir):
     df = QUERIES["pipe_token_gini"].build(spark, sf_dir)
     r = plan_report(df)
     assert r["shuffle_joins"] == 0 and r["broadcast_joins"] == 0
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag.split("\n", 1)[0]
+    assert_no_col_in_hash_exchanges(df, "text")
     rows = df.collect()
     assert len(rows) == 1 and 0.0 <= rows[0].gini <= 1.0
 
@@ -628,9 +671,8 @@ def test_source_overlap_hashed_skinny_self_join(spark, sf_dir):
     df = QUERIES["pipe_source_overlap"].build(spark, sf_dir)
     r = plan_report(df)
     assert r["broadcast_joins"] >= 2  # the two per-source size lookups
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "_g" not in frag.split("\n", 1)[0]
+    for args, inp in hash_exchanges(df):
+        assert "_g#" not in inp, f"raw grams shuffled: {inp}"
     rows = df.collect()
     assert rows and all(0.0 <= x.jaccard <= 1.0 for x in rows)
 
@@ -644,10 +686,8 @@ def test_label_centroid_sim_skinny_long_frame(spark, sf_dir):
     df = QUERIES["pipe_label_centroid_sim"].build(spark, sf_dir)
     r = plan_report(df)
     assert r["broadcast_joins"] >= 2  # the two norm lookups
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "embedding" not in frag.split("\n", 1)[0]
-        assert "_v" not in frag.split("\n", 1)[0]
+    assert_no_col_in_hash_exchanges(df, "embedding")
+    assert_no_col_in_hash_exchanges(df, "_v")
     rows = df.collect()
     assert rows and all(-1.0 <= x.cos_sim <= 1.0 for x in rows)
 
@@ -678,9 +718,8 @@ def test_distinct_ngrams_hashed_exchanges(spark, sf_dir):
     df = QUERIES["pipe_distinct_ngrams"].build(spark, sf_dir)
     r = plan_report(df)
     assert r["broadcast_joins"] >= 3 and r["shuffle_joins"] == 0
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "_g" not in frag.split("\n", 1)[0]
+    for args, inp in hash_exchanges(df):
+        assert "_g#" not in inp, f"raw grams shuffled: {inp}"
 
 
 def test_join_skew_audit_takeordered_not_window(spark, sf_dir):
@@ -805,9 +844,7 @@ def test_skipgram_vocab_broadcast_and_no_text_in_exchange(spark, sf_dir):
     # at test SF where the kept side is tiny; shuffle-on-doc_id at scale) —
     # what matters is that it is NOT a cartesian/NLJ on the range condition
     assert r["broadcast_joins"] + r["shuffle_joins"] >= 3
-    formatted = explain_str(df, "formatted")
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag.split("\n", 1)[0]
+    assert_no_col_in_hash_exchanges(df, "text")
     rows = df.collect()
     assert len(rows) == 10 and all(x.n_pairs >= 1 for x in rows)
 
@@ -820,8 +857,7 @@ def test_coverage_curve_single_fingerprint_shuffle(spark, sf_dir):
     df = QUERIES["pipe_shard_coverage_curve"].build(spark, sf_dir)
     formatted = explain_str(df, "formatted")
     assert "partial_min" in formatted or "partial min" in formatted.lower()
-    for frag in formatted.split("Exchange hashpartitioning")[1:]:
-        assert "text" not in frag.split("\n", 1)[0]
+    assert_no_col_in_hash_exchanges(df, "text")
     rows = df.collect()
     assert len(rows) == 16
     assert abs(max(r.coverage_frac for r in rows) - 1.0) < 1e-9
@@ -904,3 +940,23 @@ def test_workload_reuse_report_finds_shared_subplans(spark, sf_dir):
         }
     )
     assert all(len(e["queries"]) < 2 for e in disjoint)
+
+
+def test_rehearsal_scripts_import_and_agree():
+    """scale_rehearsal.py / skew_rehearsal.py live outside the package
+    import graph, so a syntax error or a renamed-entry drift would
+    otherwise surface only mid-run after minutes of corpus building.
+    Import both and pin the cross-script contracts: every skew op is a
+    HEAVY member (skew reuses the uniform bench method), every HEAVY and
+    SKEW entry resolves in the registry (or is a scaled builder)."""
+    import scale_rehearsal as SR
+    import skew_rehearsal as SK
+
+    from sql_query_engine_rs_spark.queries import QUERIES as REG
+
+    assert set(SK.SKEW_OPS) <= set(SR.HEAVY), sorted(set(SK.SKEW_OPS) - set(SR.HEAVY))
+    unresolved = [
+        n for n in SR.HEAVY + SK.SKEW_OPS
+        if n not in REG and n not in SR.SCALED_BUILDERS
+    ]
+    assert not unresolved, unresolved
