@@ -68,7 +68,10 @@ COPIES = int(os.environ.get("SPARK_GRAFT_SKEW_COPIES", "10"))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
-HOT_USER = 77 * 10**12  # above every remapped id (copy offsets are c * 10^12)
+# above every remapped id at ANY copy count (copy offsets are c * OFFSET,
+# c < COPIES — a fixed sentinel would collide with copy c's id range once
+# COPIES grows past it)
+HOT_USER = (COPIES + 1) * SR.OFFSET
 HOT_PART = 1
 BOILERPLATE = (
     "This page is part of our standard catalog template. All rights "
@@ -112,8 +115,11 @@ def build_skew(spark) -> None:
         )
 
     def documents(df):
-        flooded = F.pmod(F.hash("doc_id"), F.lit(20)) == 0  # 5%
-        hot_src = F.pmod(F.hash("doc_id"), F.lit(5)) < 2    # 40%
+        # independent salts: h%20==0 implies h%5==0 for the SAME hash, so
+        # unsalted moduli would nest the flood inside the hot source and
+        # entangle the two plants' measured ratios
+        flooded = F.pmod(F.hash("doc_id", F.lit("flood")), F.lit(20)) == 0  # 5%
+        hot_src = F.pmod(F.hash("doc_id", F.lit("src")), F.lit(5)) < 2      # 40%
         return df.select(
             "doc_id",
             F.when(flooded, F.lit(BOILERPLATE)).otherwise(F.col("text")).alias("text"),
@@ -132,7 +138,11 @@ def build_skew(spark) -> None:
         )
 
     def embeddings(df):
-        lit_vec = F.array(*[F.lit(float(x)) for x in clone_vec])
+        # the literal array is array<double>; without the cast, when()
+        # coerces the WHOLE column to array<double> and every skew-corpus
+        # vector is written at 2x the uniform corpus's width — the ratios
+        # would measure dtype bytes, not skew
+        lit_vec = F.array(*[F.lit(float(x)) for x in clone_vec]).cast("array<float>")
         return df.withColumn(
             "embedding",
             F.when(F.pmod(F.hash("vec_id"), F.lit(20)) == 0, lit_vec)

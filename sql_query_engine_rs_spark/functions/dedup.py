@@ -920,7 +920,10 @@ def embedding_cosine_dups_lsh(
     # grave the kmeans unrolled-distance A/B found).)
     from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
 
-    use_arrow_verify = n_vecs >= PAIR_VERIFY_ARROW_MIN
+    # Crossover keys on the REP count — candidate volume scales with reps
+    # after the collapse, so a clone-heavy corpus (say 400k rows, 20k
+    # distinct vectors) belongs on the fold side. Cheap: vm is persisted.
+    use_arrow_verify = reps.count() >= PAIR_VERIFY_ARROW_MIN
     bkt = persist_tracked(
         reps.select(
             "_id",
@@ -945,13 +948,22 @@ def embedding_cosine_dups_lsh(
             .select(
                 F.col("a._id").alias("id_a"),
                 F.col("b._id").alias("id_b"),
+                # zero-norm guard: under ANSI mode (on in this engine's
+                # sessions) an unguarded 0/0 would throw; when() evaluates
+                # the division only on non-degenerate pairs, the NULL
+                # cos_sim fails the >= filter, and the pair drops — the
+                # outcome the unguarded plan could only reach by luck in
+                # non-ANSI sessions.
                 portable_round(
-                    pair_cosine(
-                        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
-                    )
-                    if use_arrow_verify
-                    else dot(F.col("a._v"), F.col("b._v"))
-                    / (F.col("a._n") * F.col("b._n")),
+                    F.when(
+                        F.col("a._n") * F.col("b._n") != 0,
+                        pair_cosine(
+                            F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+                        )
+                        if use_arrow_verify
+                        else dot(F.col("a._v"), F.col("b._v"))
+                        / (F.col("a._n") * F.col("b._n")),
+                    ),
                     6,
                 ).alias("cos_sim"),
             )
@@ -961,13 +973,18 @@ def embedding_cosine_dups_lsh(
     rep_pairs = surv.distinct()
     # Expansion back to member pairs — O(output) by construction.
     # Within-group: every pair of clones, at the group's self-cosine
-    # (dot(v,v)/(‖v‖·‖v‖) rounds to 1.0 for any finite non-zero vector;
-    # the filter keeps the degenerate NaN/zero-norm cases out, exactly as
-    # the uncollapsed path's verify did).
+    # (dot(v,v)/(‖v‖·‖v‖) rounds to 1.0 for any finite non-zero vector).
+    # Same zero-norm guard as the bucket verify: a zero/degenerate rep
+    # gets NULL (division never evaluates — ANSI-safe), fails the filter,
+    # and its group emits no within pairs.
     selfcos = reps.select(
         F.col("_id").alias("_rid"),
         portable_round(
-            dot(F.col("_v"), F.col("_v")) / (F.col("_n") * F.col("_n")), 6
+            F.when(
+                F.col("_n") * F.col("_n") != 0,
+                dot(F.col("_v"), F.col("_v")) / (F.col("_n") * F.col("_n")),
+            ),
+            6,
         ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
     m1 = members.select(F.col("_rid"), F.col("_id").alias("id_a"))

@@ -277,10 +277,14 @@ def knn_graph(
     from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
     from sql_query_engine_rs_spark.functions.dedup import PAIR_VERIFY_ARROW_MIN
 
-    cos_expr = (
+    # zero-norm guard (matches embedding_cosine_dups_lsh): under ANSI
+    # mode the unguarded 0/0 would throw; a degenerate vector's pairs get
+    # NULL cos_sim and are dropped below instead of crashing the graph.
+    cos_expr = F.when(
+        F.col("a._n") * F.col("b._n") != 0,
         pair_cosine(F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n"))
         if n_vecs >= PAIR_VERIFY_ARROW_MIN
-        else dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+        else dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
     )
     a, b = bkt.alias("a"), bkt.alias("b")
     scored = (
@@ -291,6 +295,7 @@ def knn_graph(
             F.col("b._id").alias("nbr_id"),
             portable_round(cos_expr, 6).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (

@@ -1387,3 +1387,26 @@ def test_embedding_lsh_clone_collapse_equivalence(spark):
         assert all(
             (a, b, 1.0) in got for a in range(100, 110) for b in range(a + 1, 110)
         )
+
+
+def test_embedding_lsh_zero_norm_vector_is_dropped_not_crash(spark):
+    """ANSI-mode regression pin (round-8 review finding): an all-zeros
+    embedding row must not crash the LSH near-dup or the kNN graph with
+    DIVIDE_BY_ZERO — its cosine is undefined, so its pairs (and the
+    zero-group's self-pairs) simply drop, while every other pair is
+    unaffected."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(20)
+    ]
+    rows += [Row(vec_id=100, embedding=[0.0] * 64), Row(vec_id=101, embedding=[0.0] * 64)]
+    emb = spark.createDataFrame(rows)
+    pairs = D.embedding_cosine_dups_lsh(emb, threshold=0.4, num_planes=2).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert 100 not in ids and 101 not in ids  # zero vectors never pair
+    g = S.knn_graph(emb, k=3, num_planes=2).collect()
+    assert all(r.cos_sim is not None for r in g)
+    assert all(r.src_id not in (100, 101) or r.nbr_id not in (100, 101) for r in g)
