@@ -863,6 +863,15 @@ def embedding_cosine_dups_lsh(
     vector values alone — and the expansion is O(output), the irreducible
     floor (the pair list itself enumerates every clone pair). Measured on
     the skew corpus: 14.8 s → see BENCH_sf1.json "skew_rehearsal".
+
+    PRECONDITION: ``id_col`` values must be unique (true of every table
+    this engine registers — parquet primary keys). The member expansion
+    relies on it: a duplicated id would appear in several (rep, id) map
+    rows, fan out duplicate pairs, and — via least/greatest on the
+    cross-group path — could emit id_a == id_b rows, neither of which the
+    pre-collapse a._id < b._id self-join could produce. Callers with
+    non-unique ids must dedup ids first (or use the exact
+    ``embedding_cosine_dups``, which has no expansion step).
     """
     from sql_query_engine_rs_spark.functions.similarity import (
         dot,
@@ -989,10 +998,16 @@ def embedding_cosine_dups_lsh(
     ).filter(F.col("cos_sim") >= threshold)
     m1 = members.select(F.col("_rid"), F.col("_id").alias("id_a"))
     m2 = members.select(F.col("_rid"), F.col("_id").alias("id_b"))
+    # selfcos joins BEFORE the m1×m2 fan-out: a group whose rep fails the
+    # self-cosine test (the zero/degenerate-vector case — e.g. a failed
+    # embedder emitting many all-zero vectors) is eliminated while still
+    # one row per member, never materializing its g² within-pairs. Join
+    # order is the whole fix — the threshold already rejected these groups,
+    # but after the expansion the O(output) bound was broken for them.
     within = (
-        m1.join(m2, on="_rid")
+        m1.join(selfcos, on="_rid")
+        .join(m2, on="_rid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .join(selfcos, on="_rid")
         .select("id_a", "id_b", "cos_sim")
     )
     # Cross-group: each rep pair fans out to all (member_a, member_b)

@@ -1409,4 +1409,52 @@ def test_embedding_lsh_zero_norm_vector_is_dropped_not_crash(spark):
     assert 100 not in ids and 101 not in ids  # zero vectors never pair
     g = S.knn_graph(emb, k=3, num_planes=2).collect()
     assert all(r.cos_sim is not None for r in g)
-    assert all(r.src_id not in (100, 101) or r.nbr_id not in (100, 101) for r in g)
+    assert all(r.src_id not in (100, 101) and r.nbr_id not in (100, 101) for r in g)
+
+
+def test_arrow_pair_verify_matches_fold_on_small_corpus(spark, monkeypatch):
+    """The use_arrow_verify branch (reps >= PAIR_VERIFY_ARROW_MIN = 150k)
+    was previously reachable only at rehearsal scale. Force it on a small
+    corpus by dropping the crossover to 0 and pin exact output equality
+    with the JVM fold path for BOTH callers (embedding_cosine_dups_lsh and
+    knn_graph) — including planted zero-norm and exact-clone rows, so the
+    when() guard is verified to drop degenerate pairs before the pandas
+    UDF evaluates and the clone expansion is verified on the Arrow path."""
+    import random
+
+    rng = random.Random(17)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(40)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    rows += [Row(vec_id=200 + j, embedding=list(base[0])) for j in range(3)]
+    rows += [Row(vec_id=300, embedding=[0.0] * 64), Row(vec_id=301, embedding=[0.0] * 64)]
+    emb = spark.createDataFrame(rows)
+
+    def pairs():
+        return {
+            (r.id_a, r.id_b, r.cos_sim)
+            for r in D.embedding_cosine_dups_lsh(
+                emb, threshold=0.4, num_planes=2, num_tables=2
+            ).collect()
+        }
+
+    def knn():
+        return {
+            (r.src_id, r.nbr_id, r.cos_sim, r.rank)
+            for r in S.knn_graph(emb, k=3, num_planes=2).collect()
+        }
+
+    fold_pairs, fold_knn = pairs(), knn()
+    assert fold_pairs, "fold path produced no pairs — fixture is vacuous"
+    monkeypatch.setattr(D, "PAIR_VERIFY_ARROW_MIN", 0)
+    arrow_pairs, arrow_knn = pairs(), knn()
+    assert arrow_pairs == fold_pairs
+    assert arrow_knn == fold_knn
+    zero_ids = {300, 301}
+    assert not any(a in zero_ids or b in zero_ids for a, b, _ in arrow_pairs)
+    assert not any(s in zero_ids or n in zero_ids for s, n, _, _ in arrow_knn)
+    # the clone group (0, 200, 201, 202) must be fully paired at 1.0 on
+    # the Arrow path too — the expansion runs after the kernel verify
+    clone = sorted([0, 200, 201, 202])
+    for i, a in enumerate(clone):
+        for b in clone[i + 1:]:
+            assert (a, b, 1.0) in arrow_pairs
