@@ -66,6 +66,21 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 # memory per task < 64 MB even at k=65k.
 _CHUNK_CELLS = 2_000_000
 
+# Hard ceiling on codebook rows collected driver-side. At 64-dim double
+# vectors, 65k centroids ≈ 34 MB on the driver and ~34 MB closed over per
+# executor — the same order as the F.broadcast it replaced. Past this the
+# collect itself becomes the scale risk (SemDeDup's k=⌈N/64⌉ reaches
+# k≈10⁶ around N≈6×10⁷ distinct vectors per run), so the kernel refuses
+# rather than silently OOM-ing the driver. The route past the bound is
+# hierarchical: route vectors through a coarse ≤65k codebook with this
+# kernel (assign_nearest_two_level already halves the exponent —
+# √(10⁶)≈10³ coarse cells), then resolve fine cells DISTRIBUTED — join
+# the fine codebook as a bucketed frame keyed on coarse_id and score
+# within cells via pair_dot (both sides vary per row, nothing collects).
+# similarity.ivf_assign's JVM crossJoin form is the semantic reference
+# for that join-shaped path.
+CODEBOOK_COLLECT_MAX = 65_536
+
 
 def _worker_fns():
     """Worker-side math, built fresh so cloudpickle ships it by value
@@ -124,9 +139,25 @@ _as_matrix, _strict_scores, _argbest, _chunks = _worker_fns()
 def _collect_codebook(centroids: DataFrame, cid_col: str, cvec_col: str):
     """Driver-side (cids asc int64, matrix float64, cid StructField) from
     a k-bounded codebook frame — the same rows ``F.broadcast`` shipped
-    before."""
+    before.
+
+    Guarded at ``CODEBOOK_COLLECT_MAX`` rows: the limit(max+1) collect
+    bounds driver memory even when the guard fires (a k≈10⁶ codebook
+    never materializes — at most max+1 rows land before the raise), and
+    the error names the documented distributed route (coarse two-level
+    assign + bucketed fine-codebook join; see the constant's comment).
+    """
     field = centroids.schema[cid_col]
-    rows = centroids.select(cid_col, cvec_col).collect()
+    rows = centroids.select(cid_col, cvec_col).limit(CODEBOOK_COLLECT_MAX + 1).collect()
+    if len(rows) > CODEBOOK_COLLECT_MAX:
+        raise ValueError(
+            f"codebook exceeds CODEBOOK_COLLECT_MAX={CODEBOOK_COLLECT_MAX} rows; "
+            "driver-side collect would not scale. Route through a coarse "
+            "<=65k codebook (assign_nearest_two_level) and resolve fine "
+            "cells with a distributed join keyed on the coarse id "
+            "(pair_dot scores within cells) — see arrow_kernels.py "
+            "CODEBOOK_COLLECT_MAX."
+        )
     rows.sort(key=lambda r: r[0])
     cids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in rows], dtype=np.float64)

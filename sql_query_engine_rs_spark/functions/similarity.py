@@ -763,13 +763,30 @@ def pq_assign_codes(
     ``_pq_assign_jvm`` in tests/test_arrow_kernels.py.
 
     The codebook (M·ks rows, ≤16k in production) collects driver-side —
-    the same rows ``F.broadcast`` shipped before."""
+    the same rows ``F.broadcast`` shipped before, guarded at
+    ``arrow_kernels.CODEBOOK_COLLECT_MAX`` total rows like every other
+    kernel codebook (limit(max+1) bounds driver memory even when the
+    guard fires)."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     import numpy as np
 
+    from sql_query_engine_rs_spark.functions.arrow_kernels import (
+        CODEBOOK_COLLECT_MAX,
+    )
+
     sub = dim // num_subspaces
-    rows = codebook.select("m", "centroid_id", "_centroid").collect()
+    rows = (
+        codebook.select("m", "centroid_id", "_centroid")
+        .limit(CODEBOOK_COLLECT_MAX + 1)
+        .collect()
+    )
+    if len(rows) > CODEBOOK_COLLECT_MAX:
+        raise ValueError(
+            f"PQ codebook exceeds CODEBOOK_COLLECT_MAX={CODEBOOK_COLLECT_MAX} "
+            "rows (M*ks); shrink ks or route through the distributed "
+            "bucketed-join path — see arrow_kernels.CODEBOOK_COLLECT_MAX."
+        )
     per_m: dict[int, tuple] = {}
     for m in range(num_subspaces):
         mrows = sorted(((r[1], r[2]) for r in rows if r[0] == m), key=lambda x: x[0])

@@ -157,6 +157,165 @@ def rsql(expr: str, n: int = 2) -> str:
     return f"FLOOR(({expr}) * {10 ** n} + 0.5) / {10 ** n}"
 
 
+# Bucket count for the two-level exact order-statistic pattern below.
+# Fixed (not N-derived) so the cross-bucket offset window is a CONSTANT
+# 256-row frame at any corpus size — the bounded-window whitelist
+# category (a), where the old one-window forms were category (b)
+# N-proportional.
+_RANGE_BUCKETS = 256
+
+
+def _range_bucket(v, mn, mx, nb: int = _RANGE_BUCKETS):
+    """Deterministic fixed-range bucket of a numeric column given
+    broadcast min/max stats: floor((v−mn)/(mx−mn)·nb) clamped to
+    [0, nb−1]; bucket 0 when the domain is degenerate (mx == mn). Equal
+    values always share a bucket (the bucket is a pure function of the
+    value), so an order statistic computed within buckets + cross-bucket
+    offsets never splits ties across the seam."""
+    return F.when(
+        mx > mn,
+        F.least(F.lit(nb - 1).cast("long"), F.floor((v - mn) / (mx - mn) * nb)),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _bucketed_running_sums(
+    g,
+    v_col: str,
+    c_cols: list[str],
+    nb: int = _RANGE_BUCKETS,
+    with_lead: bool = False,
+):
+    """``g`` + an INCLUSIVE running-sum column ``_cum_<c>`` per measure,
+    ordered by ``v_col`` — the rank/CDF primitive — without a
+    global-order window, via the proven zorder two-level chunking:
+    range-bucket on broadcast min/max stats, running sums WITHIN each
+    bucket (per-bucket window partitions, distributed), plus each
+    bucket's offsets = sums of all lower buckets' totals (one window
+    over the ≤``nb``-row bucket-totals frame — constant-bounded).
+    ``with_lead`` adds ``_lead_v`` = the next distinct ``v_col`` in the
+    global order (NULL at the very end): within-bucket lead, patched at
+    each bucket's last row with the next non-empty bucket's min — the
+    cross-bucket seam comes from the same bounded bucket-stats frame.
+
+    Exactness: callers pass integer-valued counts (doubles), so every
+    regrouped addition is exact below 2^53 and the cumsum is
+    bit-identical to the single-window form it replaces — the DuckDB
+    oracles keep their one-window SQL untouched.
+
+    Skew note: fixed-range buckets inherit the value distribution — a
+    pathological spike concentrates its DISTINCT-value rows in one
+    bucket's window partition, which is still no worse than the single
+    global window this replaces, and tie groups collapse to one row
+    upstream (callers aggregate per distinct value first)."""
+    from pyspark.sql import Window
+
+    stats = F.broadcast(g.agg(F.min(v_col).alias("_mn"), F.max(v_col).alias("_mx")))
+    gb = (
+        g.crossJoin(stats)
+        .withColumn("_bkt", _range_bucket(F.col(v_col), F.col("_mn"), F.col("_mx"), nb))
+        .drop("_mn", "_mx")
+    )
+    win_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(v_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = gb
+    for c in c_cols:
+        inner = inner.withColumn(f"_run_{c}", F.sum(c).over(win_in))
+    if with_lead:
+        lead_in = Window.partitionBy("_bkt").orderBy(v_col)
+        inner = inner.withColumn("_lead_in", F.lead(v_col).over(lead_in))
+    btot = gb.groupBy("_bkt").agg(
+        *[F.sum(c).alias(f"_bt_{c}") for c in c_cols],
+        *([F.min(v_col).alias("_bmin")] if with_lead else []),
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.coalesce(F.sum(f"_bt_{c}").over(w_off), F.lit(0.0)).alias(f"_off_{c}")
+        for c in c_cols
+    ]
+    if with_lead:
+        # next NON-EMPTY bucket's min value: buckets absent from btot
+        # simply don't appear, so lead() over the bucket frame IS the
+        # next non-empty bucket's first distinct value.
+        off_cols.append(F.lead("_bmin").over(Window.orderBy("_bkt")).alias("_nxt_min"))
+    off = btot.select("_bkt", *off_cols)
+    out = inner.join(F.broadcast(off), on="_bkt")
+    for c in c_cols:
+        out = out.withColumn(f"_cum_{c}", F.col(f"_off_{c}") + F.col(f"_run_{c}"))
+    drop = ["_bkt"] + [f"_run_{c}" for c in c_cols] + [f"_off_{c}" for c in c_cols]
+    if with_lead:
+        out = out.withColumn("_lead_v", F.coalesce(F.col("_lead_in"), F.col("_nxt_min")))
+        drop += ["_lead_in", "_nxt_min"]
+    return out.drop(*drop)
+
+
+def _bucketed_running_sum_excl(g, v_col: str, c_col: str, nb: int = _RANGE_BUCKETS):
+    """``g`` + ``s_prev`` = the EXCLUSIVE running sum of ``c_col`` ordered
+    by ``v_col`` (the midrank form) — ``_bucketed_running_sums`` shifted
+    by the row's own count."""
+    out = _bucketed_running_sums(g, v_col, [c_col], nb)
+    return out.withColumn("s_prev", F.col(f"_cum_{c_col}") - F.col(c_col)).drop(
+        f"_cum_{c_col}"
+    )
+
+
+def _bucketed_ntile(s, k: int, order_cols, nb: int = _RANGE_BUCKETS):
+    """``s`` + column ``_tile`` = exact SQL ``ntile(k)`` over the total
+    order ``order_cols`` (first column is the range-bucketed sort key;
+    descending flag read from the Column itself), distributed two-level:
+    row_number within range buckets + cross-bucket count offsets give
+    each row its exact global rank, and the standard ntile identity
+    (n = q·k + rem → first ``rem`` tiles take q+1 rows) maps rank to
+    tile in pure integer arithmetic (DIV — no float division to round
+    the wrong way at any n). One constant-``nb``-row offset window, no
+    global sort; bit-identical to ``F.ntile(k)`` / DuckDB ntile."""
+    from pyspark.sql import Window
+
+    key, *rest = order_cols
+    key_name, descending = key if isinstance(key, tuple) else (key, False)
+    kc = F.col(key_name)
+    stats = F.broadcast(
+        s.agg(
+            F.min(key_name).alias("_mn"),
+            F.max(key_name).alias("_mx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    sb = (
+        s.crossJoin(stats)
+        .withColumn("_bkt", _range_bucket(kc, F.col("_mn"), F.col("_mx"), nb))
+        .drop("_mn", "_mx")
+    )
+    order = [kc.desc() if descending else kc.asc(), *[F.col(c) for c in rest]]
+    win_in = Window.partitionBy("_bkt").orderBy(*order)
+    inner = sb.withColumn("_rn", F.row_number().over(win_in))
+    btot = sb.groupBy("_bkt").agg(F.count(F.lit(1)).cast("long").alias("_bc"))
+    w_off = Window.orderBy(F.col("_bkt").desc() if descending else F.col("_bkt").asc())
+    off = btot.select(
+        "_bkt",
+        F.coalesce(
+            F.sum("_bc").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("_off"),
+    )
+    return (
+        inner.join(F.broadcast(off), on="_bkt")
+        .withColumn("_r", F.col("_off") + F.col("_rn"))
+        .withColumn(
+            "_tile",
+            F.expr(
+                f"CASE WHEN _r <= (_n % {k}) * (_n DIV {k} + 1) "
+                f"THEN (_r - 1) DIV (_n DIV {k} + 1) + 1 "
+                f"ELSE (_n % {k}) + (_r - (_n % {k}) * (_n DIV {k} + 1) - 1) "
+                f"DIV GREATEST(_n DIV {k}, 1) + 1 END"
+            ),
+        )
+        .drop("_bkt", "_rn", "_off", "_r", "_n")
+    )
+
+
 # =====================================================================
 # v0 parity surface (reference operators, SURVEY.md §2.1)
 # =====================================================================
@@ -1024,7 +1183,8 @@ def pipe_basket_lift(spark, sf_dir):
                 NTILE(4) OVER (ORDER BY monetary DESC, ck) AS m
          FROM per_cust)
        SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
-              FLOOR(AVG(monetary) * 100 + 0.5) / 100 AS avg_monetary
+              FLOOR(SUM(FLOOR(monetary * 100 + 0.5)) / count(*) / 100 * 100 + 0.5)
+                  / 100 AS avg_monetary
        FROM scored GROUP BY r, f, m""",
 )
 def pipe_rfm_segments(spark, sf_dir):
@@ -1034,16 +1194,16 @@ def pipe_rfm_segments(spark, sf_dir):
     behavioral-cohort rollup every commerce warehouse runs, and on
     corpora the same shape scores sources by (last-crawl recency,
     doc count, token mass). Shape: the corpus-wide work is ONE
-    per-customer hash aggregate with map-side partials; the three NTILE
-    windows run over the customer-grain frame (dims-sized — orders of
-    magnitude below the fact table; for a dim too big for one sort,
-    swap NTILE for approx_percentile bucket edges, same note as
-    pipe_length_quality_hist); output is <= 64 segment rows. Determinism:
-    every window orders by (metric, custkey) — unique — and monetary is
-    pre-rounded 2dp floor-form so the quartile cuts are identical
-    cross-engine; the global max date is a broadcast 1-row scalar."""
-    from pyspark.sql import Window
-
+    per-customer hash aggregate with map-side partials; the three exact
+    quartile splits run DISTRIBUTED two-level (round 9,
+    ``_bucketed_ntile`` — range buckets on broadcast stats,
+    within-bucket row_numbers, constant 256-row offset cumsums; the old
+    form was three global-order NTILE windows over the customer-grain
+    frame, dim-sized but still N-proportional); output is <= 64 segment
+    rows. Determinism: every split orders by (metric, custkey) — unique
+    — and monetary is pre-rounded 2dp floor-form so the quartile cuts
+    are identical cross-engine; the global max date is a broadcast 1-row
+    scalar."""
     o = t(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("dmax"))
     per_cust = (
@@ -1056,18 +1216,27 @@ def pipe_rfm_segments(spark, sf_dir):
         .crossJoin(F.broadcast(maxd))
         .withColumn("recency_days", F.datediff(F.col("dmax"), F.col("_last")))
     )
-    w_r = Window.orderBy("recency_days", "ck")
-    w_f = Window.orderBy(F.col("freq").desc(), "ck")
-    w_m = Window.orderBy(F.col("monetary").desc(), "ck")
-    scored = per_cust.select(
-        "ck", "monetary",
-        F.ntile(4).over(w_r).alias("r"),
-        F.ntile(4).over(w_f).alias("f"),
-        F.ntile(4).over(w_m).alias("m"),
-    )
+    scored = _bucketed_ntile(per_cust, 4, [("recency_days", False), "ck"])
+    scored = scored.withColumn("r", F.col("_tile").cast("int")).drop("_tile")
+    scored = _bucketed_ntile(scored, 4, [("freq", True), "ck"])
+    scored = scored.withColumn("f", F.col("_tile").cast("int")).drop("_tile")
+    scored = _bucketed_ntile(scored, 4, [("monetary", True), "ck"])
+    scored = scored.withColumn("m", F.col("_tile").cast("int")).drop("_tile")
+    # avg in exact CENTS (monetary is 2dp floor-form, so cents are exact
+    # integers and the segment sum is order-insensitive below 2^53): the
+    # old AVG-of-doubles only hash-matched because the single-partition
+    # ntile window froze Spark's accumulation order to DuckDB's — the
+    # round-9 distributed split surfaced a genuine 1-ulp boundary flip
+    # at sf0.001 (segment (3,3,3): .955 avg). Oracle carries the same
+    # exact-cents form; every division is a single IEEE op on identical
+    # operands, so the engines agree bit-for-bit at any partitioning.
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        r2(F.avg("monetary")).alias("avg_monetary"),
+        pround(
+            F.sum(F.floor(F.col("monetary") * 100 + F.lit(0.5)))
+            / F.count(F.lit(1)) / 100,
+            2,
+        ).alias("avg_monetary"),
     )
 
 
@@ -3474,6 +3643,41 @@ _FORCE_REROW_SCHEDULE = {
         "pipe_embedding_dedup_lsh",
         "pipe_knn_graph",
         "pipe_lsh_bucket_balance",
+    ],
+    # Round-10 re-rows, staged during round 9 (the r9 window had zero
+    # spare slots — 41 residue + 9 kernel pins):
+    # - pipe_ann_ivf / pipe_ann_ivf_bucketed / pipe_mutual_knn: green rows
+    #   (r04/r05/r06) predate the round-8 Arrow kernel swap; named by the
+    #   r8 verdict as the round-10 window head.
+    # - pipe_ann_nprobe_sweep / pipe_ann_ndcg / pipe_ann_two_stage /
+    #   pipe_kmeans_lloyd / pipe_semdedup_auto_k /
+    #   pipe_silhouette_simplified: execute the round-9
+    #   codebook-collect guard (limit(max+1) plan change in
+    #   arrow_kernels._collect_codebook / similarity.pq_assign_codes) —
+    #   output-identical, re-rowed per the changed-code discipline. The
+    #   other guard-touched entries sit in the r9 window and get fresh
+    #   rows on the guarded code already.
+    # - the seven round-9 two-level order-statistic conversions
+    #   (_bucketed_running_sums/_bucketed_ntile): distributed plans,
+    #   outputs pinned oracle-equal, but their green rows predate the
+    #   rewrite (rfm's avg_monetary moved to exact-cents on BOTH sides).
+    10: [
+        "pipe_ann_ivf",
+        "pipe_ann_ivf_bucketed",
+        "pipe_mutual_knn",
+        "pipe_ann_nprobe_sweep",
+        "pipe_ann_ndcg",
+        "pipe_ann_two_stage",
+        "pipe_kmeans_lloyd",
+        "pipe_semdedup_auto_k",
+        "pipe_silhouette_simplified",
+        "pipe_mannwhitney_u",
+        "pipe_auc_roc",
+        "pipe_lift_deciles",
+        "pipe_ks_test",
+        "pipe_wasserstein_drift",
+        "pipe_rfm_segments",
+        "pipe_length_quality_hist",
     ],
 }
 # A round's pins activate only when that round is the NEXT driver round
@@ -8162,11 +8366,13 @@ def pipe_length_quality_hist(spark, sf_dir):
     gate is about to throw away exactly the long documents a pretraining
     mix is short of — the bias this report exists to catch. Scoring is the
     same map-side in-array fold as pipe_quality_classifier (no shuffle);
-    the decile NTILE is one global sort of (n_chars, doc_id) scalar pairs
-    — at 100 TB swap it for approx percentile cut points (the report is
-    decile-granular; exact rank is not the point). Output ≤ 20 rows."""
-    from pyspark.sql import Window
-
+    the exact length deciles run DISTRIBUTED two-level (round 9,
+    ``_bucketed_ntile`` over the unique (n_chars, doc_id) order — range
+    buckets on broadcast stats, within-bucket row_numbers, a constant
+    256-row offset cumsum; the old form was one global NTILE sort of all
+    scored docs). approx percentile cut points remain the documented
+    cheaper trade when exact decile boundaries aren't needed. Output
+    ≤ 20 rows."""
     d = docs_parallel(spark, sf_dir)
 
     def w(tok):
@@ -8178,11 +8384,11 @@ def pipe_length_quality_hist(spark, sf_dir):
     )
     raw = F.aggregate(F.col("_toks"), F.lit(0.0), lambda acc, tk: acc + w(tk))
     score = pround(raw / F.greatest(F.size("_toks"), F.lit(1)), 6)
-    scored = toked.select(
-        "n_chars",
-        score.alias("score"),
-        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("len_decile"),
-    )
+    scored = _bucketed_ntile(
+        toked.select("doc_id", "n_chars", score.alias("score")),
+        10,
+        [("n_chars", False), "doc_id"],
+    ).select("n_chars", "score", F.col("_tile").cast("int").alias("len_decile"))
     return scored.groupBy("len_decile", (F.col("score") > 0.0).alias("keep")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         pround(F.avg("score"), 6).alias("mean_score"),
@@ -13647,34 +13853,30 @@ def pipe_ks_test(spark, sf_dir):
 
     Scale shape: the ECDFs never materialize per-row ranks — values
     collapse to per-distinct-value counts first (domain-bounded frame),
-    then ONE ordered running-sum window over the merged distinct values
-    builds both CDFs simultaneously; the sup is a top-1 window. The
-    single global window is ordered by a domain-bounded key (distinct
-    lengths), not corpus rows — for a continuous metric at 100 TB,
-    pre-bucket to fixed quantile bins (pipe_quantile_rollup's sketch)
-    and run the same shape over bins. Counts are integers and both
-    engines divide the same operands, so D agrees exactly; tie-break at
-    equal rounded D is the smallest x."""
+    then BOTH CDFs build in the DISTRIBUTED two-level running sum
+    (round 9, ``_bucketed_running_sums``: range buckets on broadcast
+    min/max stats, within-bucket windows, one constant 256-row offset
+    cumsum — the old form was one global-order window over the distinct
+    values, N-proportional for continuous metrics); the sup is a
+    TakeOrderedAndProject top-1, not a ranking window. For a continuous
+    metric at 100 TB, pre-bucket to fixed quantile bins
+    (pipe_quantile_rollup's sketch) and run the same shape over bins.
+    Counts are integers and both engines divide the same operands, so D
+    agrees exactly; tie-break at equal rounded D is the smallest x."""
     d = t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
     g = d.groupBy(F.col("n_chars").alias("x")).agg(
         F.count(F.when(F.col("source") == "src0", 1)).cast("double").alias("c1"),
         F.count(F.when(F.col("source") == "src1", 1)).cast("double").alias("c2"),
     )
     n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    from pyspark.sql import Window
-
-    run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = g.select(
-        "x",
-        F.sum("c1").over(run).alias("s1"),
-        F.sum("c2").over(run).alias("s2"),
+    cum = _bucketed_running_sums(g, "x", ["c1", "c2"]).select(
+        "x", F.col("_cum_c1").alias("s1"), F.col("_cum_c2").alias("s2")
     )
     dd = cum.crossJoin(F.broadcast(n)).select(
         "x",
         pround(F.abs(F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2")), 6).alias("dd"),
     )
-    rk = Window.orderBy(F.col("dd").desc(), F.col("x"))
-    best = dd.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") == 1)
+    best = dd.orderBy(F.col("dd").desc(), F.col("x")).limit(1)
     return best.crossJoin(F.broadcast(n)).select(
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
@@ -14060,7 +14262,7 @@ def pipe_mannwhitney_u(spark, sf_dir):
     """Mann–Whitney U rank-sum test (click vs purchase values) — the
     nonparametric mean-shift test that needs RANKS, computed here without
     ever globally sorting rows: values collapse to per-distinct-value
-    group counts, ONE running-sum window over the distinct values yields
+    group counts, a running sum over the distinct values yields
     midrank averages (s_prev + (c+1)/2 — exact for ties), and U, the
     normal approximation z, and the tie-corrected variance all come from
     four aggregate sums. The trick matters because the textbook
@@ -14069,11 +14271,15 @@ def pipe_mannwhitney_u(spark, sf_dir):
     DISTINCT value domain.
 
     Scale shape: per-distinct-value counts via map-side combine; the
-    running sum is ordered by the domain, not the corpus — for truly
-    continuous unbounded metrics, pre-quantize to a fixed grid (midranks
-    then approximate within grid resolution, a documented trade). All
-    arithmetic is exact counts until the final z division, so both
-    engines agree under the round."""
+    running midrank sum is DISTRIBUTED two-level (round 9 — this entry
+    used to plan one global-order window over the distinct-value frame,
+    N-proportional for continuous metrics): range-bucket the value
+    domain on broadcast min/max stats, running-sum within buckets,
+    offset by the constant 256-row bucket-totals cumsum
+    (``_bucketed_running_sum_excl``, the zorder re-chunk pattern). All
+    rank arithmetic is exact integer counts in doubles, so the regrouped
+    additions are bit-identical to the one-window form and the oracle's
+    single-window SQL still hash-matches."""
     e = events_table(spark, sf_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -14081,13 +14287,8 @@ def pipe_mannwhitney_u(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "click", 1)).cast("double").alias("c1"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double").alias("c2"),
     )
-    from pyspark.sql import Window
-
-    run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = F.col("c1") + F.col("c2")
-    r = g.select(
-        "v", "c1", "c2", c.alias("c"),
-        (F.sum(c).over(run) - c).alias("s_prev"),
+    r = _bucketed_running_sum_excl(
+        g.withColumn("c", F.col("c1") + F.col("c2")), "v", "c"
     )
     agg = r.agg(
         F.sum("c1").alias("n1"),
@@ -14278,9 +14479,12 @@ def pipe_wasserstein_drift(spark, sf_dir):
     only says "they differ".
 
     Scale shape: identical machinery to pipe_ks_test — per-distinct-value
-    counts, one domain-ordered running-sum window (plus a lead() for the
-    segment widths), a final sum; the ordered pass is over the value
-    DOMAIN, not corpus rows; pre-bucket continuous metrics to quantile
+    counts, then the DISTRIBUTED two-level running sum builds both CDFs
+    and the next-distinct-value segment widths (round 9,
+    ``_bucketed_running_sums(with_lead=True)``: within-bucket lead
+    patched at bucket seams from the constant 256-row bucket-stats
+    frame; the old form was one global-order window over the distinct
+    values), a final sum; pre-bucket continuous metrics to quantile
     grids at 100 TB. All-integer counts until the final divisions."""
     d = t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
     g = d.groupBy(F.col("n_chars").alias("x")).agg(
@@ -14288,15 +14492,11 @@ def pipe_wasserstein_drift(spark, sf_dir):
         F.count(F.when(F.col("source") == "src1", 1)).cast("double").alias("c2"),
     )
     n = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
-    from pyspark.sql import Window
-
-    run = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    lead_w = Window.orderBy("x")
-    cum = g.select(
+    cum = _bucketed_running_sums(g, "x", ["c1", "c2"], with_lead=True).select(
         "x",
-        F.sum("c1").over(run).alias("s1"),
-        F.sum("c2").over(run).alias("s2"),
-        F.lead("x").over(lead_w).alias("nx"),
+        F.col("_cum_c1").alias("s1"),
+        F.col("_cum_c2").alias("s2"),
+        F.col("_lead_v").alias("nx"),
     )
     seg = (
         cum.crossJoin(F.broadcast(n))
@@ -14583,11 +14783,15 @@ def pipe_auc_roc(spark, sf_dir):
     convention).
 
     Scale shape: identical to pipe_mannwhitney_u (AUC IS the rescaled
-    U statistic): per-distinct-score counts via map-side combine, ONE
-    running-sum window over the score domain for midranks, three final
-    sums. No global row sort, no N² pair comparisons — the standard
-    distributed-AUC shape (pre-bucket continuous scores to a fixed grid
-    at 100 TB; AUC is then exact within grid resolution)."""
+    U statistic): per-distinct-score counts via map-side combine, then
+    the DISTRIBUTED two-level running sum for midranks (round 9 —
+    ``_bucketed_running_sum_excl``: range buckets on broadcast min/max
+    stats, within-bucket windows, constant 256-row offset cumsum; the
+    old single global-order window was N-proportional for continuous
+    scores), three final sums. No global row sort, no N² pair
+    comparisons — and the rank arithmetic is exact integer counts, so
+    the regrouped additions are bit-identical and the oracle's
+    single-window SQL still hash-matches."""
     emb = t(spark, sf_dir, "embeddings")
     s = emb.select(
         F.col("embedding").getItem(0).cast("double").alias("score"),
@@ -14597,13 +14801,8 @@ def pipe_auc_roc(spark, sf_dir):
         F.sum("pos").cast("double").alias("c_pos"),
         F.sum(1 - F.col("pos")).cast("double").alias("c_neg"),
     )
-    from pyspark.sql import Window
-
-    run = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
-    c = F.col("c_pos") + F.col("c_neg")
-    r = g.select(
-        "c_pos", "c_neg", c.alias("c"),
-        (F.sum(c).over(run) - c).alias("s_prev"),
+    r = _bucketed_running_sum_excl(
+        g.withColumn("c", F.col("c_pos") + F.col("c_neg")), "score", "c"
     )
     agg = r.agg(
         F.sum("c_pos").alias("np"),
@@ -14922,13 +15121,17 @@ def pipe_lift_deciles(spark, sf_dir):
     'if I can only afford the top k%, how much better than random is
     it', which AUC summarizes but practitioners read from this table.
 
-    Scale shape: the one global ordering is the known cost — at 100 TB
-    replace exact ntile with percentile_approx score cut-points (the
-    sketch path, pipe_approx_quantile_audit's verified machinery) and
-    assign deciles statelessly per row against broadcast cut-points; the
-    rest is a 10-row frame. Here exact ntile keeps the oracle
-    hash-exact; the running cum_rate window adds in decile order on both
-    engines."""
+    Scale shape: the deciles are EXACT ntile(10) computed DISTRIBUTED
+    (round 9 — the old plan was one global-order ntile window over all
+    scored rows): ``_bucketed_ntile`` range-buckets scores on broadcast
+    min/max stats, row_numbers within buckets, offsets by the constant
+    256-row bucket-count cumsum for the exact global rank, and maps rank
+    to tile with the standard integer ntile identity (n = q·10 + rem →
+    first rem tiles take q+1) — bit-identical to ntile at any N, no
+    global sort. The sketchier percentile_approx cut-point route
+    (pipe_approx_quantile_audit's machinery) remains the documented
+    trade when even exact ranks are unnecessary; the running cum_rate
+    window reads the bounded 10-row decile frame."""
     emb = t(spark, sf_dir, "embeddings")
     s = emb.select(
         "vec_id",
@@ -14937,9 +15140,8 @@ def pipe_lift_deciles(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    d = s.select(
-        "y",
-        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("vec_id"))).alias("decile"),
+    d = _bucketed_ntile(s, 10, [("score", True), "vec_id"]).select(
+        "y", F.col("_tile").alias("decile")
     )
     base = s.agg(F.avg("y").alias("base_rate"))
     g = d.groupBy("decile").agg(

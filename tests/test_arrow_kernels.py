@@ -212,3 +212,20 @@ def test_lsh_signature_matches_jvm_exactly(spark, emb):
             ).collect()
         )
         assert jvm == arw, f"planes={planes} offset={offset}"
+
+
+def test_codebook_collect_guard_raises_past_bound(spark, emb, cents, monkeypatch):
+    """The driver-side codebook collect is the kernels' one scale bound
+    (SemDeDup's k=⌈N/64⌉ outgrows it near N≈6×10⁷ distinct vectors):
+    past CODEBOOK_COLLECT_MAX it must raise with the distributed route
+    named, not OOM the driver — and the limit(max+1) plan means at most
+    max+1 rows ever land driver-side even when the guard fires."""
+    k = cents.count()
+    monkeypatch.setattr(AK, "CODEBOOK_COLLECT_MAX", k - 1)
+    with pytest.raises(ValueError, match="CODEBOOK_COLLECT_MAX"):
+        AK.assign_nearest(emb, cents)
+    with pytest.raises(ValueError, match="assign_nearest_two_level"):
+        AK.assign_nearest_two_level(emb, cents)
+    # exactly at the bound: no raise, same assignment as before the guard
+    monkeypatch.setattr(AK, "CODEBOOK_COLLECT_MAX", k)
+    assert AK.assign_nearest(emb, cents).count() == emb.count()

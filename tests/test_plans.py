@@ -269,18 +269,20 @@ _GLOBAL_WINDOW_WHITELIST = {
     "pipe_heaps_law": "cumsum over log-spaced corpus-size buckets",
     "pipe_shard_coverage_curve": "cumsum over #shards rows",
     "pipe_slo_burn_rate": "cumsum over hourly error-rate rows",
-    # (b) EXACT order statistics whose semantics require one total order
-    # of a SKINNY per-entity frame (1-2 scalars/row; millions/task is
-    # fine, and the production swap at extreme N is documented in each
-    # docstring: ntile -> approx_percentile buckets, exact rank tests ->
-    # binned CDFs):
-    "pipe_rfm_segments": "exact ntile(4) quartiles over customers",
-    "pipe_length_quality_hist": "exact ntile(10) deciles over documents",
-    "pipe_lift_deciles": "exact score deciles over scored rows",
-    "pipe_auc_roc": "exact ROC cumsum over scored rows",
-    "pipe_mannwhitney_u": "exact rank sums over sample values",
-    "pipe_ks_test": "exact CDF cumsum over distinct values",
-    "pipe_wasserstein_drift": "exact CDF cumsum over distinct values",
+    # (a, continued) round-9 two-level conversions — category (b) "exact
+    # order statistics need one total order" is GONE: every former member
+    # now ranks/cumsums in per-bucket window partitions and the only
+    # remaining global windows read CONSTANT <=256-row bucket-stats
+    # frames (plus lift's 10-row decile cum). queries._bucketed_running_
+    # sums / _bucketed_ntile; shape pinned by
+    # test_two_level_order_stats_plan_shape:
+    "pipe_lift_deciles": "bucket-count offsets (<=256 rows) + 10-row decile cum",
+    "pipe_auc_roc": "bucket-totals cumsum (<=256 rows)",
+    "pipe_mannwhitney_u": "bucket-totals cumsum (<=256 rows)",
+    "pipe_ks_test": "bucket-totals cumsum (<=256 rows); sup is TakeOrdered top-1",
+    "pipe_wasserstein_drift": "bucket-totals cumsum + seam lead (<=256 rows)",
+    "pipe_rfm_segments": "3x bucket-count offset cumsums (<=256 rows each)",
+    "pipe_length_quality_hist": "bucket-count offsets (<=256 rows)",
 }
 
 
@@ -350,6 +352,42 @@ def test_registry_wide_scale_lint(spark, sf_dir, name):
             f"{name}: global-order single-task Window in plan "
             f"(whitelist it with a boundedness reason or re-chunk): {gw}"
         )
+
+
+@pytest.mark.parametrize(
+    "name,max_global",
+    [
+        ("pipe_mannwhitney_u", 1),
+        ("pipe_auc_roc", 1),
+        ("pipe_lift_deciles", 2),
+        ("pipe_ks_test", 1),
+        ("pipe_wasserstein_drift", 1),
+        ("pipe_rfm_segments", 3),
+        ("pipe_length_quality_hist", 1),
+    ],
+)
+def test_two_level_order_stats_plan_shape(spark, sf_dir, name, max_global):
+    """Round-9 conversions of the N-proportional order statistics
+    (queries._bucketed_running_sum_excl / _bucketed_ntile): the rank /
+    running-sum work must run in per-bucket window partitions — an
+    Exchange hashpartitioning keyed on _bkt must exist — and the plan may
+    keep at most the bounded SinglePartition windows the whitelist reason
+    names (the <=256-row bucket-totals offset cumsum; plus lift's 10-row
+    decile cum). Both assertions are positive so a refactor back to the
+    one-global-window form, or a parser regression, fails loudly."""
+    import re as _re
+
+    df = QUERIES[name].build(spark, sf_dir)
+    bkt = [
+        (args, inp)
+        for args, inp in hash_exchanges(df)
+        if _re.search(r"(?<![A-Za-z0-9_])_bkt#", args)
+    ]
+    assert bkt, f"{name}: no _bkt-keyed window exchange — two-level shape lost"
+    gw = global_order_windows(explain_str(df, "simple"))
+    assert 1 <= len(gw) <= max_global, (
+        f"{name}: expected 1..{max_global} bounded offset window(s), got {gw}"
+    )
 
 
 def test_no_cartesian_product_streaming_transforms(spark, sf_dir):
