@@ -9,6 +9,7 @@ scan + shuffle + aggregation work, not plan construction.
 
 from __future__ import annotations
 
+import glob
 import json
 import statistics
 import os
@@ -486,6 +487,27 @@ def main() -> None:
     with open(os.path.join(here, "bench_queries.json"), "w") as f:
         json.dump(
             {"sf": float(sf), "queries": times, "cold": cold, "unit": "sec"},
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    # Round-stamped committed copy (r7 ADVICE / r8 verdict item 5): the
+    # per-query steady map was untracked (bench_queries.json is
+    # .gitignored as a scratch artifact), so round-over-round per-query
+    # regressions weren't computable from git alone. Stamp the map with
+    # the round the NEXT driver verification will record (latest
+    # CORRECTNESS_r*.json + 1) — the driver's own bench run then leaves
+    # BENCH_QUERIES_r{N}.json beside BENCH_r{N}.json, and builder runs on
+    # the same tree just refresh it.
+    rounds = [
+        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")].isdigit()
+    ]
+    stamp = max(rounds, default=0) + 1
+    with open(os.path.join(here, f"BENCH_QUERIES_r{stamp:02d}.json"), "w") as f:
+        json.dump(
+            {"sf": float(sf), "unit": "sec", "queries": times, "cold": cold},
             f,
             indent=1,
             sort_keys=True,

@@ -93,6 +93,32 @@ SKEW_OPS = [
     "pipe_ann_ivf",                  # clone flood: one hot IVF cell
 ]
 
+# Round 9: the graph family under the SAME plants — each plant is a hot
+# NODE of that entry's graph, the hub shape graph algorithms are most
+# sensitive to:
+# - pagerank's bipartite order-part graph: the hot part (10% of lines)
+#   becomes a node with ~10% of all in-edges. Per iteration the hub is
+#   one groupBy(dst) key — partial aggregation must absorb it; the
+#   rank/deg join keys on src where the hub's mass is one row.
+# - LPA's MinHash near-dup graph: the boilerplate flood (5% of docs,
+#   identical text) is a would-be clique of clones; _cap_band_size must
+#   drop the flooded bands so the edge list never goes O(clones^2), and
+#   the mode-argmax groupBy absorbs whatever capped edges remain.
+# - kcore/assortativity's symmetrized kNN graph: the clone flood (5% of
+#   vectors identical) shares every LSH bucket, so the within-bucket
+#   top-k scan pays the O(clones^2) candidate block (knn_graph has no
+#   rep-collapse — each clone keeps distinct ids and needs its own
+#   neighbor list; the documented production answer is exact pre-dedup);
+#   downstream the clones are mutual 1.0-neighbors — a dense k-core and
+#   a degree-correlated block — whose peel/correlation joins key on ids,
+#   not the hot region.
+GRAPH_SKEW_OPS = [
+    "pipe_graph_pagerank",
+    "pipe_lpa_communities",
+    "pipe_kcore_decompose",
+    "pipe_graph_assortativity",
+]
+
 
 def skew_dir() -> str:
     return os.path.join(_REPO, f"skew_rehearsal_x{COPIES}")
@@ -180,15 +206,22 @@ def main() -> None:
     from sql_query_engine_rs_spark.queries import QUERIES
 
     QUERIES["v0_simple_agg"].build(spark, SR.BASE).collect()  # warmup
-    uniform = SR.bench(spark, SR.out_dir(COPIES), SKEW_OPS, copies=COPIES)
-    skewed = SR.bench(spark, skew_dir(), SKEW_OPS, copies=COPIES)
+    ops = SKEW_OPS + GRAPH_SKEW_OPS
+    sel = os.environ.get("SPARK_GRAFT_SKEW_OPS")
+    if sel:
+        ops = [s.strip() for s in sel.split(",") if s.strip()]
+        unknown = [s for s in ops if s not in SKEW_OPS + GRAPH_SKEW_OPS]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_SKEW_OPS not rehearsed here: {unknown}")
+    uniform = SR.bench(spark, SR.out_dir(COPIES), ops, copies=COPIES)
+    skewed = SR.bench(spark, skew_dir(), ops, copies=COPIES)
     per_query = {
         n: {
             "uniform": uniform[n],
             "skew": skewed[n],
             "ratio_skew/uniform": round(skewed[n] / uniform[n], 2) if uniform[n] > 0 else None,
         }
-        for n in SKEW_OPS
+        for n in ops
     }
     print(
         json.dumps(
