@@ -82,6 +82,14 @@ _CHUNK_CELLS = 2_000_000
 CODEBOOK_COLLECT_MAX = 65_536
 
 
+class CodebookTooLarge(ValueError):
+    """A codebook frame exceeds CODEBOOK_COLLECT_MAX rows — driver-side
+    collect refused. ``assign_nearest_two_level`` catches this and
+    auto-routes to its distributed form; flat ``assign_nearest`` (exact
+    argmax semantics — no approximate substitute is silently correct)
+    propagates it to the caller."""
+
+
 def _worker_fns():
     """Worker-side math, built fresh so cloudpickle ships it by value
     (see module docstring). Returns (as_matrix, strict_scores, argbest,
@@ -150,12 +158,12 @@ def _collect_codebook(centroids: DataFrame, cid_col: str, cvec_col: str):
     field = centroids.schema[cid_col]
     rows = centroids.select(cid_col, cvec_col).limit(CODEBOOK_COLLECT_MAX + 1).collect()
     if len(rows) > CODEBOOK_COLLECT_MAX:
-        raise ValueError(
+        raise CodebookTooLarge(
             f"codebook exceeds CODEBOOK_COLLECT_MAX={CODEBOOK_COLLECT_MAX} rows; "
             "driver-side collect would not scale. Route through a coarse "
-            "<=65k codebook (assign_nearest_two_level) and resolve fine "
-            "cells with a distributed join keyed on the coarse id "
-            "(pair_dot scores within cells) — see arrow_kernels.py "
+            "<=65k codebook (assign_nearest_two_level auto-routes to its "
+            "distributed form) and resolve fine cells with a distributed "
+            "join keyed on the coarse id — see arrow_kernels.py "
             "CODEBOOK_COLLECT_MAX."
         )
     rows.sort(key=lambda r: r[0])
@@ -241,8 +249,20 @@ def assign_nearest_two_level(
     seed then argmax within the routed group's centroids.  A vector
     routed to a seed whose group holds no centroids is dropped — the
     inner-join semantics of the JVM form, preserved deliberately.
+
+    Past ``CODEBOOK_COLLECT_MAX`` rows the codebook never collects:
+    the call auto-routes to ``_assign_two_level_distributed`` (coarse
+    seeds still go through this kernel — m ≈ √k stays ≤65k up to
+    k ≈ 4×10⁹ — and fine cells resolve with a shuffle join keyed on the
+    coarse id), bit-identical output; pinned by
+    tests/test_arrow_kernels.py::test_distributed_route_matches_kernel.
     """
-    cids, mat, cid_field = _collect_codebook(centroids, cid_col, cvec_col)
+    try:
+        cids, mat, cid_field = _collect_codebook(centroids, cid_col, cvec_col)
+    except CodebookTooLarge:
+        return _assign_two_level_distributed(
+            df, centroids, coarse_m, id_col, vec_col, cid_col, cvec_col
+        )
     k = len(cids)
     if coarse_m is None:
         coarse_m = max(2, int(k**0.5))
@@ -291,6 +311,90 @@ def assign_nearest_two_level(
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def _assign_two_level_distributed(
+    df: DataFrame,
+    centroids: DataFrame,
+    coarse_m: int | None,
+    id_col: str,
+    vec_col: str,
+    cid_col: str,
+    cvec_col: str,
+) -> DataFrame:
+    """The k > CODEBOOK_COLLECT_MAX route for two-level assignment — the
+    "SemDeDup at k≈10⁶" story, implemented rather than argued:
+
+    - coarse seeds (m = max(2, ⌊√k⌋) ≤ 65k up to k ≈ 4×10⁹) are picked
+      by the SAME md5 order as the kernel (F.md5(cast(cid as string)) ==
+      hashlib.md5(str(int(cid)))) via a distributed TakeOrdered — never
+      a k-row collect;
+    - both map-side routings (fine centroids → seeds, vectors → seeds)
+      still run through ``assign_nearest`` — the seed codebook is the
+      only thing that ever reaches the driver;
+    - fine cells resolve DISTRIBUTED: vectors join the grouped fine
+      codebook on the coarse id (shuffle hash join — the codebook is too
+      big to broadcast by definition here), the strict-fold pair cosine
+      evaluates inline in the join stage, and ``max_by(cid,
+      struct(score, -cid))`` collapses map-side so the groupBy(id)
+      exchange carries one skinny row per vector.  Three N-row exchanges
+      total (route join, argmax, join-back) — linear, no N·k frame.
+
+    Bit-identical to the collected kernel (same seed pick, routing,
+    tie/NaN contract — zero-norm pairs score literal NaN exactly like
+    numpy's 0/0, so NaN > every double routes them to the min cid, and
+    empty-seed groups drop their vectors via the inner join).  Requires
+    ``id_col`` to be unique (the argmax groups and joins back on it);
+    every registered caller's id is a parquet primary key.
+    """
+    from sql_query_engine_rs_spark.functions.similarity import norm
+
+    k = centroids.count()
+    if coarse_m is None:
+        coarse_m = max(2, int(k**0.5))
+    seeds = (
+        centroids.withColumn("_h", F.md5(F.col(cid_col).cast("string")))
+        .orderBy("_h")
+        .limit(coarse_m)
+        .select(F.col(cid_col).alias("_gid"), F.col(cvec_col).alias("_gc"))
+    )
+    # norms hoist to once per centroid / per vector (the interpreted fold
+    # would otherwise re-run per PAIR — the exact cost the kernels kill)
+    grouped = assign_nearest(
+        centroids.select(cid_col, cvec_col),
+        seeds,
+        vec_col=cvec_col,
+        cid_col="_gid",
+        cvec_col="_gc",
+        out_cid_col="_gid",
+    ).withColumn("_cn", norm(F.col(cvec_col)))
+    routed = assign_nearest(
+        df.select(id_col, vec_col),
+        seeds,
+        vec_col=vec_col,
+        cid_col="_gid",
+        cvec_col="_gc",
+        out_cid_col="_gid",
+    ).withColumn("_vn", norm(F.col(vec_col)))
+    pair = routed.join(grouped, "_gid").select(
+        id_col,
+        F.when(F.col("_vn") * F.col("_cn") == 0, F.lit(float("nan")))
+        .otherwise(
+            pair_cosine(
+                F.col(vec_col), F.col(cvec_col), F.col("_vn"), F.col("_cn")
+            )
+        )
+        .alias("_cscore"),
+        F.col(cid_col),
+    )
+    best = pair.groupBy(id_col).agg(
+        F.max_by(cid_col, F.struct(F.col("_cscore"), -F.col(cid_col))).alias(
+            "centroid_id"
+        )
+    )
+    return df.join(best, id_col).select(
+        *[f.name for f in df.schema.fields], "centroid_id"
+    )
 
 
 # (SparkContext id, udf) — the cache MUST be per-context: a pandas_udf

@@ -487,7 +487,13 @@ def ivf_assign_two_level(
     codebook, zero shuffles, bit-identical to the JVM form below (same
     md5 seed pick, same routing, same tie/NaN contract — exact-equality
     pinned in tests/test_arrow_kernels.py against the retained
-    ``_ivf_assign_two_level_jvm`` twin).
+    ``_ivf_assign_two_level_jvm`` twin).  Past
+    ``arrow_kernels.CODEBOOK_COLLECT_MAX`` (k > 65k — the SemDeDup
+    k=⌈N/64⌉ trajectory at true 100 TB) the kernel auto-routes to its
+    distributed form: coarse seeds (√k ≤ 65k up to k≈4×10⁹) still go
+    map-side, fine cells resolve with a shuffle join keyed on the coarse
+    id — bit-identical, pinned by
+    tests/test_arrow_kernels.py::test_distributed_route_matches_kernel.
     """
     from sql_query_engine_rs_spark.functions.arrow_kernels import (
         assign_nearest_two_level,
@@ -773,6 +779,7 @@ def pq_assign_codes(
 
     from sql_query_engine_rs_spark.functions.arrow_kernels import (
         CODEBOOK_COLLECT_MAX,
+        CodebookTooLarge,
     )
 
     sub = dim // num_subspaces
@@ -782,7 +789,7 @@ def pq_assign_codes(
         .collect()
     )
     if len(rows) > CODEBOOK_COLLECT_MAX:
-        raise ValueError(
+        raise CodebookTooLarge(
             f"PQ codebook exceeds CODEBOOK_COLLECT_MAX={CODEBOOK_COLLECT_MAX} "
             "rows (M*ks); shrink ks or route through the distributed "
             "bucketed-join path — see arrow_kernels.CODEBOOK_COLLECT_MAX."

@@ -217,15 +217,40 @@ def test_lsh_signature_matches_jvm_exactly(spark, emb):
 def test_codebook_collect_guard_raises_past_bound(spark, emb, cents, monkeypatch):
     """The driver-side codebook collect is the kernels' one scale bound
     (SemDeDup's k=⌈N/64⌉ outgrows it near N≈6×10⁷ distinct vectors):
-    past CODEBOOK_COLLECT_MAX it must raise with the distributed route
-    named, not OOM the driver — and the limit(max+1) plan means at most
-    max+1 rows ever land driver-side even when the guard fires."""
+    past CODEBOOK_COLLECT_MAX the flat kernel must raise (exact-argmax
+    semantics have no silent substitute), not OOM the driver — and the
+    limit(max+1) plan means at most max+1 rows ever land driver-side
+    even when the guard fires."""
     k = cents.count()
     monkeypatch.setattr(AK, "CODEBOOK_COLLECT_MAX", k - 1)
-    with pytest.raises(ValueError, match="CODEBOOK_COLLECT_MAX"):
+    with pytest.raises(AK.CodebookTooLarge, match="CODEBOOK_COLLECT_MAX"):
         AK.assign_nearest(emb, cents)
-    with pytest.raises(ValueError, match="assign_nearest_two_level"):
-        AK.assign_nearest_two_level(emb, cents)
     # exactly at the bound: no raise, same assignment as before the guard
     monkeypatch.setattr(AK, "CODEBOOK_COLLECT_MAX", k)
     assert AK.assign_nearest(emb, cents).count() == emb.count()
+
+
+def test_distributed_route_matches_kernel(spark, emb, cents, monkeypatch):
+    """Past the bound, assign_nearest_two_level must auto-route to the
+    distributed form (coarse kernel + shuffle-join fine argmax) and
+    return BIT-IDENTICAL assignments — same md5 seed pick, routing,
+    tie/NaN contract, and empty-group drops — including zero-norm
+    vectors, whose all-NaN scores route to the min gid/cid exactly like
+    numpy's first-NaN argmax."""
+    from pyspark.sql import Row
+
+    zero = spark.createDataFrame(
+        [Row(vec_id=999_000_001, embedding=[0.0] * 64)]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    probe = emb.select("vec_id", "embedding").unionByName(zero)
+    want = _as_map(
+        AK.assign_nearest_two_level(probe, cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    monkeypatch.setattr(AK, "CODEBOOK_COLLECT_MAX", cents.count() - 1)
+    got_df = AK.assign_nearest_two_level(probe, cents)
+    got = _as_map(got_df.select("vec_id", "centroid_id").collect())
+    assert got == want
+    assert [f.name for f in got_df.schema.fields] == ["vec_id", "embedding", "centroid_id"]
+    assert 999_000_001 in got  # the zero vector routed, not dropped/crashed
