@@ -499,19 +499,23 @@ def main() -> None:
     # CORRECTNESS_r*.json + 1) — the driver's own bench run then leaves
     # BENCH_QUERIES_r{N}.json beside BENCH_r{N}.json, and builder runs on
     # the same tree just refresh it.
-    rounds = [
-        int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
-        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")].isdigit()
-    ]
-    stamp = max(rounds, default=0) + 1
-    with open(os.path.join(here, f"BENCH_QUERIES_r{stamp:02d}.json"), "w") as f:
-        json.dump(
-            {"sf": float(sf), "unit": "sec", "queries": times, "cold": cold},
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    # Only a FULL headline run may stamp: a SPARK_GRAFT_BENCH_QUERIES
+    # subset (or any partial selection) would silently overwrite the
+    # round's committed map with partial data at whatever sf it ran.
+    if bench_queries == BENCH_QUERIES:
+        rounds = [
+            int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")].isdigit()
+        ]
+        stamp = max(rounds, default=0) + 1
+        with open(os.path.join(here, f"BENCH_QUERIES_r{stamp:02d}.json"), "w") as f:
+            json.dump(
+                {"sf": float(sf), "unit": "sec", "queries": times, "cold": cold},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     sorted_times = sorted(times.values())
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
     print(json.dumps(summary_line(times, cold, sorted_times, slowest, float(sf))))

@@ -352,11 +352,29 @@ def _assign_two_level_distributed(
     k = centroids.count()
     if coarse_m is None:
         coarse_m = max(2, int(k**0.5))
+    if coarse_m > CODEBOOK_COLLECT_MAX:
+        # fail BEFORE burning the seed-ordering job: the inner
+        # assign_nearest would otherwise raise the generic guard whose
+        # message recommends the very route that is already running
+        # (explicit oversized coarse_m, or auto sqrt(k) past k ≈ 4.3e9 —
+        # at which point add a third level).
+        raise CodebookTooLarge(
+            f"coarse_m={coarse_m} exceeds CODEBOOK_COLLECT_MAX="
+            f"{CODEBOOK_COLLECT_MAX}: the distributed route collects the "
+            "SEED codebook driver-side; pass coarse_m <= the bound (or "
+            "extend to a third level for k beyond ~4e9)."
+        )
+    # Materialize the m-row seed frame ONCE: an oversized codebook is
+    # typically an expensive Lloyd/pipeline output, and without this the
+    # two assign_nearest calls below would each re-run the full md5
+    # orderBy+limit job over its lineage (plus the count above — three
+    # redundant recomputations measured as the review found them).
     seeds = (
         centroids.withColumn("_h", F.md5(F.col(cid_col).cast("string")))
         .orderBy("_h")
         .limit(coarse_m)
         .select(F.col(cid_col).alias("_gid"), F.col(cvec_col).alias("_gc"))
+        .localCheckpoint(eager=True)
     )
     # norms hoist to once per centroid / per vector (the interpreted fold
     # would otherwise re-run per PAIR — the exact cost the kernels kill)

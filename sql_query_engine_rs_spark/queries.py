@@ -171,11 +171,26 @@ def _range_bucket(v, mn, mx, nb: int = _RANGE_BUCKETS):
     [0, nb−1]; bucket 0 when the domain is degenerate (mx == mn). Equal
     values always share a bucket (the bucket is a pure function of the
     value), so an order statistic computed within buckets + cross-bucket
-    offsets never splits ties across the seam."""
-    return F.when(
-        mx > mn,
-        F.least(F.lit(nb - 1).cast("long"), F.floor((v - mn) / (mx - mn) * nb)),
-    ).otherwise(F.lit(0).cast("long"))
+    offsets never splits ties across the seam.
+
+    NULL keys route to bucket 0 explicitly (without this, Spark's
+    null-skipping ``least`` would put them in the TOP bucket). Bucket 0
+    reproduces the replaced single global window's Spark ordering in
+    both directions: ascending walks bucket 0 first with NULLS FIRST
+    inside (= Spark's asc default), descending walks bucket 0 last with
+    NULLS LAST inside (= Spark's desc default). NOTE the registered
+    callers all feed non-null keys (groupBy keys over non-null parquet
+    columns); a nullable key was never oracle-defined even in the
+    one-window form — DuckDB defaults to NULLS LAST on ASC where Spark
+    puts them first."""
+    return (
+        F.when(v.isNull(), F.lit(0).cast("long"))
+        .when(
+            mx > mn,
+            F.least(F.lit(nb - 1).cast("long"), F.floor((v - mn) / (mx - mn) * nb)),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
 
 
 def _bucketed_running_sums(
