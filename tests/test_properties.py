@@ -206,3 +206,90 @@ def test_quantile_normalize_equalizes_means(spark, sf_dir):
     rows = QUERIES["pipe_quantile_normalize"].build(spark, sf_dir).collect()
     if len({r.n for r in rows}) == 1:  # equal-sized sources (the fixture)
         assert len({r.mean_after for r in rows}) == 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    st.integers(min_value=2, max_value=12),
+    st.booleans(),
+    st.integers(min_value=2, max_value=7),
+)
+def test_bucketed_ntile_matches_global_ntile(spark, keys, k, desc, nb):
+    """The two-level exact ntile (queries._bucketed_ntile) must equal
+    F.ntile(k) over the same total order for ANY key multiset (heavy
+    ties, negative domains, single-value domains), any tile count, both
+    directions, and ANY bucket count — including nb far below the
+    default 256, where many keys collapse into few buckets and every
+    cross-bucket offset seam is exercised."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_rs_spark.queries import _bucketed_ntile
+
+    rows = [(i, v) for i, v in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id")]
+    want = {
+        r.id: r.t
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy(*order)).alias("t")
+        ).collect()
+    }
+    got = {
+        r.id: r.t
+        for r in _bucketed_ntile(df, k, [("v", desc), "id"], nb=nb)
+        .select("id", F.col("_tile").cast("int").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-30, max_value=30),
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_bucketed_running_sums_match_global_window(spark, rows, nb):
+    """The two-level running sums + seam lead (queries.
+    _bucketed_running_sums) must equal the single global-order window
+    they replaced for ANY distinct-value frame and ANY bucket count —
+    the bit-identity the seven converted order-statistic oracles rest
+    on. Counts are integer-valued doubles, so equality is exact, and
+    the lead must cross empty-bucket seams to the next non-empty
+    bucket's min."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_rs_spark.queries import _bucketed_running_sums
+
+    df = spark.createDataFrame(
+        [(v, float(c1), float(c2)) for v, c1, c2 in rows],
+        "v long, c1 double, c2 double",
+    )
+    run = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.v: (r.s1, r.s2, r.nx)
+        for r in df.select(
+            "v",
+            F.sum("c1").over(run).alias("s1"),
+            F.sum("c2").over(run).alias("s2"),
+            F.lead("v").over(Window.orderBy("v")).alias("nx"),
+        ).collect()
+    }
+    got = {
+        r.v: (r._cum_c1, r._cum_c2, r._lead_v)
+        for r in _bucketed_running_sums(df, "v", ["c1", "c2"], nb=nb, with_lead=True)
+        .select("v", "_cum_c1", "_cum_c2", "_lead_v")
+        .collect()
+    }
+    assert got == want
