@@ -340,6 +340,15 @@ def ivf_centroids(
     halves the constant but not the asymptotics). Routing is slightly
     approximate, so the resulting centroids differ from the brute build —
     callers with static oracles keep the default.
+
+    Known bound (documented, not failing): the seed step ranks the k
+    smallest-md5 rows with a GlobalLimit + one k-row row_number window —
+    a single task over k vector rows, executed once at build time behind
+    the eager localCheckpoint. Trivial at the collected-codebook regime
+    (k ≤ 65k ≈ 34 MB) and workable at the k≈10⁶ hierarchical regime
+    (~0.5 GB through one task, once); if that ever dominates, the
+    two-level rank pattern (queries._bucketed_ntile's offset machinery
+    over the md5 key) yields the identical ids distributed.
     """
     corpus = _ensure_parallelism(corpus)
     lloyd_assign = (
