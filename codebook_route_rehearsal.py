@@ -1,14 +1,16 @@
 """Rehearse the k > CODEBOOK_COLLECT_MAX distributed assignment route on
 REAL scale — the "SemDeDup at k≈10⁶" path, measured rather than argued.
 
-Builds a 100,000-centroid codebook (distinct vectors from the x300
-rehearsal corpus) — 1.5× past the 65,536 driver-collect bound, so
-``ivf_assign_two_level`` takes ``_assign_two_level_distributed``
-(coarse seeds m=316 via the kernel; fine cells via a shuffle join on
-the coarse id) — and assigns the full x100 corpus (200k vectors)
-through it. Reports wall time, assignment coverage (empty-group drops
-are the documented inner-join semantic), and a bit-parity check: a
-sample of outputs is replayed driver-side in numpy with the kernels'
+Builds a ~100k-centroid codebook (hash-sampled distinct vectors from
+the x300 rehearsal corpus; k=99,692 → coarse m=315) — 1.5× past the
+65,536 driver-collect bound, so ``ivf_assign_two_level`` takes
+``_assign_two_level_distributed`` (coarse seeds via the kernel; fine
+cells via a shuffle join on the coarse id) — and assigns the full x100
+corpus (200k vectors) through it. Reports wall time, assignment
+coverage (empty-group drops are the documented inner-join semantic),
+and a bit-parity check: a HASH-SPREAD sample of outputs (smallest
+md5(vec_id) — covers every copy's transform, not just copy 0's
+identity vectors) is replayed driver-side in numpy with the kernels'
 own strict-fold helpers (same md5 seed pick, same argmax-first
 tie/NaN rule), which must agree EXACTLY.
 
@@ -83,6 +85,10 @@ def main() -> None:
     out = ivf_assign_two_level(corpus, cb)
     out.write.format("noop").mode("overwrite").save()
     route_s = round(time.time() - t0, 2)
+    # persist AFTER the timed leg (keeps the timing a pure route run);
+    # count + the parity sample then share ONE cached re-run instead of
+    # re-executing the ~63M-pair join once each
+    out = out.persist()
     assigned = out.count()
     print(f"route: {route_s}s assigned {assigned}/{n}", file=sys.stderr)
 
@@ -108,12 +114,21 @@ def main() -> None:
     seed_idx = sorted(by_h, key=lambda i: cids[i])
     gids, G = cids[seed_idx], mat[seed_idx]
     grp = gids[AK._argbest(AK._strict_scores(mat, G, "cosine"), "cosine")]
-    sample = out.orderBy("vec_id").limit(SAMPLE).collect()
+    sample = (
+        out.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(SAMPLE).collect()
+    )
     sv = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in sample])
     routed = gids[AK._argbest(AK._strict_scores(sv, G, "cosine"), "cosine")]
     bad = 0
     for i, r in enumerate(sample):
         g_cids, g_mat = cids[grp == routed[i]], mat[grp == routed[i]]
+        if len(g_cids) == 0:
+            # replay routed to an empty seed group: under correct routing
+            # the route would have DROPPED this row (inner join), so a
+            # sampled output row landing here is itself a divergence —
+            # record it instead of crashing argmax on an empty axis
+            bad += 1
+            continue
         want = g_cids[
             AK._argbest(AK._strict_scores(sv[i : i + 1], g_mat, "cosine"), "cosine")
         ][0]

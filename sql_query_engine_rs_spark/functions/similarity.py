@@ -347,8 +347,12 @@ def ivf_centroids(
     the eager localCheckpoint. Trivial at the collected-codebook regime
     (k ≤ 65k ≈ 34 MB) and workable at the k≈10⁶ hierarchical regime
     (~0.5 GB through one task, once); if that ever dominates, the
-    two-level rank pattern (queries._bucketed_ntile's offset machinery
-    over the md5 key) yields the identical ids distributed.
+    two-level rank pattern (queries._bucketed_ntile's offset machinery)
+    yields the identical ids distributed — bucket on a NUMERIC
+    projection of the hash (``conv(substring(md5_hex, 1, 15), 16, 10)``;
+    _range_bucket needs arithmetic, a hex string won't do) while still
+    ORDERING by the full hex so the rank, and therefore every id,
+    matches this form exactly.
     """
     corpus = _ensure_parallelism(corpus)
     lloyd_assign = (
