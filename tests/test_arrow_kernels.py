@@ -254,3 +254,91 @@ def test_distributed_route_matches_kernel(spark, emb, cents, monkeypatch):
     assert got == want
     assert [f.name for f in got_df.schema.fields] == ["vec_id", "embedding", "centroid_id"]
     assert 999_000_001 in got  # the zero vector routed, not dropped/crashed
+
+
+def test_assign_nearest_random_vectors_with_duplicate_centroids(spark):
+    """Bit-exactness on ADVERSARIAL inputs, not just the parquet corpus:
+    random float32 vectors (mixed magnitudes) against a codebook with
+    DUPLICATED centroid vectors — every score ties across the clones and
+    the min-cid rule must pick identically on both sides. (Zero-norm
+    centroids are tested separately below: the retained JVM twin
+    predates the zero-norm hardening and raises ANSI DIVIDE_BY_ZERO
+    there, so it can't serve as the reference for that case.)"""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(23)
+
+    def vec(scale):
+        return [float(f"{rng.uniform(-scale, scale):.6g}") for _ in range(16)]
+
+    rows = [Row(vec_id=i, embedding=vec(10 ** (i % 5 - 2))) for i in range(120)]
+    emb = spark.createDataFrame(rows).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    base = [vec(1.0) for _ in range(5)]
+    cent_rows = [Row(centroid_id=i, _centroid=base[i]) for i in range(5)] + [
+        # clones of centroid 0 at higher ids: ties MUST resolve to id 0
+        Row(centroid_id=10 + j, _centroid=list(base[0]))
+        for j in range(3)
+    ]
+    cents = spark.createDataFrame(cent_rows).select(
+        "centroid_id", F.col("_centroid").cast("array<double>").alias("_centroid")
+    )
+    got = _as_map(
+        AK.assign_nearest(emb, cents).select("vec_id", "centroid_id").collect()
+    )
+    want = _as_map(
+        S._ivf_assign1_jvm(emb, cents).select("vec_id", "centroid_id").collect()
+    )
+    assert got == want
+    # no assignment may land on a clone id — min-cid tie rule
+    assert not any(v in (10, 11, 12) for v in got.values())
+
+    # NaN contract, kernel-side (documented in the module docstring): a
+    # zero-norm CENTROID's column scores 0/0 = NaN for every vector, and
+    # NaN > every double in the argmax — so its presence attracts ALL
+    # assignments. Deliberate JVM-max_by-parity semantics; the guard
+    # against it in practice is that real codebooks come from Lloyd
+    # means of non-degenerate cells.
+    cents_zero = spark.createDataFrame(
+        cent_rows + [Row(centroid_id=99, _centroid=[0.0] * 16)]
+    ).select(
+        "centroid_id", F.col("_centroid").cast("array<double>").alias("_centroid")
+    )
+    got_zero = _as_map(
+        AK.assign_nearest(emb, cents_zero).select("vec_id", "centroid_id").collect()
+    )
+    assert set(got_zero.values()) == {99}
+
+
+def test_pair_dot_random_vectors_bit_exact(spark):
+    """pair_dot (Arrow strict fold) vs similarity.dot (JVM fold) on random
+    mixed-magnitude float pairs — exact equality, no tolerance. Catches
+    any accidental reorder (BLAS, pairwise summation) on values where
+    addition order visibly matters."""
+    import random
+
+    from pyspark.sql import Row
+
+    from sql_query_engine_rs_spark.functions.similarity import dot
+
+    rng = random.Random(29)
+    rows = [
+        Row(
+            i=i,
+            a=[rng.uniform(-10 ** (i % 7 - 3), 10 ** (i % 7 - 3)) for _ in range(48)],
+            b=[rng.uniform(-1, 1) for _ in range(48)],
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "i",
+        AK.pair_dot(F.col("a"), F.col("b")).alias("k"),
+        dot(F.col("a"), F.col("b")).alias("j"),
+    ).collect()
+    assert all(r.k == r.j for r in out), [
+        (r.i, r.k, r.j) for r in out if r.k != r.j
+    ][:5]
