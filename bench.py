@@ -22,6 +22,10 @@ from sql_query_engine_rs_spark.queries import QUERIES  # noqa: E402
 from sql_query_engine_rs_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# The sf the round-stamped per-query map is defined at: a full run at any
+# OTHER sf must not overwrite the round's committed map (round-over-round
+# comparisons would silently mix scales — r9 ADVICE).
+HEADLINE_SF = 0.1
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Headline set: every operator family, weighted toward the scan/agg/join
@@ -499,10 +503,12 @@ def main() -> None:
     # CORRECTNESS_r*.json + 1) — the driver's own bench run then leaves
     # BENCH_QUERIES_r{N}.json beside BENCH_r{N}.json, and builder runs on
     # the same tree just refresh it.
-    # Only a FULL headline run may stamp: a SPARK_GRAFT_BENCH_QUERIES
-    # subset (or any partial selection) would silently overwrite the
-    # round's committed map with partial data at whatever sf it ran.
-    if bench_queries == BENCH_QUERIES:
+    # Only a FULL headline run AT THE HEADLINE SF may stamp: a
+    # SPARK_GRAFT_BENCH_QUERIES subset would overwrite the round's
+    # committed map with partial data, and a full run at another sf
+    # (SPARK_GRAFT_SF_DIR override) would overwrite it at a different
+    # scale — either way round-over-round diffs silently break.
+    if bench_queries == BENCH_QUERIES and float(sf) == HEADLINE_SF:
         rounds = [
             int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
             for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))

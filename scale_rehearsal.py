@@ -193,6 +193,10 @@ HEAVY = [
     # the rotated-copy corpus keeps the dup rate constant).
     "pipe_zorder_range_layout",
     "pipe_embedding_near_dup_auto",
+    # round 10: the session-window stream joins the skew corpus (hot-user
+    # plant — per-key session state is semantically serial for the hot
+    # key); rehearsed uniform here so the skew ratio has its denominator.
+    "stream_session_windows",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100

@@ -369,6 +369,13 @@ def _assign_two_level_distributed(
     # two assign_nearest calls below would each re-run the full md5
     # orderBy+limit job over its lineage (plus the count above — three
     # redundant recomputations measured as the review found them).
+    # CLUSTER CAVEAT: localCheckpoint stores blocks on executors and is
+    # NOT recomputable — on a real cluster an executor loss mid-job fails
+    # the whole oversized-codebook run instead of recovering via lineage.
+    # The frame is tiny (m ≤ 65k rows) and the job a one-shot build, so
+    # the trade is deliberate; a deployment that needs fault tolerance
+    # here should set a checkpoint dir and swap in df.checkpoint() (or
+    # persist(MEMORY_AND_DISK_2)) — semantics are identical.
     seeds = (
         centroids.withColumn("_h", F.md5(F.col(cid_col).cast("string")))
         .orderBy("_h")

@@ -219,6 +219,42 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Largest LSH-bucket population the direct all-member self-join accepts
+# before knn_graph switches to the exact-clone collapse: auto-planes hold
+# healthy buckets at ~64, so 4096 (64×target, ≤16M within-bucket pairs —
+# one comfortable task) only trips under a genuine flood, where the
+# collapse's fixed extra exchanges are noise against the avoided c² block.
+KNN_CLONE_COLLAPSE_TRIGGER = 4096
+
+
+def _knn_topk_direct(bkt: DataFrame, k: int, cos_pair) -> DataFrame:
+    """Score every within-bucket member pair of a prepared
+    (_id, _v, _n, bucket) frame and take the per-source top-k — the
+    healthy-bucket path of ``knn_graph`` (and the whole of the retained
+    ``_knn_graph_direct`` twin)."""
+    cos_expr = F.when(
+        F.col("a._n") * F.col("b._n") != 0,
+        cos_pair(F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")),
+    )
+    a, b = bkt.alias("a"), bkt.alias("b")
+    scored = (
+        a.join(b, on="bucket")
+        .filter(F.col("a._id") != F.col("b._id"))
+        .select(
+            F.col("a._id").alias("src_id"),
+            F.col("b._id").alias("nbr_id"),
+            portable_round(cos_expr, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def knn_graph(
     df: DataFrame,
     k: int = 4,
@@ -252,6 +288,38 @@ def knn_graph(
     Neighbors outside every shared bucket are missed — recall tracks the
     same 1-(1-p^planes) curve as the near-dup operator; add OR-tables
     upstream if a use case needs more.
+
+    Exact-clone collapse (round 10, flood-routed): identical vectors
+    share a bucket BY CONSTRUCTION, so a planted clone block of size c
+    used to densify its bucket's self-join quadratically (c² kernel
+    pairs — the 1.28× skew ratio the graph family's assortativity
+    rehearsal measured). When a bucket-population probe (one skinny
+    map-side-combinable count over the persisted bucket frame) finds a
+    bucket past ``KNN_CLONE_COLLAPSE_TRIGGER``, scoring runs once per
+    DISTINCT-vector pair: rows group on the vector itself (exact array
+    equality — never a hash, a 64-bit collision would silently merge
+    different vectors), one representative per group enters the bucket
+    self-join, and per-member results expand from two bounded lists —
+    the group's k+1 smallest member ids as mutual 1.0-neighbors
+    (cos(v,v) ∈ 1±2ulp always rounds to 1.0 at 6dp) and the group's
+    top-k cross-group candidates (identical for every member, since
+    score is a function of the vector alone). Each member therefore
+    costs O(k) rows, never O(c): the c² term is gone from scoring,
+    sorting, and the top-k exchange alike. Degenerate vectors (zero/inf
+    norm, NaN components — where cos(v,v) would NOT round to 1.0) stay
+    singleton groups and keep their exact legacy scores through the
+    same kernel expression.
+
+    The routing is a PURE performance choice: both paths are
+    bit-identical (pinned on planted clone/zero/NaN corpora in
+    tests/test_pipeline_ops.py with the trigger forced to 0), so a
+    mis-detection can only cost time, never correctness. Under the
+    trigger the direct all-member plan runs — on healthy corpora
+    (auto-planes hold buckets ~64) the collapse's three extra
+    exchanges (vector-keyed group window, head aggregation, member
+    join-back) measured +1–3.5 s per sf0.1 query for zero benefit;
+    past the trigger those fixed costs are noise against the avoided
+    c² block.
     """
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
     from sql_query_engine_rs_spark.functions.dedup import auto_num_planes
@@ -277,35 +345,206 @@ def knn_graph(
     from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
     from sql_query_engine_rs_spark.functions.dedup import PAIR_VERIFY_ARROW_MIN
 
+    max_pop = (
+        bkt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c")).agg(F.max("_c")).first()[0]
+        or 0
+    )
+    cos_pair = (
+        pair_cosine
+        if n_vecs >= PAIR_VERIFY_ARROW_MIN
+        else (lambda av, bv, an, bn: dot(av, bv) / (an * bn))
+    )
+    if max_pop <= KNN_CLONE_COLLAPSE_TRIGGER:
+        return _knn_topk_direct(bkt, k, cos_pair)
+
+    # Collapse-eligible = cos(v,v) provably rounds to 1.0 at 6dp: finite
+    # nonzero norm, no NaN component. Everything else (zero vectors whose
+    # pairs all drop, inf/NaN vectors whose legacy scores are 0.0/NaN)
+    # rides as singleton groups through the identical kernel expression.
+    # NULL-safe: a NULL norm/vector makes `eligible` NULL, which must
+    # route to the singleton side, not vanish.
+    eligible = F.coalesce(
+        (F.col("_n") > 0)
+        & (F.col("_n") != float("inf"))
+        & ~F.exists(F.col("_v"), F.isnan),
+        F.lit(False),
+    )
+    wg = Window.partitionBy("_v")
+    # One vector-keyed exchange labels members: group id = min member id,
+    # _rn = member's rank within the group (head = the k+1 smallest ids,
+    # enough for any member's k clone-mates).
+    labeled = persist_tracked(
+        bkt.filter(eligible)
+        .withColumn("_gid", F.min("_id").over(wg))
+        .withColumn("_rn", F.row_number().over(wg.orderBy("_id")))
+    )
+    labeled.count()
+    singles = bkt.filter(~eligible).select(
+        F.col("_id").alias("_gid"), "_v", "_n", "bucket"
+    )
+    reps = persist_tracked(
+        labeled.filter(F.col("_rn") == 1)
+        .select("_gid", "_v", "_n", "bucket")
+        .unionByName(singles)
+    )
+    reps.count()
+    heads = labeled.filter(F.col("_rn") <= k + 1).groupBy("_gid").agg(
+        F.array_sort(F.collect_list("_id")).alias("_head")
+    ).unionByName(
+        singles.select("_gid", F.array(F.col("_gid")).alias("_head"))
+    )
+    members = labeled.select("_id", "_gid").unionByName(
+        singles.select(F.col("_gid").alias("_id"), "_gid")
+    )
+
     # zero-norm guard (matches embedding_cosine_dups_lsh): under ANSI
     # mode the unguarded 0/0 would throw; a degenerate vector's pairs get
     # NULL cos_sim and are dropped below instead of crashing the graph.
     cos_expr = F.when(
         F.col("a._n") * F.col("b._n") != 0,
-        pair_cosine(F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n"))
-        if n_vecs >= PAIR_VERIFY_ARROW_MIN
-        else dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
+        cos_pair(F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")),
     )
-    a, b = bkt.alias("a"), bkt.alias("b")
-    scored = (
+    a, b = reps.alias("a"), reps.alias("b")
+    pair_scored = (
         a.join(b, on="bucket")
-        .filter(F.col("a._id") != F.col("b._id"))
+        .filter(F.col("a._gid") != F.col("b._gid"))
         .select(
-            F.col("a._id").alias("src_id"),
-            F.col("b._id").alias("nbr_id"),
+            F.col("a._gid").alias("_src_g"),
+            F.col("b._gid").alias("_nbr_g"),
             portable_round(cos_expr, 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim").isNotNull())
     )
+    # Per src GROUP: explode the neighbor group's head ids and keep the
+    # group-level top-k — every member's cross-group top-k is a subset
+    # (candidates beyond a group's k smallest ids, or beyond the k best
+    # (score, id) group candidates, are dominated for every member).
+    wc = Window.partitionBy("_src_g").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    cand = (
+        pair_scored.join(heads.withColumnRenamed("_gid", "_nbr_g"), on="_nbr_g")
+        .select("_src_g", F.explode("_head").alias("nbr_id"), "cos_sim")
+        .withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= k)
+        .select(F.col("_src_g").alias("_gid"), "nbr_id", "cos_sim")
+    )
+    cross = members.join(cand, on="_gid").select(
+        F.col("_id").alias("src_id"), "nbr_id", "cos_sim"
+    )
+    mates = (
+        labeled.select("_id", "_gid")
+        .join(heads, on="_gid")
+        .select("_id", F.explode("_head").alias("nbr_id"))
+        .filter(F.col("nbr_id") != F.col("_id"))
+        .select(
+            F.col("_id").alias("src_id"),
+            "nbr_id",
+            F.lit(1.0).alias("cos_sim"),
+        )
+    )
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cross.unionByName(mates)
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src_id", "nbr_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
 
 
+def _knn_graph_direct(
+    df: DataFrame,
+    k: int = 4,
+    num_planes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-round-10 all-member bucket self-join form of ``knn_graph``
+    (every member pair scored — c² under a planted clone block), retained
+    as the reference twin for the clone-collapse exact-equality pin in
+    tests/test_pipeline_ops.py. This is also exactly ``knn_graph``'s own
+    healthy-bucket path (shared ``_knn_topk_direct``), minus the
+    bucket-population probe. Validation-only: not registered, not called
+    by any query builder."""
+    from sql_query_engine_rs_spark.functions.caching import persist_tracked
+    from sql_query_engine_rs_spark.functions.dedup import auto_num_planes
+
+    base = _ensure_parallelism(df)
+    n_vecs = base.count()
+    if num_planes is None:
+        num_planes = auto_num_planes(n_vecs)
+    bkt = persist_tracked(
+        base.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
+            random_hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
+        )
+    )
+    bkt.count()
+    from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
+    from sql_query_engine_rs_spark.functions.dedup import PAIR_VERIFY_ARROW_MIN
+
+    cos_pair = (
+        pair_cosine
+        if n_vecs >= PAIR_VERIFY_ARROW_MIN
+        else (lambda av, bv, an, bn: dot(av, bv) / (an * bn))
+    )
+    return _knn_topk_direct(bkt, k, cos_pair)
+
+
 # ------------------------------------------------------------ IVF scale path
+
+def _ivf_seed_rank(corpus: DataFrame, num_centroids: int, id_col: str = "vec_id") -> DataFrame:
+    """(centroid_id int, <id_col>) for the ``num_centroids`` corpus ids
+    with the lexicographically smallest md5(id) — ``ivf_centroids``' seed
+    rank, computed two-level distributed for the k > CODEBOOK_COLLECT_MAX
+    regime where the GlobalLimit + single-task-window form would drag
+    ~0.5 GB of vectors through one task.
+
+    The two-level pattern is queries._bucketed_ntile's offset machinery
+    specialized to the md5 domain: bucket on the NUMERIC value of the
+    first two hex chars (``conv(prefix, 16, 10)`` — 256 fixed buckets;
+    the hash is uniform over its domain, so no min/max stats pass is
+    needed and every bucket draws ~N/256 rows by construction), ORDER by
+    the full hex within each bucket, and add cross-bucket count offsets
+    (one window over the ≤256-row bucket-totals frame — constant).
+    Hex-prefix bucketing is monotone non-strict in the full-hex sort key,
+    so global rank = offset + within-bucket row_number exactly, and the
+    ids (and their centroid_id ranks) are bit-identical to the
+    GlobalLimit form (pinned in tests/test_similarity_ops.py).
+
+    Buckets whose offset already reaches ``num_centroids`` are pruned
+    BEFORE the within-bucket sort — with a uniform hash the k smallest
+    rows live in the first ⌈256·k/N⌉ buckets, so the window sorts ~max(k,
+    N/256) skinny (id, hash) rows across tasks instead of N vector rows
+    in one. Only ids flow through the rank; callers join the k survivors
+    back to the corpus for vectors.
+
+    Precondition (same as ivf_centroids itself): ids are unique — a
+    duplicated id duplicates its hash and neither form orders within the
+    tie deterministically.
+    """
+    skinny = (
+        corpus.select(F.col(id_col))
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .withColumn("_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("long"))
+    )
+    btot = skinny.groupBy("_bkt").agg(F.count(F.lit(1)).cast("long").alias("_bc"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0).cast("long")).alias("_off"),
+    ).filter(F.col("_off") < num_centroids)
+    w_in = Window.partitionBy("_bkt").orderBy("_h")
+    return (
+        skinny.join(F.broadcast(off), on="_bkt")
+        .withColumn("_rn", F.row_number().over(w_in))
+        .filter(F.col("_off") + F.col("_rn") <= num_centroids)
+        .select(
+            (F.col("_off") + F.col("_rn") - 1).cast("int").alias("centroid_id"),
+            id_col,
+        )
+    )
+
 
 def ivf_centroids(
     corpus: DataFrame,
@@ -341,35 +580,45 @@ def ivf_centroids(
     approximate, so the resulting centroids differ from the brute build —
     callers with static oracles keep the default.
 
-    Known bound (documented, not failing): the seed step ranks the k
-    smallest-md5 rows with a GlobalLimit + one k-row row_number window —
-    a single task over k vector rows, executed once at build time behind
-    the eager localCheckpoint. Trivial at the collected-codebook regime
-    (k ≤ 65k ≈ 34 MB) and workable at the k≈10⁶ hierarchical regime
-    (~0.5 GB through one task, once); if that ever dominates, the
-    two-level rank pattern (queries._bucketed_ntile's offset machinery)
-    yields the identical ids distributed — bucket on a NUMERIC
-    projection of the hash (``conv(substring(md5_hex, 1, 15), 16, 10)``;
-    _range_bucket needs arithmetic, a hex string won't do) while still
-    ORDERING by the full hex so the rank, and therefore every id,
-    matches this form exactly.
+    Seed ranking routes on k, the same bound as every other codebook
+    collect: at k ≤ ``arrow_kernels.CODEBOOK_COLLECT_MAX`` the rank is a
+    GlobalLimit + one k-row row_number window — a single bounded task
+    over ≤65k vector rows (≈34 MB), executed once at build time behind
+    the eager localCheckpoint. Past the bound (the k≈10⁶ hierarchical
+    regime, where one task would drag ~0.5 GB) ``_ivf_seed_rank``
+    computes the identical ids two-level distributed — no GlobalLimit,
+    no single-task window (bit-identity + plan pinned in
+    tests/test_similarity_ops.py).
     """
+    from sql_query_engine_rs_spark.functions.arrow_kernels import (
+        CODEBOOK_COLLECT_MAX,
+    )
+
     corpus = _ensure_parallelism(corpus)
     lloyd_assign = (
         ivf_assign_two_level
         if hierarchical_assign
         else (lambda df, c, id_col, vec_col: ivf_assign(df, c, nprobe=1, id_col=id_col, vec_col=vec_col))
     )
-    seeds = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h")
-        .limit(num_centroids)
-    )
-    w = Window.orderBy("_h")
-    cents = seeds.select(
-        (F.row_number().over(w) - 1).alias("centroid_id"), "_centroid"
-    ).localCheckpoint(eager=True)
+    if num_centroids > CODEBOOK_COLLECT_MAX:
+        seed_ids = _ivf_seed_rank(corpus, num_centroids, id_col=id_col)
+        cents = (
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
+            .join(F.broadcast(seed_ids), on=id_col)
+            .select("centroid_id", "_centroid")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        seeds = (
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h")
+            .limit(num_centroids)
+        )
+        w = Window.orderBy("_h")
+        cents = seeds.select(
+            (F.row_number().over(w) - 1).alias("centroid_id"), "_centroid"
+        ).localCheckpoint(eager=True)
     for _ in range(iterations):
         assigned = lloyd_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
         cents = (

@@ -182,12 +182,22 @@ def _range_bucket(v, mn, mx, nb: int = _RANGE_BUCKETS):
     callers all feed non-null keys (groupBy keys over non-null parquet
     columns); a nullable key was never oracle-defined even in the
     one-window form — DuckDB defaults to NULLS LAST on ASC where Spark
-    puts them first."""
+    puts them first.
+
+    Arithmetic runs in DOUBLE: long keys spanning extreme ranges (e.g.
+    the ~2^60 md5-prefix domain of similarity._ivf_seed_rank) would
+    overflow the native (v−mn)·nb subexpression — throwing under ANSI
+    sessions, silently mis-bucketing otherwise. The double cast is
+    monotone non-strict, which is all bucketing needs: equal values
+    still share a bucket and the bucket stays non-decreasing in v, so
+    order statistics built on top are unchanged (callers' domains are
+    exact in double anyway)."""
+    vd, mnd, mxd = v.cast("double"), mn.cast("double"), mx.cast("double")
     return (
         F.when(v.isNull(), F.lit(0).cast("long"))
         .when(
-            mx > mn,
-            F.least(F.lit(nb - 1).cast("long"), F.floor((v - mn) / (mx - mn) * nb)),
+            mxd > mnd,
+            F.least(F.lit(nb - 1).cast("long"), F.floor((vd - mnd) / (mxd - mnd) * nb)),
         )
         .otherwise(F.lit(0).cast("long"))
     )
@@ -3687,6 +3697,12 @@ _FORCE_REROW_SCHEDULE = {
     #   (_bucketed_running_sums/_bucketed_ntile): distributed plans,
     #   outputs pinned oracle-equal, but their green rows predate the
     #   rewrite (rfm's avg_monetary moved to exact-cents on BOTH sides).
+    # - round-10 additions (changed code this round): the six
+    #   knn_graph-dependent entries re-row on the exact-clone collapse
+    #   (bit-identical by pin, but the plan changed); the seven
+    #   order-stat entries above also cover the _range_bucket
+    #   double-cast (ADVICE r9) and the ANN entries the ivf_centroids
+    #   seed-rank routing.
     10: [
         "pipe_ann_ivf",
         "pipe_ann_ivf_bucketed",
@@ -3704,6 +3720,11 @@ _FORCE_REROW_SCHEDULE = {
         "pipe_wasserstein_drift",
         "pipe_rfm_segments",
         "pipe_length_quality_hist",
+        "pipe_knn_graph",
+        "pipe_knn_label_purity",
+        "pipe_link_prediction",
+        "pipe_kcore_decompose",
+        "pipe_graph_assortativity",
     ],
 }
 # A round's pins activate only when that round is the NEXT driver round

@@ -165,3 +165,58 @@ def test_real_wav_codec_through_spark_seam(spark):
         w, start_ms, rms, zc = expected[r.item_id][r.window_idx]
         assert (r.start_ms, r.zero_crossings) == (start_ms, zc)
         assert r.rms == pytest.approx(rms, abs=1e-12)
+
+def test_real_codec_under_driver_value_hash(spark):
+    """The real-PNG seam under the DRIVER's exact comparison, not approx:
+    rows canonicalized the way the correctness gate canonicalizes them
+    (column-name sort, floats rounded to 9dp, arrays stringified) must be
+    IDENTICAL to a local replay of png_image_decode on the same payloads —
+    the same bar a registered stub-codec oracle row has to clear, applied
+    to genuine decoded bytes (r9 verdict item 7)."""
+    import math
+
+    from sql_query_engine_rs_spark.functions.multimodal import (
+        image_features,
+        register_codec,
+        reset_codec,
+    )
+
+    def normalize(value):
+        if value is None:
+            return None
+        if isinstance(value, bool):
+            return float(value)
+        if isinstance(value, float):
+            return "NaN" if math.isnan(value) else round(value, 9)
+        if isinstance(value, int):
+            return value
+        return str(value)
+
+    def canonical(rows, columns):
+        order = sorted(range(len(columns)), key=lambda i: columns[i])
+        out = [tuple(normalize(row[i]) for i in order) for row in rows]
+        return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+    items, local = [], []
+    for i in range(8):
+        px = _rng_pixels(6 + i, 4 + i, [1, 2, 3, 4][i % 4], seed=900 + i)
+        payload = png_encode(px, filter_type=[0, 1, 2, 4][i % 4])
+        items.append((i, bytearray(payload)))
+        w, h, feat = png_image_decode(payload)
+        # the plumbing's feature column is array<float> (float32): the
+        # local replay must round-trip through float32 the same way or
+        # the stringified canonical form diverges in the widened digits
+        local.append((i, w, h, len(payload), [float(np.float32(f)) for f in feat]))
+
+    df = spark.createDataFrame(items, "item_id long, payload binary")
+    register_codec("image_decode", png_image_decode)
+    try:
+        got = image_features(df)
+        cols = got.columns
+        srows = [tuple(r) for r in got.collect()]
+    finally:
+        reset_codec("image_decode")
+    want_cols = ["item_id", "width", "height", "n_bytes", "feature"]
+    assert sorted(cols) == sorted(want_cols)
+    want = [tuple(rec[want_cols.index(c)] for c in cols) for rec in local]
+    assert canonical(srows, cols) == canonical(want, cols)

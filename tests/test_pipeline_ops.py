@@ -594,6 +594,70 @@ def test_ivf_centroid_shapes(spark, sf_dir):
     assert dims == {64}
 
 
+def test_ivf_seed_rank_matches_globallimit_form(spark, sf_dir):
+    """The distributed seed rank (k > CODEBOOK_COLLECT_MAX route) must
+    yield bit-identical (centroid_id, id) pairs to the GlobalLimit +
+    single-task-window form it replaces at scale."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 37
+    got = {
+        (r.centroid_id, r.vec_id)
+        for r in S._ivf_seed_rank(emb, k, id_col="vec_id").collect()
+    }
+    w = Window.orderBy("_h")
+    want = {
+        (r.centroid_id, r.vec_id)
+        for r in emb.select("vec_id")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("centroid_id"), "vec_id")
+        .collect()
+    }
+    assert got == want and len(got) == k
+
+
+def test_ivf_seed_rank_handles_corpus_smaller_than_k(spark, sf_dir):
+    """k past the corpus size ranks every row, like limit(k) on N<k rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 19)
+    rows = S._ivf_seed_rank(emb, 5000, id_col="vec_id").collect()
+    assert len(rows) == 19
+    assert {r.centroid_id for r in rows} == set(range(19))
+
+
+def test_ivf_seed_rank_plan_has_no_globallimit(spark, sf_dir):
+    """The distributed form must not feed the rank through GlobalLimit /
+    CollectLimit (the single-task bound the route exists to remove)."""
+    from sql_query_engine_rs_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = explain_str(S._ivf_seed_rank(emb, 100_000, id_col="vec_id"), "simple")
+    assert "GlobalLimit" not in plan and "CollectLimit" not in plan
+
+
+def test_ivf_centroids_routes_distributed_past_codebook_bound(spark, sf_dir, monkeypatch):
+    """ivf_centroids with k past CODEBOOK_COLLECT_MAX (bound patched down
+    so the route executes at test scale) returns bit-identical seed
+    centroids — ids AND vectors — to the small-k GlobalLimit path.
+    iterations=0 keeps the patched bound away from the Lloyd assign's own
+    collect guard (a separate, already-pinned route)."""
+    import sql_query_engine_rs_spark.functions.arrow_kernels as AK
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 200)
+    small = {
+        r.centroid_id: list(r._centroid)
+        for r in S.ivf_centroids(emb, num_centroids=6, iterations=0).collect()
+    }
+    monkeypatch.setattr(AK, "CODEBOOK_COLLECT_MAX", 5)
+    routed = {
+        r.centroid_id: list(r._centroid)
+        for r in S.ivf_centroids(emb, num_centroids=6, iterations=0).collect()
+    }
+    assert routed == small
+
+
 # ---------------------------------------------------------------- pii / chunk / sample
 
 def test_scrub_pii_tags_and_order(spark):
@@ -1458,3 +1522,64 @@ def test_arrow_pair_verify_matches_fold_on_small_corpus(spark, monkeypatch):
     for i, a in enumerate(clone):
         for b in clone[i + 1:]:
             assert (a, b, 1.0) in arrow_pairs
+
+
+def test_knn_graph_clone_collapse_matches_direct_form(spark, monkeypatch):
+    """The round-10 exact-clone collapse must be BIT-identical to the
+    retained all-member self-join twin on an adversarial corpus: a large
+    clone block (bigger than k+1, so head truncation is exercised), a
+    two-member group, zero vectors (pairs drop), NaN-component and
+    inf-norm vectors (legacy NaN/0.0 scores, never 1.0 mates), and ties
+    between a 1.0 clone-mate and nothing-up-my-sleeve randoms. The
+    bucket-population trigger is forced to 0 so the collapse path runs
+    at test scale (untouched, this corpus would route direct — which is
+    the twin itself, and the compare would be vacuous)."""
+    import math
+    import random
+
+    monkeypatch.setattr(S, "KNN_CLONE_COLLAPSE_TRIGGER", 0)
+
+    rng = random.Random(23)
+    base = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+    rows = [Row(vec_id=i, embedding=v) for i, v in enumerate(base)]
+    # clone block of 7 (> k+1 = 4) sharing base[3]'s vector
+    rows += [Row(vec_id=400 + j, embedding=list(base[3])) for j in range(6)]
+    # a two-member group
+    rows += [Row(vec_id=500, embedding=list(base[7]))]
+    # degenerate rows
+    rows += [Row(vec_id=600, embedding=[0.0] * 64), Row(vec_id=601, embedding=[0.0] * 64)]
+    nanv = list(base[9]); nanv[0] = float("nan")
+    rows += [Row(vec_id=700, embedding=list(nanv)), Row(vec_id=701, embedding=list(nanv))]
+    bigv = [1.0e200] * 64  # norm overflows to inf
+    rows += [Row(vec_id=800, embedding=bigv)]
+    emb = spark.createDataFrame(rows)
+
+    def norm_rows(recs):
+        out = set()
+        for r in recs:
+            c = "nan" if (r.cos_sim is not None and math.isnan(r.cos_sim)) else r.cos_sim
+            out.add((r.src_id, r.nbr_id, c, r.rank))
+        return out
+
+    for k in (3, 8):
+        got = norm_rows(S.knn_graph(emb, k=k, num_planes=2).collect())
+        want = norm_rows(S._knn_graph_direct(emb, k=k, num_planes=2).collect())
+        assert got == want, f"k={k}: {sorted(got ^ want)[:10]}"
+    # the clone block must neighbor itself at literal 1.0
+    g = S.knn_graph(emb, k=3, num_planes=2).collect()
+    assert {(r.src_id, r.nbr_id) for r in g if r.cos_sim == 1.0} >= {(3, 400), (400, 3), (401, 400)}
+
+
+def test_knn_graph_routes_direct_under_healthy_buckets(spark, sf_dir, monkeypatch):
+    """Routing pin: with bucket populations under the trigger the plan is
+    the direct self-join (no collapse Union of cross+mates — its three
+    extra exchanges measured +1-3.5 s per sf0.1 query for zero benefit on
+    clone-free data); past the trigger the collapse plan engages."""
+    from sql_query_engine_rs_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    direct = explain_str(S.knn_graph(emb, k=4, num_planes=None), "simple")
+    assert "Union" not in direct
+    monkeypatch.setattr(S, "KNN_CLONE_COLLAPSE_TRIGGER", 0)
+    collapsed = explain_str(S.knn_graph(emb, k=4, num_planes=None), "simple")
+    assert "Union" in collapsed
