@@ -602,9 +602,16 @@ def ivf_centroids(
     )
     if num_centroids > CODEBOOK_COLLECT_MAX:
         seed_ids = _ivf_seed_rank(corpus, num_centroids, id_col=id_col)
+        # Broadcast the k-row id frame back onto the corpus while it is
+        # broadcast-SIZED (~30 MB of (id, int) at k=10^6); past that the
+        # hint would pin hundreds of MB per executor, so fall back to a
+        # plain join and let the optimizer pick (a corpus shuffle is the
+        # honest cost of a 10^7-centroid build — one id-keyed exchange).
+        if num_centroids <= 2_000_000:
+            seed_ids = F.broadcast(seed_ids)
         cents = (
             corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
-            .join(F.broadcast(seed_ids), on=id_col)
+            .join(seed_ids, on=id_col)
             .select("centroid_id", "_centroid")
             .localCheckpoint(eager=True)
         )
