@@ -293,3 +293,74 @@ def test_bucketed_running_sums_match_global_window(spark, rows, nb):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=70),
+)
+def test_ivf_seed_rank_matches_python_md5_order(spark, ids, k):
+    """similarity._ivf_seed_rank must reproduce the md5-order rank an
+    INDEPENDENT implementation computes (Python hashlib over str(int)) —
+    for any unique id set and any k, including k past the corpus size.
+    This is the distributed seed rank's ground-truth contract: Spark's
+    md5(cast(id as string)) == hashlib.md5(str(int(id)))."""
+    import hashlib
+
+    from sql_query_engine_rs_spark.functions.similarity import _ivf_seed_rank
+
+    ids = sorted(ids)
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {
+        (r.centroid_id, r.vec_id)
+        for r in _ivf_seed_rank(df, k, id_col="vec_id").collect()
+    }
+    ordered = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    want = {(rank, i) for rank, i in enumerate(ordered[:k])}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.lists(st.integers(min_value=2, max_value=7), min_size=1, max_size=2),
+    st.integers(min_value=2, max_value=5),
+)
+def test_knn_clone_collapse_matches_direct_property(spark, seed, clone_sizes, k):
+    """Randomized twin of the fixed clone-collapse pin: for any random
+    corpus + planted clone groups (sizes straddling k+1) + k, the collapse
+    path (trigger forced to 0) is bit-identical to the direct all-member
+    self-join."""
+    import numpy as np
+
+    import sql_query_engine_rs_spark.functions.similarity as S
+
+    rng = np.random.RandomState(seed % (2**31))
+    base = rng.uniform(-1, 1, size=(14, 64))
+    rows = [(i, base[i].tolist()) for i in range(14)]
+    nxt = 100
+    for c in clone_sizes:
+        src = base[int(rng.randint(0, 14))].tolist()
+        for _ in range(c):
+            rows.append((nxt, list(src)))
+            nxt += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def canon(recs):
+        import math
+        return {
+            (r.src_id, r.nbr_id,
+             "nan" if (r.cos_sim is not None and math.isnan(r.cos_sim)) else r.cos_sim,
+             r.rank)
+            for r in recs
+        }
+
+    want = canon(S._knn_graph_direct(df, k=k, num_planes=2).collect())
+    old = S.KNN_CLONE_COLLAPSE_TRIGGER
+    S.KNN_CLONE_COLLAPSE_TRIGGER = 0
+    try:
+        got = canon(S.knn_graph(df, k=k, num_planes=2).collect())
+    finally:
+        S.KNN_CLONE_COLLAPSE_TRIGGER = old
+    assert got == want, sorted(got ^ want)[:8]
