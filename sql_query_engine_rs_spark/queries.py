@@ -1106,14 +1106,25 @@ def pipe_events_autocorr(spark, sf_dir):
     )
 
 
+# Max DISTINCT parts per order admitted to basket_lift's pair self-join:
+# C(1024,2) ~ 524k pairs is one comfortable task; a crawl-scale bot/ETL
+# mega-order past it would otherwise go quadratic. Mirrored verbatim as
+# a literal in the entry's oracle SQL — keep the two in lockstep.
+_BASKET_PAIR_CAP = 1024
+
+
 @register(
     "pipe_basket_lift",
     """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
        tot AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS n_orders FROM items),
        freq AS (SELECT pk, CAST(count(*) AS DOUBLE) AS cnt FROM items GROUP BY pk),
+       items_capped AS (
+         SELECT ok, pk FROM (
+           SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS bc FROM items) t
+         WHERE bc <= 1024),
        pairs AS (
          SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS pair_cnt
-         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+         FROM items_capped a JOIN items_capped b ON a.ok = b.ok AND a.pk < b.pk
          GROUP BY 1, 2
          HAVING count(*) >= 3),
        scored AS (
@@ -1143,6 +1154,19 @@ def pipe_basket_lift(spark, sf_dir):
     engines) with (part_a, part_b) tie-breaks, so the cut is
     deterministic cross-engine.
 
+    Basket cap (round 10): the C(basket,2) bound is a property of the
+    DATA, not the plan — at crawl scale one bot/ETL mega-order with 10%
+    of all lines would put C(600k,2) ≈ 1.8e11 pairs through the
+    self-join. Baskets past ``_BASKET_PAIR_CAP`` (1024 distinct parts —
+    C(1024,2) ≈ 524k pairs, one comfortable task) are DROPPED from pair
+    generation before the join, by a linear per-order count (the same
+    flood discipline as dedup's ``cap_band_size``); frequencies and the
+    order total stay uncapped, so only the flooded baskets' support is
+    forfeited — the documented recall trade. The oracle mirrors the cap
+    verbatim (items_capped CTE), so parity holds on ANY corpus, not
+    just cap-free test data; a planted mega-order parity test pins
+    exactly that.
+
     Every keyed exchange is volume_scaled_partitions-sized (round 8 —
     the same fix measured on pipe_dedup_method_agreement): at the
     session's fixed 32 shuffle partitions the distinct / self-join /
@@ -1168,8 +1192,18 @@ def pipe_basket_lift(spark, sf_dir):
     )
     tot = items.agg(F.countDistinct("ok").cast("double").alias("n_orders"))
     freq = items.groupBy("pk").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
-    a = items.select(F.col("ok"), F.col("pk").alias("part_a")).repartition(nparts, "ok")
-    b = items.select(F.col("ok").alias("_okb"), F.col("pk").alias("part_b")).repartition(
+    from pyspark.sql import Window as _W
+
+    # linear per-order size scan on the already-order-keyed exchange;
+    # flooded baskets never reach the quadratic self-join below
+    capped = (
+        items.repartition(nparts, "ok")
+        .withColumn("_bc", F.count(F.lit(1)).over(_W.partitionBy("ok")))
+        .filter(F.col("_bc") <= _BASKET_PAIR_CAP)
+        .drop("_bc")
+    )
+    a = capped.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = capped.select(F.col("ok").alias("_okb"), F.col("pk").alias("part_b")).repartition(
         nparts, "_okb"
     )
     pairs = (
@@ -3725,6 +3759,8 @@ _FORCE_REROW_SCHEDULE = {
         "pipe_link_prediction",
         "pipe_kcore_decompose",
         "pipe_graph_assortativity",
+        # round-10 late: basket-size cap (plan + oracle in lockstep)
+        "pipe_basket_lift",
     ],
 }
 # A round's pins activate only when that round is the NEXT driver round

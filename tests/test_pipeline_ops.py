@@ -1583,3 +1583,59 @@ def test_knn_graph_routes_direct_under_healthy_buckets(spark, sf_dir, monkeypatc
     monkeypatch.setattr(S, "KNN_CLONE_COLLAPSE_TRIGGER", 0)
     collapsed = explain_str(S.knn_graph(emb, k=4, num_planes=None), "simple")
     assert "Union" in collapsed
+
+
+def test_basket_lift_caps_mega_order_with_oracle_parity(spark, tmp_path):
+    """A planted bot/ETL mega-order (> _BASKET_PAIR_CAP distinct parts)
+    must be dropped from pair generation — and the ORACLE must agree,
+    because the cap is mirrored verbatim in its SQL: Spark and DuckDB are
+    compared on the planted corpus itself, not just cap-free test data.
+    Normal baskets' pairs survive untouched."""
+    import math
+
+    import duckdb
+
+    from sql_query_engine_rs_spark.queries import QUERIES, _BASKET_PAIR_CAP
+
+    rows = []
+    # 40 normal orders, each a 4-part basket drawn from a 10-part pool so
+    # pair supports comfortably clear the HAVING >= 3 floor
+    for ok in range(40):
+        for j in range(4):
+            rows.append((ok, (ok + j * 3) % 10))
+    # the mega-order: _BASKET_PAIR_CAP + 5 distinct parts
+    mega_ok = 10_000
+    for pk in range(1000, 1000 + _BASKET_PAIR_CAP + 5):
+        rows.append((mega_ok, pk))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(ok, pk, 1) for ok, pk in rows],
+        "l_orderkey long, l_partkey long, l_linenumber int",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+
+    spec = QUERIES["pipe_basket_lift"]
+    # the cap literal must stay in lockstep between builder and oracle
+    assert f"bc <= {_BASKET_PAIR_CAP}" in spec.oracle
+    sdf = spec.build(spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    assert srows, "fixture produced no surviving pairs"
+    # no mega-order part may appear in any surviving pair
+    assert all(r[0] < 1000 and r[1] < 1000 for r in srows)
+
+    con = duckdb.connect()
+    # Spark wrote a directory-style parquet; glob the part files
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet/*.parquet'")
+    res = con.execute(spec.oracle)
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else round(v, 9)
+        return v
+
+    def canon(rws, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(norm(r[i]) for i in order) for r in rws)
+
+    assert canon(srows, [c.lower() for c in sdf.columns]) == canon(drows, dcols)
