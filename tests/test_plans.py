@@ -997,3 +997,28 @@ def test_rehearsal_scripts_import_and_agree():
         if n not in REG and n not in SR.SCALED_BUILDERS
     ]
     assert not unresolved, unresolved
+
+
+def test_bench_burst_suspects_selection():
+    """The burst-retry pass must trigger on the measured burst shape
+    (2-2.6x on multi-second entries), never on sub-second jitter or the
+    bounded real costs (kNN probe job +0.3s), and must cap its size."""
+    import bench
+
+    ref = {"slow_burst": 3.45, "stream_burst": 1.99, "jitter": 0.4, "knn": 1.04, "flat": 2.0}
+    times = {"slow_burst": 6.03, "stream_burst": 5.15, "jitter": 0.95, "knn": 1.40, "flat": 2.05}
+    got = bench._burst_suspects(times, ref)
+    assert got == ["stream_burst", "slow_burst"]  # worst absolute first
+    # entries with no reference never retry; cap bounds the set
+    assert bench._burst_suspects({"x": 99.0}, {}) == []
+    many = {f"q{i}": 10.0 for i in range(40)}
+    assert len(bench._burst_suspects(many, {k: 1.0 for k in many}, cap=16)) == 16
+
+
+def test_bench_latest_committed_map_reads_newest_round():
+    import bench
+
+    m = bench._latest_committed_query_map()
+    assert m and all(isinstance(v, float) for v in m.values())
+    # the committed r10 stamp is the newest on this tree
+    assert "pipe_basket_lift" in m
