@@ -364,3 +364,32 @@ def test_knn_clone_collapse_matches_direct_property(spark, seed, clone_sizes, k)
     finally:
         S.KNN_CLONE_COLLAPSE_TRIGGER = old
     assert got == want, sorted(got ^ want)[:8]
+
+
+def test_bucketed_ntile_extreme_long_domain_no_overflow(spark):
+    """Long keys spanning ~2^63 used to overflow _range_bucket's native
+    (v-mn)*nb arithmetic (r9 ADVICE) — throwing under ANSI sessions,
+    silently mis-bucketing otherwise. The double-cast form must bucket
+    monotonically and still match F.ntile exactly on an extreme-domain
+    multiset (ties at both extremes included)."""
+    from pyspark.sql import Window
+
+    from sql_query_engine_rs_spark.queries import _bucketed_ntile
+
+    keys = [
+        -(2**62), -(2**62), -(2**61), -12345, -1, 0, 0, 1, 7, 10**12,
+        2**61, 2**62 - 3, 2**62 - 1, 2**62 - 1,
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(keys)], "id long, v long")
+    for k in (2, 4, 5):
+        got = {
+            r.id: r._tile
+            for r in _bucketed_ntile(df, k, [("v", False), "id"]).collect()
+        }
+        want = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(k).over(Window.orderBy(F.col("v").asc(), F.col("id")))
+            ).collect()
+        }
+        assert got == want, (k, got, want)
