@@ -3771,16 +3771,30 @@ _FORCE_REROW_SCHEDULE = {
 # entry).
 
 
-def _latest_driver_round() -> int:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds = []
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _correctness_rows() -> dict[int, dict]:
+    """round number -> parsed row dict, for every parseable repo-root
+    CORRECTNESS_r*.json. Unparseable or non-dict files contribute nothing
+    (fresh checkout / truncated artifact tolerance)."""
+    out: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json")):
         stem = os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")]
         try:
-            rounds.append(int(stem))
-        except ValueError:
+            rnd = int(stem)
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
             continue
-    return max(rounds, default=0)
+        if isinstance(rows, dict):
+            out[rnd] = rows
+    return out
+
+
+def _latest_driver_round() -> int:
+    return max(_correctness_rows(), default=0)
 
 
 def _active_force_rerow() -> list[str]:
@@ -3849,29 +3863,11 @@ def _active_force_rerow() -> list[str]:
 # _ordered_names() reads CORRECTNESS_r*.json and puts entries without a
 # green driver row first automatically (see _driver_green_names).
 
-# Stalest-first pad: the r01-era cohort (last driver-verified round 1),
-# then the r03-era cohort. Order within an era is arbitrary but fixed.
-_STALE_COHORT = [
-    "v0_scan", "v0_projection", "v0_filter_comparison", "v0_filter_equality",
-    "v0_project_arithmetic", "v0_simple_agg", "v0_hash_agg",
-    "v0_hash_agg_multi", "v0_agg_null_semantics", "v0_type_cast",
-    "ext_avg_count_distinct", "ext_distinct", "ext_join_broadcast",
-    "ext_join_fact", "ext_tpch_q3", "ext_having", "ext_subquery_in",
-    "ext_scalar_subquery", "ext_union", "ext_intersect", "ext_except",
-    "ext_window_rank", "ext_window_running", "ext_rollup", "ext_case_when",
-    "ext_string_funcs", "ext_date_funcs", "ext_json_extract",
-    "pipe_dedup_exact", "pipe_dedup_groups", "pipe_fingerprint_dedup",
-    "pipe_embedding_topk", "pipe_ann_lsh", "pipe_lang_id",
-    "pipe_quality_score", "pipe_token_count", "pipe_text_stats",
-    "ext_left_join", "ext_anti_join", "ext_semi_exists", "ext_cube",
-    "ext_pivot",
-]
-
 _WINDOW_SIZE = 50
 
 
-def _driver_green_names() -> set[str]:
-    """Names with a green driver row in any repo-root CORRECTNESS_r*.json.
+def _green_rounds() -> dict[str, int]:
+    """name -> LATEST driver round with a green row for that entry.
 
     The driver verifies only the first ``_WINDOW_SIZE`` entries of
     ``queries()`` per round, so ordering IS the coverage budget.  Reading
@@ -3882,24 +3878,39 @@ def _driver_green_names() -> set[str]:
     matched.  Missing or unparseable files (fresh checkout) contribute
     nothing — the static staging lists below still apply.
     """
-    green: set[str] = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
+    latest: dict[str, int] = {}
+    for rnd, rows in _correctness_rows().items():
         for name, row in rows.items():
             if not isinstance(row, dict) or row.get("err"):
                 continue
             hash_ok = row.get("hash_match")
-            rows_only_ok = hash_ok is None and row.get("rows_match")
-            if hash_ok or rows_only_ok:
-                green.add(name)
-    return green
+            if hash_ok or (hash_ok is None and row.get("rows_match")):
+                if rnd > latest.get(name, 0):
+                    latest[name] = rnd
+    return latest
+
+
+def _driver_green_names() -> set[str]:
+    return set(_green_rounds())
+
+
+def _stalest_pad() -> list[str]:
+    """Green entries ordered stalest-first: ascending latest-green round,
+    ties broken by registry insertion order.
+
+    Era-invariant by construction (r10 verdict item 1: the previous
+    static cohort list went stale every time a new CORRECTNESS file
+    re-greened entries): when round N's file lands, its re-rowed entries
+    get latest-green = N and sink to the tail of the pad automatically,
+    so the freshest-possible stalest-first order holds in every era
+    without a hand-maintained list.
+    """
+    rounds = _green_rounds()
+    order = {n: i for i, n in enumerate(QUERIES)}
+    return sorted(
+        (n for n in rounds if n in QUERIES),
+        key=lambda n: (rounds[n], order[n]),
+    )
 
 
 def _ordered_names() -> list[str]:
@@ -3908,7 +3919,7 @@ def _ordered_names() -> list[str]:
     head += [n for n in _active_force_rerow() if n in QUERIES and n not in head]
     in_head = set(head)
     unchecked = [n for n in QUERIES if n not in green and n not in in_head]
-    pad = [n for n in _STALE_COHORT if n in QUERIES and n not in in_head]
+    pad = [n for n in _stalest_pad() if n not in in_head]
     fill = unchecked + [n for n in pad if n not in set(unchecked)]
     window = head + fill[: max(0, _WINDOW_SIZE - len(head))]
     seen = set(window)

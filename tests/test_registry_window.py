@@ -16,27 +16,76 @@ from sql_query_engine_rs_spark.queries import (
 )
 
 
-def test_window_spends_slots_on_unchecked_entries():
-    """While unchecked entries remain, no window slot may go to an
-    already-green entry outside the force-rerow list.  Once the registry
-    is fully driver-green (residue zero — the r9 state), the window pads
-    the leftover slots stalest-first by design: assert THAT instead."""
-    from sql_query_engine_rs_spark.queries import _STALE_COHORT
+def _assert_window_invariants():
+    """The era-invariant window contract (r10 verdict item 1).
 
-    green = _driver_green_names()
+    While unchecked entries remain, no window slot may go to an
+    already-green entry outside the force-rerow list.  Once the registry
+    is fully driver-green (residue zero), the leftover slots pad with
+    green entries STALEST-FIRST — asserted as a property of the per-entry
+    latest-green-round map (not against a static cohort list, which went
+    stale at grading time two rounds running: every new CORRECTNESS file
+    re-greens entries and reshuffles the true staleness order)."""
+    from sql_query_engine_rs_spark.queries import _green_rounds
+
+    rounds = _green_rounds()
+    green = set(rounds)
     window = _ordered_names()[:_WINDOW_SIZE]
     pins = set(_active_force_rerow())
     residue = [n for n in QUERIES if n not in green and n not in pins]
     if residue:
         wasted = [n for n in window if n in green and n not in pins]
         assert not wasted, f"green entries occupying window slots: {wasted}"
-    else:
-        pad = [n for n in window if n not in pins]
-        expected = [n for n in _STALE_COHORT if n in QUERIES and n not in pins]
-        assert pad == expected[: len(pad)], (
-            "residue-zero pad must re-row the stalest greens in cohort "
-            f"order; got {pad[:5]}... expected {expected[:5]}..."
+        return
+    pad = [n for n in window if n not in pins]
+    # 1. pad entries are green (residue zero => everything is) and sorted
+    #    stalest-first within the pad itself;
+    pad_rounds = [rounds[n] for n in pad if n in rounds]
+    assert pad_rounds == sorted(pad_rounds), (
+        f"pad not stalest-first: {list(zip(pad, pad_rounds))[:8]}..."
+    )
+    # 2. nothing staler was left outside: every green entry not in the
+    #    window is at least as fresh as the freshest padded entry.
+    outside = [n for n in green if n in QUERIES and n not in set(window)]
+    if pad_rounds and outside:
+        assert max(pad_rounds) <= min(rounds[n] for n in outside), (
+            "a staler green entry was left outside the window"
         )
+
+
+def test_window_spends_slots_on_unchecked_entries():
+    _assert_window_invariants()
+
+
+def test_window_invariants_survive_next_round_file_landing(tmp_path, monkeypatch):
+    """Simulate the NEXT driver round's CORRECTNESS file landing (the exact
+    event that broke the static-cohort assertion at r9 and r10 grading
+    time): copy the real artifacts, add a synthetic r{latest+1} that
+    greens the current window, and re-assert every window invariant."""
+    import json
+    import shutil
+
+    import sql_query_engine_rs_spark.queries as q
+
+    real_root = q._repo_root()
+    for path in q.glob.glob(q.os.path.join(real_root, "CORRECTNESS_r*.json")):
+        shutil.copy(path, tmp_path / q.os.path.basename(path))
+    latest = q._latest_driver_round()
+    fake = {
+        name: {"rows_match": True, "schema_match": True,
+               "hash_match": True, "err": None}
+        for name in _ordered_names()[:_WINDOW_SIZE]
+    }
+    (tmp_path / f"CORRECTNESS_r{latest + 1:02d}.json").write_text(json.dumps(fake))
+    monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
+    assert q._latest_driver_round() == latest + 1
+    # the just-greened entries must sink to the pad tail, not lead it
+    rounds = q._green_rounds()
+    for name in fake:
+        assert rounds[name] == latest + 1
+    _assert_window_invariants()
+    names = _ordered_names()
+    assert len(names) == len(set(names)) == len(QUERIES)
 
 
 def test_window_is_full_while_unchecked_entries_remain():
@@ -87,10 +136,12 @@ def test_green_parser_tolerates_missing_files(tmp_path, monkeypatch):
     """A fresh checkout (no CORRECTNESS artifacts) must not break ordering."""
     import sql_query_engine_rs_spark.queries as q
 
-    monkeypatch.setattr(
-        q.os.path, "dirname", lambda p: str(tmp_path)
-    )
+    monkeypatch.setattr(q, "_repo_root", lambda: str(tmp_path))
     assert q._driver_green_names() == set()
+    assert q._stalest_pad() == []
+    assert q._latest_driver_round() == 0
+    names = q._ordered_names()
+    assert len(names) == len(set(names)) == len(q.QUERIES)
 
 
 def test_register_raises_on_duplicate_name():
