@@ -341,10 +341,14 @@ def knn_graph(
             random_hyperplane_signature(F.col(vec_col), num_planes).alias("bucket"),
         )
     )
-    bkt.count()
     from sql_query_engine_rs_spark.functions.arrow_kernels import pair_cosine
     from sql_query_engine_rs_spark.functions.dedup import PAIR_VERIFY_ARROW_MIN
 
+    # One job materializes the persist AND probes the flood trigger: the
+    # groupBy computes every partition of the persisted frame (populating
+    # the cache as a side effect), so a separate bkt.count() materialization
+    # pass would be a second full job over the same data on EVERY
+    # kNN-family query (r10 verdict item 6).
     max_pop = (
         bkt.groupBy("bucket").agg(F.count(F.lit(1)).alias("_c")).agg(F.max("_c")).first()[0]
         or 0
@@ -510,7 +514,9 @@ def _ivf_seed_rank(corpus: DataFrame, num_centroids: int, id_col: str = "vec_id"
     Hex-prefix bucketing is monotone non-strict in the full-hex sort key,
     so global rank = offset + within-bucket row_number exactly, and the
     ids (and their centroid_id ranks) are bit-identical to the
-    GlobalLimit form (pinned in tests/test_similarity_ops.py).
+    GlobalLimit form (pinned in tests/test_pipeline_ops.py:
+    test_ivf_seed_rank_matches_globallimit_form; the hashlib ground-truth
+    property lives in tests/test_properties.py).
 
     Buckets whose offset already reaches ``num_centroids`` are pruned
     BEFORE the within-bucket sort — with a uniform hash the k smallest
@@ -587,8 +593,9 @@ def ivf_centroids(
     the eager localCheckpoint. Past the bound (the k≈10⁶ hierarchical
     regime, where one task would drag ~0.5 GB) ``_ivf_seed_rank``
     computes the identical ids two-level distributed — no GlobalLimit,
-    no single-task window (bit-identity + plan pinned in
-    tests/test_similarity_ops.py).
+    no single-task window (bit-identity pinned in
+    tests/test_pipeline_ops.py:test_ivf_seed_rank_matches_globallimit_form,
+    plan in test_ivf_seed_rank_plan_has_no_globallimit).
     """
     from sql_query_engine_rs_spark.functions.arrow_kernels import (
         CODEBOOK_COLLECT_MAX,

@@ -184,8 +184,8 @@ def _range_bucket(v, mn, mx, nb: int = _RANGE_BUCKETS):
     one-window form — DuckDB defaults to NULLS LAST on ASC where Spark
     puts them first.
 
-    Arithmetic runs in DOUBLE: long keys spanning extreme ranges (e.g.
-    the ~2^60 md5-prefix domain of similarity._ivf_seed_rank) would
+    Arithmetic runs in DOUBLE: long keys spanning extreme ranges (values
+    near the int64 extremes, where max-min alone exceeds 2^63) would
     overflow the native (v−mn)·nb subexpression — throwing under ANSI
     sessions, silently mis-bucketing otherwise. The double cast is
     monotone non-strict, which is all bucketing needs: equal values
