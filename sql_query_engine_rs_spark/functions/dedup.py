@@ -1034,6 +1034,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     reliable_checkpoint: bool = False,
+    allow_local_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over a pair list by iterative min-label
     propagation — the canonical Spark shape for iterative graph algorithms
@@ -1058,35 +1059,39 @@ def connected_components(
     executor loss mid-iteration makes localCheckpoint blocks
     unrecoverable, so pass ``reliable_checkpoint=True`` to write each
     round's state through `checkpoint()` to the reliable store —
-    `sc.setCheckpointDir` should point at HDFS/S3; if unset, a local temp
-    dir is set as a convenience (correct, but not executor-loss-safe
-    across machines — set a shared path in production).
+    `sc.setCheckpointDir` must point at a shared store (HDFS/S3);
+    `session.get_spark(checkpoint_dir=...)` (or the
+    SPARK_GRAFT_CHECKPOINT_DIR env var) plumbs it at session build. If
+    no checkpoint dir is configured the call REFUSES (r10 verdict item
+    4: a silent driver-local fallback defeats the flag's whole purpose —
+    reliable checkpoints exist to survive EXECUTOR loss, which needs a
+    shared store). Tests and single-box runs that want the flag's code
+    path without a shared store opt in explicitly with
+    ``allow_local_checkpoint=True``, which uses a driver-local temp dir
+    reaped at interpreter exit.
     """
     sc = pairs.sparkSession.sparkContext
     if reliable_checkpoint:
         if sc.getCheckpointDir() is None:
+            if not allow_local_checkpoint:
+                raise RuntimeError(
+                    "connected_components(reliable_checkpoint=True) requires a "
+                    "configured checkpoint dir: call "
+                    "session.get_spark(checkpoint_dir='hdfs://... or s3://...') "
+                    "or sc.setCheckpointDir(...) with a SHARED store. A "
+                    "driver-local fallback is not executor-loss-safe; pass "
+                    "allow_local_checkpoint=True to opt into one anyway "
+                    "(single-box runs / tests only)."
+                )
             import atexit
             import shutil
             import tempfile
-            import warnings
 
+            # Spark never deletes reliable checkpoint files
+            # (spark.cleaner.referenceTracking.cleanCheckpoints defaults
+            # to false), so reap the opt-in temp dir at interpreter exit,
+            # when no returned frame can still be reading from it.
             tmp = tempfile.mkdtemp(prefix="cc_checkpoint_")
-            # A driver-local temp dir defeats the flag's purpose (reliable
-            # checkpoints exist to survive EXECUTOR loss, which needs a
-            # shared store) — and Spark never deletes reliable checkpoint
-            # files (spark.cleaner.referenceTracking.cleanCheckpoints
-            # defaults to false), so per-iteration label frames would
-            # otherwise accumulate across runs. Warn loudly and reap the
-            # temp dir at interpreter exit, when no returned frame can
-            # still be reading from it.
-            warnings.warn(
-                "connected_components(reliable_checkpoint=True) with no "
-                "sc.setCheckpointDir configured: falling back to driver-local "
-                f"{tmp}, which is NOT executor-loss-safe on a real cluster — "
-                "set a shared (HDFS/S3) checkpoint dir in production",
-                RuntimeWarning,
-                stacklevel=2,
-            )
             atexit.register(shutil.rmtree, tmp, ignore_errors=True)
             sc.setCheckpointDir(tmp)
 
@@ -1265,13 +1270,17 @@ def duplicate_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     reliable_checkpoint: bool = False,
+    allow_local_checkpoint: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """MinHash-LSH pairs -> connected components -> (doc_id, cluster_id):
     the end-to-end dedup-grouping pipeline (keep min(doc_id) per cluster).
-    ``reliable_checkpoint`` forwards to connected_components (cluster
-    deployments: executor-loss-safe lineage truncation)."""
+    ``reliable_checkpoint`` / ``allow_local_checkpoint`` forward to
+    connected_components (cluster deployments: executor-loss-safe lineage
+    truncation; the local fallback is opt-in only)."""
     pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col, **minhash_kwargs)
-    return connected_components(pairs, reliable_checkpoint=reliable_checkpoint).select(
-        F.col("node").alias(id_col), "cluster_id"
-    )
+    return connected_components(
+        pairs,
+        reliable_checkpoint=reliable_checkpoint,
+        allow_local_checkpoint=allow_local_checkpoint,
+    ).select(F.col("node").alias(id_col), "cluster_id")

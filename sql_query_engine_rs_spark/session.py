@@ -31,11 +31,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with scale-appropriate defaults.
 
     On a real cluster, ``master`` comes from spark-submit and these configs
     remain valid; locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+
+    ``checkpoint_dir`` (or the SPARK_GRAFT_CHECKPOINT_DIR env var) sets the
+    RELIABLE checkpoint store at session build — on a cluster this must be
+    a shared path (HDFS/S3) so `connected_components(
+    reliable_checkpoint=True)`-style iterative operators survive executor
+    loss; without it those operators refuse rather than silently fall back
+    to a driver-local dir (r10 verdict item 4). An explicit argument wins
+    over the env var.
     """
     cpus = DEFAULT_CPUS
     builder = (
@@ -62,4 +71,8 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ckpt = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

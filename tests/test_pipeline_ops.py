@@ -537,12 +537,22 @@ def test_connected_components_reliable_checkpoint_mode(spark, sf_dir):
         duplicate_clusters,
     )
 
+    import pytest
+
     chain = [(i, i + 1) for i in range(0, 12)] + [(50, 60), (99, 99)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     local = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    if spark.sparkContext.getCheckpointDir() is None:
+        # r10 verdict item 4: no configured checkpoint dir must REFUSE,
+        # not silently fall back to a driver-local (non-executor-loss-safe)
+        # temp dir.
+        with pytest.raises(RuntimeError, match="requires a configured checkpoint dir"):
+            connected_components(pairs, reliable_checkpoint=True).collect()
     reliable = {
         r.node: r.cluster_id
-        for r in connected_components(pairs, reliable_checkpoint=True).collect()
+        for r in connected_components(
+            pairs, reliable_checkpoint=True, allow_local_checkpoint=True
+        ).collect()
     }
     assert reliable == local
     assert spark.sparkContext.getCheckpointDir() is not None
@@ -552,9 +562,23 @@ def test_connected_components_reliable_checkpoint_mode(spark, sf_dir):
     base = {(r.doc_id, r.cluster_id) for r in duplicate_clusters(docs, **kw).collect()}
     rel = {
         (r.doc_id, r.cluster_id)
-        for r in duplicate_clusters(docs, reliable_checkpoint=True, **kw).collect()
+        for r in duplicate_clusters(
+            docs, reliable_checkpoint=True, allow_local_checkpoint=True, **kw
+        ).collect()
     }
     assert rel == base
+
+
+def test_get_spark_plumbs_checkpoint_dir(spark, tmp_path):
+    """session.get_spark(checkpoint_dir=...) must configure the reliable
+    checkpoint store on the (shared) context, so production callers reach
+    reliable_checkpoint=True without touching the SparkContext directly."""
+    from sql_query_engine_rs_spark.session import get_spark
+
+    target = str(tmp_path / "ckpt")
+    s2 = get_spark("engine-tests", checkpoint_dir=target)
+    got = s2.sparkContext.getCheckpointDir()
+    assert got is not None and "ckpt" in got
 
 
 # ---------------------------------------------------------------- IVF ANN
