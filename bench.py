@@ -521,7 +521,17 @@ def main() -> None:
     # and min-of-warm is already the harness's noise statistic — this
     # applies the same rule across sessions.
     retried: list[str] = []
-    ref = _latest_committed_query_map() if bench_queries == BENCH_QUERIES else {}
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Retry reference gated on the headline sf too (r10 ADVICE): a full run
+    # at another scale (SPARK_GRAFT_SF_DIR=sf1) would compare its times
+    # against the committed sf0.1 map, trip the threshold on nearly every
+    # entry, and burn minutes re-measuring non-suspects.
+    ref = (
+        _latest_committed_query_map()
+        if bench_queries == BENCH_QUERIES and float(sf) == HEADLINE_SF
+        else {}
+    )
+    raw_times = dict(times)
     suspects = _burst_suspects(times, ref)
     if suspects:
         spark = get_spark("bench-retry", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
@@ -536,7 +546,25 @@ def main() -> None:
                 retried.append(name)
         spark.stop()
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # Box-noise attribution committed beside the numbers (r10 verdict item
+    # 5): the driver's read and the builder's pin run on the same code but
+    # different box states, and the gap has twice needed re-deriving at
+    # judge time. total_raw is the pre-retry sum (what a single
+    # uncontrolled run reads), the headline total is the burst-washed sum
+    # (min across sessions for the <=16 suspects), and noise_ratio_median
+    # is this run's median per-query ratio vs the last committed map —
+    # ~1.0 on a quiet box, cohort-shaped >1.1 under contention.
+    ratios = sorted(
+        raw_times[n] / ref[n] for n in raw_times if ref.get(n) and ref[n] > 0
+    )
+    noise_ratio_median = round(ratios[len(ratios) // 2], 3) if ratios else None
+    wash_meta = {
+        "total_raw": round(sum(raw_times.values()), 3),
+        "total_washed": round(sum(times.values()), 3),
+        "retried": sorted(retried),
+        "noise_ratio_median": noise_ratio_median,
+    }
+
     # The one-line stdout JSON is the driver's capture surface and has
     # proven size-sensitive (rounds 5 AND 6 arrived truncated/unparseable:
     # round 5 inlined per-trial arrays, round 6 still inlined 253 per-query
@@ -551,7 +579,7 @@ def main() -> None:
         json.dump({"sf": float(sf), "trials": trials}, f, indent=1)
     with open(os.path.join(here, "bench_queries.json"), "w") as f:
         json.dump(
-            {"sf": float(sf), "queries": times, "cold": cold, "unit": "sec"},
+            {"sf": float(sf), "queries": times, "cold": cold, "unit": "sec", **wash_meta},
             f,
             indent=1,
             sort_keys=True,
@@ -578,7 +606,7 @@ def main() -> None:
         stamp = max(rounds, default=0) + 1
         with open(os.path.join(here, f"BENCH_QUERIES_r{stamp:02d}.json"), "w") as f:
             json.dump(
-                {"sf": float(sf), "unit": "sec", "queries": times, "cold": cold},
+                {"sf": float(sf), "unit": "sec", "queries": times, "cold": cold, **wash_meta},
                 f,
                 indent=1,
                 sort_keys=True,

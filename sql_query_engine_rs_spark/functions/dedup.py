@@ -1284,3 +1284,68 @@ def duplicate_clusters(
         reliable_checkpoint=reliable_checkpoint,
         allow_local_checkpoint=allow_local_checkpoint,
     ).select(F.col("node").alias(id_col), "cluster_id")
+
+
+def prefix_fingerprint(text: Column, prefix_tokens: int | None = None) -> Column:
+    """md5 fingerprint of the normalized text (``prefix_tokens=None``) or of
+    its first N tokens — the coarse "head fingerprint" used for
+    template/boilerplate-level dedup where full-text hashing is too strict
+    (documents differing only past the lead-in should collide)."""
+    if prefix_tokens is None:
+        return fingerprint(text)
+    toks = tokens(normalized_text(text))
+    return F.md5(F.array_join(F.slice(toks, 1, prefix_tokens), " "))
+
+
+def incremental_dedup_status(
+    shard: DataFrame,
+    index_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """Classify a NEW ingest shard against a PERSISTED fingerprint index
+    without recomputing the index — the batch form of continuous corpus
+    ingestion (the streaming twin is stream_dedup_index_upsert).
+
+    Per shard doc, ``status`` is:
+    - ``dup_of_index``    — fingerprint already present in the index;
+    - ``dup_within_shard``— new to the index but a smaller-id doc in this
+                            same shard has the identical fingerprint;
+    - ``unique``          — first occurrence anywhere.
+
+    Scale shape: the index is the BIG side (every fingerprint ever
+    ingested — billions of 32-char keys at 100 TB, typically a persisted
+    parquet table) and the shard is the SMALL side (one ingest batch), so
+    the membership probe joins the index against a broadcast of the
+    shard's distinct fingerprints: the index streams map-side with zero
+    shuffle, and the probe's output is at most |shard| keys. The
+    within-shard tie-break is one window over the shard alone. All shard
+    columns pass through; adds (fp_col, status).
+
+    No counterpart in the reference (single-shot CSV scans only —
+    src/storage/csv/mod.rs has no notion of an incremental corpus).
+    """
+    from pyspark.sql import Window
+
+    s = shard.withColumn(fp_col, prefix_fingerprint(F.col(text_col), prefix_tokens))
+    shard_fps = s.select(fp_col).distinct()
+    hits = (
+        index_fps.select(fp_col)
+        .join(F.broadcast(shard_fps), fp_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    w = Window.partitionBy(fp_col).orderBy(id_col)
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(hits), fp_col, "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_hit"), F.lit("dup_of_index"))
+            .when(F.col("_rn") > 1, F.lit("dup_within_shard"))
+            .otherwise(F.lit("unique")),
+        )
+        .drop("_rn", "_hit")
+    )

@@ -268,3 +268,35 @@ def chunk_tokens(
     return toked.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
     ).withColumn("n_tokens", token_count(F.col("chunk_text")))
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup (crawl curation's first pass):
+
+    - scheme dropped (http vs https never distinguishes a page);
+    - leading ``www.`` dropped, host lowercased (DNS is case-insensitive;
+      the path is left case-sensitive per RFC 3986);
+    - tracking query params removed (``utm_*``, ``ref``), other params
+      kept — then dangling ``?``/``&`` separators cleaned;
+    - trailing slashes stripped.
+
+    Pure JVM regexp chain — no UDF, stays inside whole-stage codegen, so
+    canonicalizing 100 TB of crawl URLs is map-only scan work. The regexes
+    are RE2-compatible (no lookbehind — the tracking-param match anchors on
+    an explicit [?&] separator kept via backreference, so ``xref=`` style
+    param names never false-match) so a DuckDB oracle applies the identical
+    chain. The param strip runs twice: one pass consumes the separator
+    before a FOLLOWING tracking param, so runs of adjacent tracking params
+    need a second pass (two bounds every practical ``utm_*`` cluster; a
+    pathological longer run would need more).
+    """
+    no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.lower(
+        F.regexp_replace(F.regexp_extract(no_scheme, r"^[^/?]*", 0), r"^www\.", "")
+    )
+    rest = F.regexp_extract(no_scheme, r"^[^/?]*(.*)$", 1)
+    for _ in range(2):
+        rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|ref)=[^&]*&?", "$1")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(host, rest)

@@ -3762,6 +3762,18 @@ _FORCE_REROW_SCHEDULE = {
         # round-10 late: basket-size cap (plan + oracle in lockstep)
         "pipe_basket_lift",
     ],
+    # Round-11 re-rows: the knn_graph probe fold (similarity.py — the
+    # persist materialization count() folded into the flood-trigger
+    # groupBy probe; outputs pinned identical, job structure changed)
+    # re-rows the kNN-family callers on the folded code.
+    11: [
+        "pipe_knn_graph",
+        "pipe_mutual_knn",
+        "pipe_knn_label_purity",
+        "pipe_link_prediction",
+        "pipe_kcore_decompose",
+        "pipe_graph_assortativity",
+    ],
 }
 # A round's pins activate only when that round is the NEXT driver round
 # (the smallest scheduled round still ahead of the newest CORRECTNESS
@@ -21267,5 +21279,209 @@ def pipe_cem_att(spark, sf_dir):
             "att",
             "naive_diff",
             "n_strata_matched",
+        )
+    )
+
+
+# =====================================================================
+# Round 11: registration freeze lifted (r10 verdict item 2) — the
+# production crawl-curation trio: incremental shard-vs-index dedup,
+# URL canonicalization dedup, cross-snapshot decontamination diff.
+# =====================================================================
+
+_PREFIX_FP_SQL = (
+    f"md5(array_to_string(list_slice({_TOKS_SQL}, 1, 2), ' '))"
+)
+
+
+@register(
+    "pipe_incremental_dedup",
+    f"""WITH d AS (SELECT doc_id, source, {_PREFIX_FP_SQL} AS fingerprint FROM documents),
+         shard AS (SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                   FROM d WHERE doc_id % 5 = 0),
+         idx AS (SELECT DISTINCT fingerprint FROM d WHERE doc_id % 5 <> 0)
+       SELECT source,
+              CASE WHEN fingerprint IN (SELECT fingerprint FROM idx) THEN 'dup_of_index'
+                   WHEN rn > 1 THEN 'dup_within_shard'
+                   ELSE 'unique' END AS status,
+              count(*) AS n_docs
+       FROM shard
+       GROUP BY source, status""",
+)
+def pipe_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup: classify a NEW ingest shard (doc_id % 5
+    == 0 stands in for today's crawl batch) against the PERSISTED
+    fingerprint index of everything already ingested — without
+    recomputing the index. The batch twin of stream_dedup_index_upsert.
+
+    The fingerprint is the 2-token head prefix (dedup.prefix_fingerprint):
+    the synthetic corpus has zero full-text duplicates, and the coarse
+    head fingerprint makes the driver data exercise ALL THREE status
+    branches (dup_of_index / dup_within_shard / unique — 48/5/47 at
+    sf0.01); production callers pass prefix_tokens=None for exact-text
+    semantics over the same plan.
+
+    Scale shape (dedup.incremental_dedup_status): the index side is huge
+    (every fingerprint ever seen) and never shuffles — the membership
+    probe broadcasts the SHARD's distinct fingerprints and streams the
+    index map-side; the within-shard tie-break windows over the shard
+    alone. Reported as per-(source, status) counts."""
+    d = docs_parallel(spark, sf_dir)
+    shard = d.filter((F.col("doc_id") % 5) == 0)
+    index_fps = (
+        d.filter((F.col("doc_id") % 5) != 0)
+        .select(D.prefix_fingerprint(F.col("text"), 2).alias("fingerprint"))
+        .distinct()
+    )
+    return (
+        D.incremental_dedup_status(shard, index_fps, prefix_tokens=2)
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_RAW_URL_SQL = """concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+  CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END,
+  CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END,
+  '.example.com/', lang, '/', CAST(doc_id % 50 AS VARCHAR),
+  CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&ref=', source) ELSE '' END)"""
+
+_STRIP_TRACK_SQL = "([?&])(utm_[a-z]+|ref)=[^&]*&?"
+
+
+def _raw_url_col():
+    """The deterministic synthetic crawl URL (documents has no URL column;
+    both engines derive the identical raw URL from (doc_id, source, lang)
+    so the CANONICALIZATION — the operator under test — is exercised on
+    scheme/case/www/trailing-slash/tracking-param variants that
+    canonicalize together exactly when (source, lang, doc_id%50) agree)."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(did % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        (did % 50).cast("string"),
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(F.lit("?utm_source=feed&ref="), F.col("source"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@register(
+    "pipe_url_dedup",
+    f"""WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents),
+         base AS (SELECT doc_id, raw_url,
+                         regexp_replace(raw_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS u
+                  FROM raw),
+         canon AS (SELECT doc_id, raw_url,
+                          concat(
+                            lower(regexp_replace(regexp_extract(u, '^[^/?]*'), '^www\\.', '')),
+                            regexp_replace(regexp_replace(
+                              regexp_replace(regexp_replace(
+                                regexp_extract(u, '^[^/?]*(.*)$', 1),
+                                '{_STRIP_TRACK_SQL}', '\\1', 'g'),
+                                '{_STRIP_TRACK_SQL}', '\\1', 'g'),
+                              '[?&]+$', '', 'g'), '/+$', '', 'g')
+                          ) AS canonical_url
+                   FROM base)
+       SELECT canonical_url,
+              min(doc_id) AS keeper_doc_id,
+              count(*) AS n_docs,
+              count(DISTINCT raw_url) AS n_variants
+       FROM canon GROUP BY canonical_url""",
+)
+def pipe_url_dedup(spark, sf_dir):
+    """URL/domain-level dedup + canonicalization — crawl curation's first
+    pass, upstream of any content hashing: scheme and www. dropped, host
+    lowercased, tracking params (utm_*/ref) stripped, trailing slash
+    removed (functions.text.canonicalize_url — a pure JVM regexp chain,
+    map-only at 100 TB). Dedup = groupBy canonical key keeping min
+    doc_id; output counts raw variants per canonical URL (group count is
+    bounded by the URL key space, never the corpus size)."""
+    d = docs_parallel(spark, sf_dir)
+    raw = d.select("doc_id", _raw_url_col().alias("raw_url"))
+    canon = raw.withColumn("canonical_url", T.canonicalize_url(F.col("raw_url")))
+    return canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_url").alias("n_variants"),
+    )
+
+
+@register(
+    "pipe_decontam_diff",
+    f"""WITH bench AS (
+          SELECT doc_id, unnest(list_transform({_grams_sql_n(3)}, g -> md5(g))) AS h
+          FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE source = 'src0') b),
+        corpus AS (
+          SELECT md5(g) AS h,
+                 max(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS in_old
+          FROM (
+            SELECT doc_id, unnest({_grams_sql_n(3)}) AS g
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE source != 'src0') c) cg
+          GROUP BY 1)
+       SELECT b.doc_id,
+              count(*) AS n_grams,
+              CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_new,
+              CAST(sum(CASE WHEN c.in_old = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_old,
+              CAST(sum(CASE WHEN c.h IS NOT NULL AND c.in_old = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_newly_leaked
+       FROM bench b LEFT JOIN corpus c ON b.h = c.h
+       GROUP BY b.doc_id""",
+)
+def pipe_decontam_diff(spark, sf_dir):
+    """Cross-snapshot decontamination diff: which benchmark 3-grams leaked
+    into the corpus BETWEEN two corpus versions (old snapshot = doc_id %
+    3 != 0, new = all non-benchmark docs)? Per benchmark doc: total
+    distinct grams, grams leaked in the new snapshot, grams already
+    leaked in the old one, and the newly-leaked delta — the audit run
+    before shipping a corpus refresh. 3-grams (vs pipe_decontaminate's
+    5-grams) keep the driver data's old/new/newly-leaked columns all
+    non-trivial (25/25/24 bench docs at sf0.01; at 5-grams the synthetic
+    corpus yields a single hit).
+
+    Scale shape (same as pipe_decontaminate): the benchmark reduces to a
+    broadcast set of md5 hashes, corpus text never shuffles — corpus
+    gram hashes probe the broadcast set map-side and only the matched
+    (hash, in_old) pairs aggregate; the per-bench-doc rollup then joins
+    that tiny hit frame broadcast against the bench gram list."""
+    d = t(spark, sf_dir, "documents")
+    bench_docs = docs_parallel(spark, sf_dir).filter(F.col("source") == "src0")
+    corpus_docs = docs_parallel(spark, sf_dir).filter(F.col("source") != "src0")
+    bench = (
+        bench_docs.select("doc_id", T.tokens(T.normalized_text(F.col("text"))).alias("_toks"))
+        .select("doc_id", F.explode(D.shingles_from_tokens(F.col("_toks"), 3)).alias("_g"))
+        .select("doc_id", F.md5("_g").alias("_h"))
+    )
+    bench_set = bench.select("_h").distinct()
+    corpus_h = (
+        corpus_docs.select(
+            ((F.col("doc_id") % 3) != 0).cast("int").alias("_old"),
+            T.tokens(T.normalized_text(F.col("text"))).alias("_toks"),
+        )
+        .select("_old", F.explode(D.shingles_from_tokens(F.col("_toks"), 3)).alias("_g"))
+        .select("_old", F.md5("_g").alias("_h"))
+    )
+    hits = (
+        corpus_h.join(F.broadcast(bench_set), "_h")
+        .groupBy("_h")
+        .agg(F.max("_old").alias("_in_old"))
+    )
+    return (
+        bench.join(F.broadcast(hits), "_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_in_old").alias("n_leaked_new"),
+            F.sum(F.when(F.col("_in_old") == 1, 1).otherwise(0)).alias("n_leaked_old"),
+            F.sum(
+                F.when(F.col("_in_old").isNotNull() & (F.col("_in_old") == 0), 1).otherwise(0)
+            ).alias("n_newly_leaked"),
         )
     )

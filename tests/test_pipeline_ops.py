@@ -1663,3 +1663,71 @@ def test_basket_lift_caps_mega_order_with_oracle_parity(spark, tmp_path):
         return sorted(tuple(norm(r[i]) for i in order) for r in rws)
 
     assert canon(srows, [c.lower() for c in sdf.columns]) == canon(drows, dcols)
+
+
+# ------------------------------------------------- round-11 crawl-curation ops
+
+def test_canonicalize_url_edge_cases(spark):
+    """The regexp chain's contract: scheme/www/host-case/tracking-params/
+    trailing-slash variants collapse; non-tracking params and xref-style
+    lookalike names survive."""
+    from sql_query_engine_rs_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("https://Example.COM/a/b", "example.com/a/b"),
+        ("http://www.example.com/a/b/", "example.com/a/b"),
+        ("https://example.com/a?utm_source=x&utm_medium=y", "example.com/a"),
+        ("https://example.com/a?id=5&utm_source=x", "example.com/a?id=5"),
+        ("https://example.com/a?utm_source=x&id=5", "example.com/a?id=5"),
+        ("https://example.com/a?utm_source=f&ref=s", "example.com/a"),
+        # xref must NOT be treated as the tracking param `ref`
+        ("https://example.com/a?xref=7", "example.com/a?xref=7"),
+        ("ftp://Host.Org/Path/", "host.org/Path"),  # path case preserved
+        ("example.com/no-scheme///", "example.com/no-scheme"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_incremental_dedup_status_classifies_all_branches(spark):
+    from sql_query_engine_rs_spark.functions.dedup import incremental_dedup_status
+
+    shard = spark.createDataFrame(
+        [
+            (10, "already indexed text"),
+            (11, "fresh text one"),
+            (12, "fresh text one"),   # same fp as 11, larger id
+            (13, "fresh text two"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.functions.text import normalized_text
+
+    index = spark.createDataFrame(
+        [("already  INDEXED text",)], "text string"
+    ).select(F.md5(normalized_text(F.col("text"))).alias("fingerprint"))
+    got = {
+        r.doc_id: r.status
+        for r in incremental_dedup_status(shard, index).collect()
+    }
+    assert got == {
+        10: "dup_of_index",
+        11: "unique",
+        12: "dup_within_shard",
+        13: "unique",
+    }
+
+
+def test_prefix_fingerprint_matches_head_tokens(spark):
+    from sql_query_engine_rs_spark.functions.dedup import prefix_fingerprint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("ALPHA   beta DIFFERENT tail",), ("alpha other",)],
+        "text string",
+    )
+    fps = [r.fp for r in df.select(prefix_fingerprint(F.col("text"), 2).alias("fp")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]

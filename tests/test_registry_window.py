@@ -33,11 +33,15 @@ def _assert_window_invariants():
     window = _ordered_names()[:_WINDOW_SIZE]
     pins = set(_active_force_rerow())
     residue = [n for n in QUERIES if n not in green and n not in pins]
-    if residue:
+    outside_unchecked = [n for n in residue if n not in set(window)]
+    if outside_unchecked:
+        # an unchecked entry was displaced: no green non-pin may hold a slot
         wasted = [n for n in window if n in green and n not in pins]
         assert not wasted, f"green entries occupying window slots: {wasted}"
         return
-    pad = [n for n in window if n not in pins]
+    # every unchecked entry is in the window; leftover slots pad with GREEN
+    # entries stalest-first
+    pad = [n for n in window if n not in pins and n in green]
     # 1. pad entries are green (residue zero => everything is) and sorted
     #    stalest-first within the pad itself;
     pad_rounds = [rounds[n] for n in pad if n in rounds]
