@@ -34,6 +34,18 @@ What each plant exercises (and the absorbing mechanism under test):
   pair extraction self-joins on l_orderkey (basket-bounded), then
   groups by (part_a, part_b) — the hot part spreads across many
   distinct pair keys and count aggs absorb the per-key heat map-side.
+- lineitem: 10% of lines remapped to ONE l_orderkey (independent salt
+  — round 11, the builder's r10 staging note (d)). The mega-order is
+  the c² bomb pipe_basket_lift's _BASKET_PAIR_CAP=1024 exists for:
+  uncapped, its pair self-join generates C(distinct_parts, 2) rows
+  (measured 74.1 s at x10 vs 9.1 s capped, BENCH_sf1.json
+  "hot_order_cap_x10"); capped, the linear per-order count drops it
+  BEFORE the quadratic stage, so the skew ratio here measures the cap
+  absorbing the flood in the REGISTERED plan. The same plant makes the
+  mega-order a ~10%-of-edges hub on the order side of
+  pipe_hub_impact's and pipe_graph_pagerank's bipartite graph.
+  (pipe_rfm_segments is NOT exercised: it aggregates the orders table,
+  which this lineitem-only plant never touches.)
 - embeddings: 5% of vectors replaced with ONE clone vector. Sign-LSH
   puts every clone in the SAME bucket no matter how many planes
   auto-derivation adds — the within-bucket verify pays O(clones^2)
@@ -73,6 +85,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 # COPIES grows past it)
 HOT_USER = (COPIES + 1) * SR.OFFSET
 HOT_PART = 1
+HOT_ORDER = (COPIES + 1) * SR.OFFSET  # order-key domain; same sentinel rule
 BOILERPLATE = (
     "This page is part of our standard catalog template. All rights "
     "reserved. Contact support for licensing questions. The quick brown "
@@ -89,7 +102,8 @@ SKEW_OPS = [
     "pipe_source_overlap",           # hot source
     "pipe_minhash_lsh",              # boilerplate flood vs band caps
     "pipe_dup_clusters",             # boilerplate flood through clustering
-    "pipe_basket_lift",              # hot part through pair extraction
+    "pipe_basket_lift",              # hot part through pair extraction; hot ORDER vs _BASKET_PAIR_CAP
+    "pipe_hub_impact",               # hot order = ~10%-of-edges hub on the bipartite graph
     "pipe_embedding_near_dup_auto",  # clone flood: the O(clones^2) bucket
     "pipe_ann_ivf",                  # clone flood: one hot IVF cell
 ]
@@ -160,12 +174,21 @@ def build_skew(spark) -> None:
         )
 
     def lineitem(df):
+        # independent salts (see documents): the hot-part and hot-order
+        # plants overlap on ~1% of lines instead of nesting, so each
+        # entry's ratio is dominated by its own mechanism
         return df.withColumn(
             "l_partkey",
             F.when(
                 F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(10)) == 0,
                 F.lit(HOT_PART),
             ).otherwise(F.col("l_partkey")),
+        ).withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.hash("l_orderkey", "l_linenumber", F.lit("ord")), F.lit(10)) == 0,
+                F.lit(HOT_ORDER),
+            ).otherwise(F.col("l_orderkey")),
         )
 
     def embeddings(df):
@@ -236,7 +259,7 @@ def main() -> None:
                 "plants": {
                     "events": "20% of events -> one user_id",
                     "documents": "40% of docs -> one source; 5% of texts -> one boilerplate string",
-                    "lineitem": "10% of lines -> one l_partkey",
+                    "lineitem": "10% of lines -> one l_partkey; 10% (independent salt) -> one l_orderkey",
                     "embeddings": "5% of vectors -> one clone vector",
                 },
                 "queries": per_query,
