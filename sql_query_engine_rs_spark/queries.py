@@ -21328,10 +21328,13 @@ def pipe_incremental_dedup(spark, sf_dir):
     alone. Reported as per-(source, status) counts."""
     d = docs_parallel(spark, sf_dir)
     shard = d.filter((F.col("doc_id") % 5) == 0)
-    index_fps = (
-        d.filter((F.col("doc_id") % 5) != 0)
-        .select(D.prefix_fingerprint(F.col("text"), 2).alias("fingerprint"))
-        .distinct()
+    # no .distinct() here: that would hash-shuffle the FULL index before
+    # the probe (the one shuffle this operator exists to avoid — a
+    # persisted production index is pre-distinct anyway); the probe's
+    # join-then-distinct inside incremental_dedup_status dedups the
+    # <=|shard| hits instead.
+    index_fps = d.filter((F.col("doc_id") % 5) != 0).select(
+        D.prefix_fingerprint(F.col("text"), 2).alias("fingerprint")
     )
     return (
         D.incremental_dedup_status(shard, index_fps, prefix_tokens=2)
