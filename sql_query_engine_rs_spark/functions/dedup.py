@@ -1349,3 +1349,61 @@ def incremental_dedup_status(
         )
         .drop("_rn", "_hit")
     )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 2,
+    ngram: int = 3,
+) -> DataFrame:
+    """(_id, _band_key) pairs — stages 1-2 of minhash_lsh_candidates
+    factored out as the probe/index unit of banded MinHash.
+
+    This is the frame a production near-dup INDEX persists (band key ->
+    doc) and the frame a new shard probes it with: docs sharing any band
+    key are near-dup candidates without either side seeing the other's
+    text. Map-only (tokenize -> shingle -> md5-sliced signature -> band
+    explode); no persist — index builders write the result, probe
+    callers broadcast their (small) side. Docs with no shingles emit no
+    rows (no n-gram evidence — callers decide the policy for them).
+    Signature construction is bit-identical to minhash_lsh_candidates,
+    so an index built here agrees with the pair pipeline's banding.
+    """
+    rows_per_band = num_hashes // bands
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    toked = base.select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
+    grams = toked.select(
+        "_id", shingles_from_tokens(F.col("_toks"), ngram).alias("_grams")
+    ).filter(F.size("_grams") > 0)
+    n_blocks = (num_hashes + 7) // 8
+    digs = grams.select(
+        "_id",
+        *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
+    )
+    sig = digs.select(
+        "_id",
+        F.array(
+            *[
+                _minhash_component_from_digests(F.col(f"_digs{i // 8}"), i % 8)
+                for i in range(num_hashes)
+            ]
+        ).alias("_sig"),
+    )
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("_band_key"),
+    )

@@ -21488,3 +21488,77 @@ def pipe_decontam_diff(spark, sf_dir):
             ).alias("n_newly_leaked"),
         )
     )
+
+
+_IMH_COMPS = ",\n               ".join(
+    f"list_min(list_transform(grams, g -> substr(md5(g), {(i % 8) * 4 + 1}, 4))) AS h{i}"
+    for i in range(8)
+)
+
+
+@register(
+    "pipe_incremental_minhash",
+    f"""WITH d AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+         g AS (SELECT doc_id, source, {_GRAMS_SQL} AS grams FROM d),
+         sig AS (SELECT doc_id, source,
+               {_IMH_COMPS}
+         FROM g WHERE len(grams) > 0),
+         banded AS (SELECT doc_id,
+                unnest([concat_ws('|', '0', h0, h1, h2, h3),
+                        concat_ws('|', '1', h4, h5, h6, h7)]) AS bk FROM sig),
+         shard_keys AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+         idx_keys AS (SELECT DISTINCT bk FROM banded WHERE doc_id % 5 <> 0),
+         per_doc AS (SELECT doc_id,
+                max(CASE WHEN bk IN (SELECT bk FROM idx_keys) THEN 1 ELSE 0 END) AS hit
+                FROM shard_keys GROUP BY doc_id)
+       SELECT s.source,
+              CASE WHEN p.hit = 1 THEN 'near_dup_of_index' ELSE 'new' END AS status,
+              count(*) AS n_docs
+       FROM (SELECT doc_id, source FROM documents WHERE doc_id % 5 = 0) s
+       LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+       GROUP BY s.source, status""",
+)
+def pipe_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup corpus dedup — the MinHash twin of
+    pipe_incremental_dedup: classify a new ingest shard (doc_id % 5 == 0)
+    against the PERSISTED band-key index of everything already ingested
+    (dedup.minhash_band_keys — bit-identical banding to the pair
+    pipeline, so the index agrees with minhash_lsh_candidates). A shard
+    doc sharing ANY band key with the index is a near-dup candidate
+    ('near_dup_of_index'); docs with no shingle evidence default to
+    'new'.
+
+    Scale shape: the index side (every band key ever ingested) never
+    shuffles — it streams map-side against a broadcast of the shard's
+    distinct band keys, and only the <=|shard-keys| hits come back; the
+    per-doc rollup and the source join are shard-sized. Statuses at
+    sf0.01: 13 near-dup / 87 new."""
+    d = t(spark, sf_dir, "documents")
+    shard_docs = d.filter((F.col("doc_id") % 5) == 0)
+    index_docs = d.filter((F.col("doc_id") % 5) != 0)
+    shard_keys = D.minhash_band_keys(shard_docs)
+    index_keys = D.minhash_band_keys(index_docs).select("_band_key")
+    hits = (
+        index_keys.join(
+            F.broadcast(shard_keys.select("_band_key").distinct()), "_band_key"
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    per_doc = (
+        shard_keys.join(F.broadcast(hits), "_band_key", "left")
+        .groupBy("_id")
+        .agg(F.max(F.coalesce(F.col("_hit"), F.lit(False))).alias("_is_dup"))
+    )
+    return (
+        shard_docs.select("doc_id", "source")
+        .join(F.broadcast(per_doc), F.col("doc_id") == F.col("_id"), "left")
+        .select(
+            "source",
+            F.when(F.col("_is_dup"), F.lit("near_dup_of_index"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
