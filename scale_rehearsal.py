@@ -68,6 +68,11 @@ def out_dir(copies: int) -> str:
 # retrieval scoring — plus one scan/agg anchor (TPC-H Q1).
 HEAVY = [
     "pipe_knn_graph",
+    # round 11: the hot-order skew plant measures pipe_hub_impact, and
+    # SKEW_OPS is pinned subset-of-HEAVY so uniform numbers share this
+    # method — hub_impact's distinct-pair scan is O(lineitem) and belongs
+    # in the uniform sweep anyway
+    "pipe_hub_impact",
     "pipe_kcore_decompose",
     "pipe_minhash_lsh",
     "pipe_simhash",
