@@ -1022,3 +1022,52 @@ def test_bench_latest_committed_map_reads_newest_round():
     assert m and all(isinstance(v, float) for v in m.values())
     # the committed r10 stamp is the newest on this tree
     assert "pipe_basket_lift" in m
+
+
+def _ancestors_to_root(plan: str, needle: str) -> list[str]:
+    """Walk a physical-plan tree string from the line containing ``needle``
+    up to the root (nearest preceding line with smaller indent, repeatedly).
+    Indent = position of the node name after the tree-drawing prefix."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(0123456789)":
+            i += 1
+        return i
+
+    idx = next(i for i, l in enumerate(lines) if needle in l)
+    out, d = [], depth(lines[idx])
+    for i in range(idx - 1, -1, -1):
+        di = depth(lines[i])
+        if di < d:
+            out.append(lines[i])
+            d = di
+    return out
+
+
+def test_incremental_probes_never_shuffle_the_index(spark, sf_dir):
+    """The whole point of the incremental shard-vs-index operators is that
+    the (huge) persisted index streams map-side against a broadcast of the
+    shard's keys: between the index FileScan and its BroadcastHashJoin
+    there must be NO hash exchange (a .distinct() upstream of the probe
+    once reintroduced one — round 11)."""
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    for name, scan_marker in [
+        ("pipe_incremental_dedup", "NOT ((doc_id"),
+        ("pipe_incremental_minhash", "NOT ((doc_id"),
+    ]:
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        ancestors = _ancestors_to_root(plan, scan_marker)
+        seen_before_join = []
+        for line in ancestors:
+            if "BroadcastHashJoin" in line:
+                break
+            seen_before_join.append(line)
+        else:
+            raise AssertionError(f"{name}: index scan never reaches a BroadcastHashJoin")
+        bad = [l for l in seen_before_join if "Exchange hashpartitioning" in l]
+        assert not bad, f"{name}: index side shuffles before the probe join: {bad}"
