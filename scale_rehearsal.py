@@ -202,6 +202,15 @@ HEAVY = [
     # plant — per-key session state is semantically serial for the hot
     # key); rehearsed uniform here so the skew ratio has its denominator.
     "stream_session_windows",
+    # round 11: the crawl-curation wave. The incremental probes are
+    # index-scan-bound by design (the shard/bench side is broadcast), so
+    # they must read linear in the corpus; url_dedup is a map-only
+    # canonicalize + bounded-key groupBy; decontam_diff is the
+    # decontaminate shape plus an old/new flag aggregate.
+    "pipe_incremental_dedup",
+    "pipe_incremental_minhash",
+    "pipe_url_dedup",
+    "pipe_decontam_diff",
 ]
 
 # SPARK_GRAFT_SF1_OPS=a,b,c restricts the benched set — used for the x100
