@@ -697,3 +697,92 @@ def test_custom_state_expiry_survives_restart(spark, tmp_path):
     # reprocessed (every emission appended exactly once)
     assert len(rows2) == len(set(rows2)), f"replayed emissions: {rows2}"
     assert len(rows2) == len(rows1) + 4
+
+
+def test_session_windows_state_survives_restart(spark, tmp_path):
+    """Built-in session-window state across a checkpoint restart: a session
+    left OPEN at the end of drain 1 must merge post-restart events (same
+    user within the gap) instead of starting fresh, and drain-1 emissions
+    must not replay.
+
+    Drain 1 (gap 30m, watermark 1h, one file per batch):
+      f1: user 1 at 10:00(5.0) + 10:10(1.0); user 2 at 10:05(2.0)
+      f2: user 1 at 13:00 (5.0)     -> wm 9:10 after f1's batch
+      f3: user 2 at 13:05 (3.0)     -> batch starts at wm 12:00: closes and
+                                       EMITS user 1's 10:00-10:40 (n=2) and
+                                       user 2's 10:05-10:35 (n=1); user 1's
+                                       13:00 session stays OPEN in state
+    Drain 2, same checkpoint:
+      f4: user 1 at 13:10 (2.0)     -> must MERGE into the open session
+      f5: user 3 at 17:00 (9.0)
+      f6: user 3 at 17:10 (1.0)     -> batch starts at wm 16:00: closes the
+                                       merged 13:00-13:40 session (n=2,
+                                       sum 7.0) and user 2's 13:05 one"""
+    import glob as g
+    import os
+    import shutil
+
+    from sql_query_engine_rs_spark.streaming import session_windows
+
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src_dir)
+
+    def add_file(rows, name):
+        tmp = str(tmp_path / ("stage_" + name))
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, value double")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        shutil.copy(g.glob(tmp + "/part-*.parquet")[0], os.path.join(src_dir, name))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = session_windows(stream, gap="30 minutes", watermark="1 hour")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    add_file(
+        [(1, "2026-01-01 10:00:00", 5.0), (1, "2026-01-01 10:10:00", 1.0),
+         (2, "2026-01-01 10:05:00", 2.0)],
+        "f1.parquet",
+    )
+    add_file([(1, "2026-01-01 13:00:00", 5.0)], "f2.parquet")
+    add_file([(2, "2026-01-01 13:05:00", 3.0)], "f3.parquet")
+    rows1 = drain()
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:40:00", 2, 6.0) in rows1
+    assert (2, "2026-01-01 10:05:00", "2026-01-01 10:35:00", 1, 2.0) in rows1
+    # user 1's 13:00 session is still open - not emitted yet
+    assert not any(r[0] == 1 and r[1].startswith("2026-01-01 13:") for r in rows1)
+
+    add_file([(1, "2026-01-01 13:10:00", 2.0)], "f4.parquet")
+    add_file([(3, "2026-01-01 17:00:00", 9.0)], "f5.parquet")
+    add_file([(3, "2026-01-01 17:10:00", 1.0)], "f6.parquet")
+    rows2 = drain()
+    # the pre-restart open session MERGED the post-restart event
+    assert (1, "2026-01-01 13:00:00", "2026-01-01 13:40:00", 2, 7.0) in rows2, rows2
+    # no fresh-start singleton for the 13:10 event
+    assert not any(r[0] == 1 and r[1].startswith("2026-01-01 13:10") for r in rows2)
+    assert (2, "2026-01-01 13:05:00", "2026-01-01 13:35:00", 1, 3.0) in rows2
+    # exactly-once: every emission appended once, drain-1 rows not replayed
+    assert len(rows2) == len(set(rows2))
+    assert len(rows2) == len(rows1) + 2
