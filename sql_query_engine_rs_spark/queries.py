@@ -21376,9 +21376,9 @@ def _raw_url_col():
     )
 
 
-@register(
-    "pipe_url_dedup",
-    f"""WITH raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents),
+# the raw->canonical CTE chain shared by the batch URL dedup and its
+# streaming index-upsert twin (identical canonicalization on both sides)
+_URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents),
          base AS (SELECT doc_id, raw_url,
                          regexp_replace(raw_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS u
                   FROM raw),
@@ -21392,7 +21392,12 @@ def _raw_url_col():
                                 '{_STRIP_TRACK_SQL}', '\\1', 'g'),
                               '[?&]+$', '', 'g'), '/+$', '', 'g')
                           ) AS canonical_url
-                   FROM base)
+                   FROM base)"""
+
+
+@register(
+    "pipe_url_dedup",
+    f"""WITH {_URL_CANON_CTES}
        SELECT canonical_url,
               min(doc_id) AS keeper_doc_id,
               count(*) AS n_docs,
@@ -21562,3 +21567,59 @@ def pipe_incremental_minhash(spark, sf_dir):
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "stream_url_dedup_upsert",
+    f"""WITH {_URL_CANON_CTES}
+       SELECT canonical_url,
+              CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM canon GROUP BY canonical_url""",
+)
+def stream_url_dedup_upsert(spark, sf_dir):
+    """URL-dedup ingest loop made streaming: documents arrive in THREE
+    micro-batch shards and each batch's canonicalized URLs are upserted
+    into the persisted canonical-URL index (streaming.url_index_upsert —
+    min-/sum-merge into a versioned parquet snapshot, the same
+    idempotent-replay contract as stream_dedup_index_upsert). min and
+    count are commutative-associative, so the final snapshot must equal
+    the one-pass batch GROUP BY over all documents — the oracle — proving
+    the incremental merge is shard-order-independent. (n_variants is
+    deliberately absent here: an exact distinct-raw-URL count is not
+    mergeable without carrying the raw set per key; production indexes
+    carry a sketch instead.)"""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_arrow
+
+    from sql_query_engine_rs_spark.streaming import (
+        _latest_upsert_version,
+        url_index_upsert,
+    )
+
+    prior = _set_confs(spark, {"spark.sql.shuffle.partitions": "8"})
+    try:
+        src_dir = tempfile.mkdtemp(prefix="docs_url_src_")
+        tgt_dir = tempfile.mkdtemp(prefix="docs_url_tgt_")
+        tbl = pq_arrow.read_table(f"{sf_dir}/documents.parquet")
+        step = (tbl.num_rows + 2) // 3
+        for i in range(3):
+            pq_arrow.write_table(
+                tbl.slice(i * step, step), os.path.join(src_dir, f"part{i}.parquet")
+            )
+        static = parquet_scan(spark, f"{sf_dir}/documents.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .withColumn("url", _raw_url_col())
+        )
+        url_index_upsert(stream, tgt_dir)
+        final = _latest_upsert_version(spark, tgt_dir)
+        return final.select(
+            "canonical_url", "keeper_doc_id", "n_docs"
+        ).localCheckpoint(eager=True)
+    finally:
+        _restore_confs(spark, prior)

@@ -697,3 +697,73 @@ def dedup_index_upsert(
         .start()
         .awaitTermination()
     )
+
+
+def url_index_upsert(
+    stream_df: DataFrame,
+    target_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """Incremental URL-dedup index maintenance — crawl curation's first
+    pass run as the ingest loop: each arriving shard's URLs are
+    canonicalized (functions.text.canonicalize_url — scheme/www/host-case/
+    tracking-param/trailing-slash, pure JVM regexp chain) and UPSERTED
+    into the persisted canonical-URL index. Per micro-batch: canonicalize
+    map-side, reduce to per-canonical (min id, count) partials, full-outer
+    min-/sum-merge into the previous snapshot. Both merge operators are
+    commutative-associative, so the final index equals the one-pass batch
+    aggregate regardless of sharding — the DuckDB oracle's check.
+
+    Index schema: (canonical_url, keeper_doc_id, n_docs). Same
+    versioned-parquet idempotent-replay contract as dedup_index_upsert
+    (v=<batch_id> written from v=<batch_id-1>; crash-replayed batches
+    rewrite the same version). At 100 TB the snapshot would be bucketed
+    by canonical-url hash so the per-batch merge join is co-partitioned.
+
+    Blocks until the availableNow drain finishes.
+    """
+    import os
+
+    from sql_query_engine_rs_spark.functions.text import canonicalize_url
+
+    spark = stream_df.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        bu = (
+            batch_df.select(
+                F.col(id_col), canonicalize_url(F.col(url_col)).alias("canonical_url")
+            )
+            .groupBy("canonical_url")
+            .agg(
+                F.min(id_col).cast("bigint").alias("_bkeep"),
+                F.count(F.lit(1)).alias("_bn"),
+            )
+        )
+        prev = _latest_upsert_version(spark, target_dir, below=batch_id)
+        if prev is None:
+            merged = bu.select(
+                "canonical_url",
+                F.col("_bkeep").alias("keeper_doc_id"),
+                F.col("_bn").alias("n_docs"),
+            )
+        else:
+            merged = prev.join(bu, on="canonical_url", how="full_outer").select(
+                "canonical_url",
+                F.least(F.col("keeper_doc_id"), F.col("_bkeep")).alias("keeper_doc_id"),
+                (
+                    F.coalesce(F.col("n_docs"), F.lit(0))
+                    + F.coalesce(F.col("_bn"), F.lit(0))
+                ).alias("n_docs"),
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"v={batch_id}")
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(target_dir, "_checkpoint"))
+        .start()
+        .awaitTermination()
+    )

@@ -786,3 +786,81 @@ def test_session_windows_state_survives_restart(spark, tmp_path):
     # exactly-once: every emission appended once, drain-1 rows not replayed
     assert len(rows2) == len(set(rows2))
     assert len(rows2) == len(rows1) + 2
+
+
+def test_url_index_upsert_restart_no_reprocess(spark, tmp_path):
+    """The streaming URL index: re-draining from the same checkpoint with
+    no new shards creates no new versions; a new shard after restart
+    merges exactly once (min-merge keeper, sum-merge count), and URL
+    variants that canonicalize together land on one index key."""
+    import glob
+    import os
+
+    from sql_query_engine_rs_spark.streaming import (
+        _latest_upsert_version,
+        url_index_upsert,
+    )
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_arrow
+
+    src_dir = str(tmp_path / "src")
+    tgt_dir = str(tmp_path / "tgt")
+    os.makedirs(src_dir)
+    schema = "doc_id long, url string"
+    arrow_schema = pa.schema([("doc_id", pa.int64()), ("url", pa.string())])
+
+    def write_file(rows, name):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "url"])
+        pq_arrow.write_table(
+            pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False),
+            os.path.join(src_dir, name),
+        )
+
+    write_file(
+        [(10, "https://A.example.com/p/1"),
+         (11, "http://www.a.example.com/p/1/?utm_source=x"),
+         (12, "https://b.example.com/q")],
+        "f1.parquet",
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        url_index_upsert(stream, tgt_dir)
+
+    drain()
+    versions_before = sorted(glob.glob(tgt_dir + "/v=*"))
+    snap = {
+        r.canonical_url: (r.keeper_doc_id, r.n_docs)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    }
+    # 10 and 11 canonicalize together (scheme/www/case/utm/trailing slash)
+    assert snap == {
+        "a.example.com/p/1": (10, 2),
+        "b.example.com/q": (12, 1),
+    }
+
+    # restart, nothing new: no reprocessing, no new versions
+    drain()
+    assert sorted(glob.glob(tgt_dir + "/v=*")) == versions_before
+    assert {
+        r.canonical_url: (r.keeper_doc_id, r.n_docs)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    } == snap
+
+    # new shard lands exactly once: smaller id takes over the keeper slot
+    write_file([(3, "http://a.example.com/p/1"), (20, "https://c.example.com/r")], "f2.parquet")
+    drain()
+    assert {
+        r.canonical_url: (r.keeper_doc_id, r.n_docs)
+        for r in _latest_upsert_version(spark, tgt_dir).collect()
+    } == {
+        "a.example.com/p/1": (3, 3),
+        "b.example.com/q": (12, 1),
+        "c.example.com/r": (20, 1),
+    }
