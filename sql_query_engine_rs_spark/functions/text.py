@@ -297,6 +297,9 @@ def canonicalize_url(url: Column) -> Column:
     rest = F.regexp_extract(no_scheme, r"^[^/?]*(.*)$", 1)
     for _ in range(2):
         rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|ref)=[^&]*&?", "$1")
+    # a trailing slash BEFORE the query collapses too: /path/?id=5 and
+    # /path?id=5 are one resource under the same rule that strips /path/
+    rest = F.regexp_replace(rest, r"/+\?", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.concat(host, rest)

@@ -21385,11 +21385,12 @@ _URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM docu
          canon AS (SELECT doc_id, raw_url,
                           concat(
                             lower(regexp_replace(regexp_extract(u, '^[^/?]*'), '^www\\.', '')),
-                            regexp_replace(regexp_replace(
+                            regexp_replace(regexp_replace(regexp_replace(
                               regexp_replace(regexp_replace(
                                 regexp_extract(u, '^[^/?]*(.*)$', 1),
                                 '{_STRIP_TRACK_SQL}', '\\1', 'g'),
                                 '{_STRIP_TRACK_SQL}', '\\1', 'g'),
+                              '/+\\?', '?', 'g'),
                               '[?&]+$', '', 'g'), '/+$', '', 'g')
                           ) AS canonical_url
                    FROM base)"""

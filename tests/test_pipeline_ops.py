@@ -1682,6 +1682,8 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://example.com/a?utm_source=f&ref=s", "example.com/a"),
         # xref must NOT be treated as the tracking param `ref`
         ("https://example.com/a?xref=7", "example.com/a?xref=7"),
+        # trailing slash before a KEPT query collapses too
+        ("https://example.com/a/?id=5", "example.com/a?id=5"),
         ("ftp://Host.Org/Path/", "host.org/Path"),  # path case preserved
         ("example.com/no-scheme///", "example.com/no-scheme"),
     ]
@@ -1731,3 +1733,40 @@ def test_prefix_fingerprint_matches_head_tokens(spark):
     )
     fps = [r.fp for r in df.select(prefix_fingerprint(F.col("text"), 2).alias("fp")).collect()]
     assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_canonicalize_url_idempotent_and_partitions_variants(spark):
+    """Over the full variant grid (scheme x www x host-case x tracking
+    params x extra param x trailing slashes), canonicalization is (a)
+    IDEMPOTENT — canon(canon(u)) == canon(u), so re-running curation over
+    an already-canonicalized crawl is a no-op — and (b) exactly
+    equivalence-class-preserving: two variants share a canonical form iff
+    they differ only in the normalized dimensions (the kept query param
+    partitions classes; everything else collapses)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.functions.text import canonicalize_url
+
+    rows = []
+    for scheme, www, case, track, keep, slashes in itertools.product(
+        ["http://", "https://", ""],
+        ["", "www."],
+        ["host.example.com", "HOST.example.COM"],
+        ["", "?utm_source=x", "?utm_source=x&ref=y"],
+        ["", "id=5"],
+        ["", "/", "//"],
+    ):
+        q = track + ("&" + keep if track and keep else ("?" + keep if keep else ""))
+        rows.append((scheme + www + case + "/path" + slashes + q, keep))
+    df = spark.createDataFrame(rows, "url string, keep string")
+    out = df.select(
+        "url", "keep",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c2 == r.c1, f"not idempotent: {r.url!r} -> {r.c1!r} -> {r.c2!r}"
+        want = "host.example.com/path" + ("?id=5" if r.keep else "")
+        assert r.c1 == want, f"{r.url!r} -> {r.c1!r}, want {want!r}"
