@@ -285,18 +285,17 @@ def canonicalize_url(url: Column) -> Column:
     are RE2-compatible (no lookbehind — the tracking-param match anchors on
     an explicit [?&] separator kept via backreference, so ``xref=`` style
     param names never false-match) so a DuckDB oracle applies the identical
-    chain. The param strip runs twice: one pass consumes the separator
-    before a FOLLOWING tracking param, so runs of adjacent tracking params
-    need a second pass (two bounds every practical ``utm_*`` cluster; a
-    pathological longer run would need more).
+    chain. The param strip matches a maximal RUN of adjacent tracking
+    params in one pass (``utm_source&utm_medium&utm_campaign`` clusters are
+    the common case — each param in the run consumes its own trailing
+    separator, so any run length collapses to the kept leading separator).
     """
     no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     host = F.lower(
         F.regexp_replace(F.regexp_extract(no_scheme, r"^[^/?]*", 0), r"^www\.", "")
     )
     rest = F.regexp_extract(no_scheme, r"^[^/?]*(.*)$", 1)
-    for _ in range(2):
-        rest = F.regexp_replace(rest, r"([?&])(utm_[a-z]+|ref)=[^&]*&?", "$1")
+    rest = F.regexp_replace(rest, r"([?&])(?:(?:utm_[a-z]+|ref)=[^&]*(?:&|$))+", "$1")
     # a trailing slash BEFORE the query collapses too: /path/?id=5 and
     # /path?id=5 are one resource under the same rule that strips /path/
     rest = F.regexp_replace(rest, r"/+\?", "?")

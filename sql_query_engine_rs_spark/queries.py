@@ -21351,7 +21351,7 @@ _RAW_URL_SQL = """concat(
   CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
   CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&ref=', source) ELSE '' END)"""
 
-_STRIP_TRACK_SQL = "([?&])(utm_[a-z]+|ref)=[^&]*&?"
+_STRIP_TRACK_SQL = "([?&])(?:(?:utm_[a-z]+|ref)=[^&]*(?:&|$))+"
 
 
 def _raw_url_col():
@@ -21386,9 +21386,8 @@ _URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM docu
                           concat(
                             lower(regexp_replace(regexp_extract(u, '^[^/?]*'), '^www\\.', '')),
                             regexp_replace(regexp_replace(regexp_replace(
-                              regexp_replace(regexp_replace(
+                              regexp_replace(
                                 regexp_extract(u, '^[^/?]*(.*)$', 1),
-                                '{_STRIP_TRACK_SQL}', '\\1', 'g'),
                                 '{_STRIP_TRACK_SQL}', '\\1', 'g'),
                               '/+\\?', '?', 'g'),
                               '[?&]+$', '', 'g'), '/+$', '', 'g')

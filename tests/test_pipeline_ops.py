@@ -1680,6 +1680,10 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://example.com/a?id=5&utm_source=x", "example.com/a?id=5"),
         ("https://example.com/a?utm_source=x&id=5", "example.com/a?id=5"),
         ("https://example.com/a?utm_source=f&ref=s", "example.com/a"),
+        # a RUN of 3+ adjacent tracking params collapses in one pass
+        ("https://example.com/a?utm_source=f&utm_medium=m&utm_campaign=c", "example.com/a"),
+        ("https://example.com/a?utm_source=f&utm_medium=m&id=5", "example.com/a?id=5"),
+        ("https://example.com/a?id=5&utm_source=f&ref=s&utm_medium=m", "example.com/a?id=5"),
         # xref must NOT be treated as the tracking param `ref`
         ("https://example.com/a?xref=7", "example.com/a?xref=7"),
         # trailing slash before a KEPT query collapses too
