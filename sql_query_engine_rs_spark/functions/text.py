@@ -291,8 +291,10 @@ def canonicalize_url(url: Column) -> Column:
     separator, so any run length collapses to the kept leading separator).
     """
     no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    host = F.lower(
-        F.regexp_replace(F.regexp_extract(no_scheme, r"^[^/?]*", 0), r"^www\.", "")
+    # lower BEFORE the www-strip: the strip regex is case-sensitive, so the
+    # reverse order would let WWW.example.com keep its prefix
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_scheme, r"^[^/?]*", 0)), r"^www\.", ""
     )
     rest = F.regexp_extract(no_scheme, r"^[^/?]*(.*)$", 1)
     rest = F.regexp_replace(rest, r"([?&])(?:(?:utm_[a-z]+|ref)=[^&]*(?:&|$))+", "$1")

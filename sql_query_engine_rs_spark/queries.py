@@ -21384,7 +21384,7 @@ _URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM docu
                   FROM raw),
          canon AS (SELECT doc_id, raw_url,
                           concat(
-                            lower(regexp_replace(regexp_extract(u, '^[^/?]*'), '^www\\.', '')),
+                            regexp_replace(lower(regexp_extract(u, '^[^/?]*')), '^www\\.', ''),
                             regexp_replace(regexp_replace(regexp_replace(
                               regexp_replace(
                                 regexp_extract(u, '^[^/?]*(.*)$', 1),

@@ -1676,6 +1676,8 @@ def test_canonicalize_url_edge_cases(spark):
     cases = [
         ("https://Example.COM/a/b", "example.com/a/b"),
         ("http://www.example.com/a/b/", "example.com/a/b"),
+        # uppercase WWW must strip too (lower runs before the strip)
+        ("https://WWW.Example.com/a/b", "example.com/a/b"),
         ("https://example.com/a?utm_source=x&utm_medium=y", "example.com/a"),
         ("https://example.com/a?id=5&utm_source=x", "example.com/a?id=5"),
         ("https://example.com/a?utm_source=x&id=5", "example.com/a?id=5"),
@@ -1774,3 +1776,31 @@ def test_canonicalize_url_idempotent_and_partitions_variants(spark):
         assert r.c2 == r.c1, f"not idempotent: {r.url!r} -> {r.c1!r} -> {r.c2!r}"
         want = "host.example.com/path" + ("?id=5" if r.keep else "")
         assert r.c1 == want, f"{r.url!r} -> {r.c1!r}, want {want!r}"
+
+
+def test_canonicalize_url_degenerate_inputs(spark):
+    """Junk inputs must not throw (ANSI sessions included) and must stay
+    idempotent: empty string, bare separators, tracking-only queries,
+    scheme-only, and a bare 'ref=x' path-less string (which parses as a
+    host, not a tracking param — no separator anchors it)."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.functions.text import canonicalize_url
+
+    cases = ["", "?", "///", "?&&&", "http://", "https://?utm_source=x",
+             "ref=x", "?ref=", "a?ref=&ref=&ref=", "WWW.", "http://www."]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = df.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("c2"),
+    ).collect()
+    got = {r.url: r.c1 for r in out}
+    for r in out:
+        assert r.c2 == r.c1, f"not idempotent: {r.url!r} -> {r.c1!r} -> {r.c2!r}"
+    assert got[""] == "" and got["?"] == "" and got["///"] == ""
+    assert got["?&&&"] == "" and got["http://"] == ""
+    assert got["https://?utm_source=x"] == ""
+    assert got["ref=x"] == "ref=x"  # a host-shaped string, not a param
+    assert got["a?ref="] if False else got["?ref="] == ""
+    assert got["a?ref=&ref=&ref="] == "a"
