@@ -1804,3 +1804,21 @@ def test_canonicalize_url_degenerate_inputs(spark):
     assert got["ref=x"] == "ref=x"  # a host-shaped string, not a param
     assert got["a?ref="] if False else got["?ref="] == ""
     assert got["a?ref=&ref=&ref="] == "a"
+
+
+def test_incremental_dedup_empty_shard_and_empty_index(spark):
+    """Boundary shapes of the ingest loop: an empty shard returns an empty
+    frame (not an error), and an empty index classifies everything
+    within-shard — the first-ever ingest."""
+    from sql_query_engine_rs_spark.functions.dedup import incremental_dedup_status
+
+    empty_shard = spark.createDataFrame([], "doc_id long, text string")
+    index = spark.createDataFrame([("aa",)], "fingerprint string")
+    assert incremental_dedup_status(empty_shard, index).count() == 0
+
+    shard = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+    )
+    empty_index = spark.createDataFrame([], "fingerprint string")
+    got = {r.doc_id: r.status for r in incremental_dedup_status(shard, empty_index).collect()}
+    assert got == {1: "unique", 2: "dup_within_shard", 3: "unique"}
