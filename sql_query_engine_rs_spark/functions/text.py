@@ -273,34 +273,48 @@ def chunk_tokens(
 def canonicalize_url(url: Column) -> Column:
     """Canonical form for URL-level dedup (crawl curation's first pass):
 
+    - fragment dropped first (``#...`` is never sent to the server, so it
+      cannot distinguish fetched pages — and stripping it up front keeps
+      path-less URLs like ``e.com#f`` from folding the fragment into the
+      host match);
     - scheme dropped (http vs https never distinguishes a page);
     - leading ``www.`` dropped, host lowercased (DNS is case-insensitive;
       the path is left case-sensitive per RFC 3986);
-    - tracking query params removed (``utm_*``, ``ref``), other params
+    - tracking query params removed case-insensitively (``utm_*``,
+      ``ref`` — ``?UTM_SOURCE=x`` is the same tracker), other params
       kept — then dangling ``?``/``&`` separators cleaned;
-    - trailing slashes stripped.
+    - trailing slashes on the path stripped (whether or not a query
+      follows: ``/a/?id=5`` == ``/a?id=5``).
+
+    The path and query are split on the FIRST ``?`` before any stripping,
+    so a literal ``&`` inside a path segment (``/a&ref=b`` with no query)
+    is never mistaken for a parameter separator — two distinct resources
+    stay distinct.
 
     Pure JVM regexp chain — no UDF, stays inside whole-stage codegen, so
     canonicalizing 100 TB of crawl URLs is map-only scan work. The regexes
     are RE2-compatible (no lookbehind — the tracking-param match anchors on
     an explicit [?&] separator kept via backreference, so ``xref=`` style
-    param names never false-match) so a DuckDB oracle applies the identical
-    chain. The param strip matches a maximal RUN of adjacent tracking
-    params in one pass (``utm_source&utm_medium&utm_campaign`` clusters are
-    the common case — each param in the run consumes its own trailing
-    separator, so any run length collapses to the kept leading separator).
+    param names never false-match; the inline ``(?i:...)`` group is shared
+    RE2/Java syntax) so a DuckDB oracle applies the identical chain. The
+    param strip matches a maximal RUN of adjacent tracking params in one
+    pass (``utm_source&utm_medium&utm_campaign`` clusters are the common
+    case — each param in the run consumes its own trailing separator, so
+    any run length collapses to the kept leading separator).
     """
-    no_scheme = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    no_scheme = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     # lower BEFORE the www-strip: the strip regex is case-sensitive, so the
     # reverse order would let WWW.example.com keep its prefix
     host = F.regexp_replace(
         F.lower(F.regexp_extract(no_scheme, r"^[^/?]*", 0)), r"^www\.", ""
     )
     rest = F.regexp_extract(no_scheme, r"^[^/?]*(.*)$", 1)
-    rest = F.regexp_replace(rest, r"([?&])(?:(?:utm_[a-z]+|ref)=[^&]*(?:&|$))+", "$1")
-    # a trailing slash BEFORE the query collapses too: /path/?id=5 and
-    # /path?id=5 are one resource under the same rule that strips /path/
-    rest = F.regexp_replace(rest, r"/+\?", "?")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
-    rest = F.regexp_replace(rest, r"/+$", "")
-    return F.concat(host, rest)
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.regexp_extract(rest, r"(\?.*)$", 1)
+    query = F.regexp_replace(
+        query, r"([?&])(?:(?i:utm_[a-z]+|ref)=[^&]*(?:&|$))+", "$1"
+    )
+    query = F.regexp_replace(query, r"[?&]+$", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(host, path, query)

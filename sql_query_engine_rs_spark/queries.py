@@ -21351,7 +21351,7 @@ _RAW_URL_SQL = """concat(
   CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
   CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&ref=', source) ELSE '' END)"""
 
-_STRIP_TRACK_SQL = "([?&])(?:(?:utm_[a-z]+|ref)=[^&]*(?:&|$))+"
+_STRIP_TRACK_SQL = "([?&])(?:(?i:utm_[a-z]+|ref)=[^&]*(?:&|$))+"
 
 
 def _raw_url_col():
@@ -21380,19 +21380,22 @@ def _raw_url_col():
 # streaming index-upsert twin (identical canonicalization on both sides)
 _URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents),
          base AS (SELECT doc_id, raw_url,
-                         regexp_replace(raw_url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS u
+                         regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                                        '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS u
                   FROM raw),
+         split AS (SELECT doc_id, raw_url, u,
+                          regexp_extract(u, '^[^/?]*(.*)$', 1) AS rest
+                   FROM base),
          canon AS (SELECT doc_id, raw_url,
                           concat(
                             regexp_replace(lower(regexp_extract(u, '^[^/?]*')), '^www\\.', ''),
-                            regexp_replace(regexp_replace(regexp_replace(
-                              regexp_replace(
-                                regexp_extract(u, '^[^/?]*(.*)$', 1),
-                                '{_STRIP_TRACK_SQL}', '\\1', 'g'),
-                              '/+\\?', '?', 'g'),
-                              '[?&]+$', '', 'g'), '/+$', '', 'g')
+                            regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$', ''),
+                            regexp_replace(regexp_replace(
+                              regexp_extract(rest, '(\\?.*)$', 1),
+                              '{_STRIP_TRACK_SQL}', '\\1', 'g'),
+                              '[?&]+$', '', 'g')
                           ) AS canonical_url
-                   FROM base)"""
+                   FROM split)"""
 
 
 @register(

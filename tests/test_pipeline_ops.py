@@ -1692,6 +1692,19 @@ def test_canonicalize_url_edge_cases(spark):
         ("https://example.com/a/?id=5", "example.com/a?id=5"),
         ("ftp://Host.Org/Path/", "host.org/Path"),  # path case preserved
         ("example.com/no-scheme///", "example.com/no-scheme"),
+        # a literal '&' in a PATH (no query string) is not a param
+        # separator — two distinct resources must stay distinct
+        ("https://example.com/a&ref=b", "example.com/a&ref=b"),
+        ("https://example.com/a&ref=b?utm_source=x", "example.com/a&ref=b"),
+        # fragments are never sent to the server: stripped consistently,
+        # whether or not a tracking param precedes them
+        ("https://example.com/a#frag", "example.com/a"),
+        ("https://example.com/a?utm_source=x#frag", "example.com/a"),
+        ("https://example.com/a?id=5#frag", "example.com/a?id=5"),
+        ("example.com#frag", "example.com"),  # path-less: not folded into host
+        # tracking-param match is case-insensitive (host-case already is)
+        ("https://example.com/a?UTM_SOURCE=x", "example.com/a"),
+        ("https://example.com/a?Ref=y&id=5", "example.com/a?id=5"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
@@ -1802,7 +1815,7 @@ def test_canonicalize_url_degenerate_inputs(spark):
     assert got["?&&&"] == "" and got["http://"] == ""
     assert got["https://?utm_source=x"] == ""
     assert got["ref=x"] == "ref=x"  # a host-shaped string, not a param
-    assert got["a?ref="] if False else got["?ref="] == ""
+    assert got["?ref="] == ""
     assert got["a?ref=&ref=&ref="] == "a"
 
 
