@@ -336,13 +336,16 @@ def minhash_lsh_candidates(
 
     Output: (id_a, id_b, jaccard_sim), id_a < id_b, deduplicated across bands.
 
-    Plan shape (matters at 100 TB): the tokenize→shingle pass runs ONCE into
-    a persisted (id, grams) frame feeding three consumers — signature build
-    and both sides of the exact-Jaccard verify. Signatures slice one md5
-    digest per shingle into 8 components (cheap enough to recompute on each
-    side of the band self-join straight off the cache). Full shingle arrays
-    are only shuffled for the (tiny) candidate set plus one hash-partitioning
-    of the grams frame.
+    Plan shape (matters at 100 TB): tokenize→shingle→md5-signature runs ONCE
+    into a single persisted (id, grams, sig) frame feeding every consumer —
+    band-key derivation (counts, cap join-back, both sides of the candidate
+    self-join all re-explode the cached 8-component signature, a trivial
+    concat per row) and both sides of the exact-Jaccard verify. One
+    materialization barrier instead of the previous two (separate grams and
+    banded caches): the md5 pass is paid exactly once, the second eager
+    count() job disappears, and the cache footprint is one frame. Full
+    shingle arrays are only shuffled for the (tiny) candidate set plus one
+    hash-partitioning of the grams frame.
     """
     rows_per_band = num_hashes // bands
     base = _ensure_parallelism(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")))
@@ -350,10 +353,10 @@ def minhash_lsh_candidates(
     # column, not the regex pipeline (see shingles_from_tokens; CollapseProject
     # keeps a multiply-referenced non-cheap alias un-inlined).
     toked = base.select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
-    # Persisted: the shingle arrays feed three consumers (signature build and
-    # both sides of the exact-Jaccard verify). One tokenize+shingle pass,
-    # serialized MEMORY_AND_DISK, beats recomputing the regex pipeline per
-    # consumer — the standard trade in production text-dedup pipelines.
+    # Persisted: shingles AND the md5 min-hash signature in one frame. One
+    # tokenize+shingle+md5 pass, serialized MEMORY_AND_DISK, beats
+    # recomputing the regex/hash pipeline per consumer — the standard trade
+    # in production text-dedup pipelines.
     # Cache lifetime: tracked; batch drivers release via caching.release_caches().
     #
     # The cache is materialized EAGERLY, and the degenerate-doc filter is
@@ -365,32 +368,35 @@ def minhash_lsh_candidates(
     # Catalyst, dragging the whole shingle computation (needed to evaluate
     # size(_grams) > 0) onto the 1-partition scan side — measured 34 s
     # single-threaded vs 2 s parallel at sf0.1.
+    #
+    # Digest arrays live in their own projection: each md5 array feeds 8
+    # substring-min components, and Catalyst's CollapseProject keeps the
+    # multiply-referenced non-cheap transform from being inlined 8x.
+    n_blocks = (num_hashes + 7) // 8
     grams_df = persist_tracked(
         toked.select("_id", shingles_from_tokens(F.col("_toks"), ngram).alias("_grams"))
+        .select(
+            "_id",
+            "_grams",
+            *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
+        )
+        .select(
+            "_id",
+            "_grams",
+            F.array(
+                *[
+                    _minhash_component_from_digests(F.col(f"_digs{i // 8}"), i % 8)
+                    for i in range(num_hashes)
+                ]
+            ).alias("_sig"),
+        )
     )
     grams_df.count()
     # Docs with no shingles are dropped — they carry no n-gram evidence, and
     # an all-zero/null signature would otherwise band every short doc into
     # one spurious O(n^2) near-dup clique (and one hot key).
     grams_df = grams_df.filter(F.size("_grams") > 0)
-    # Digest arrays live in their own projection: each md5 array feeds 8
-    # substring-min components, and Catalyst's CollapseProject keeps the
-    # multiply-referenced non-cheap transform from being inlined 8x.
-    n_blocks = (num_hashes + 7) // 8
-    digs_df = grams_df.select(
-        "_id",
-        *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
-    )
-    sig = digs_df.select(
-        "_id",
-        F.array(
-            *[
-                _minhash_component_from_digests(F.col(f"_digs{i // 8}"), i % 8)
-                for i in range(num_hashes)
-            ]
-        ).alias("_sig"),
-    )
-    banded = sig.select(
+    banded = grams_df.select(
         "_id",
         F.explode(
             F.array(*[
@@ -399,13 +405,6 @@ def minhash_lsh_candidates(
             ])
         ).alias("_band_key"),
     )
-    # The banded frame is consumed up to 4x (band-size counts, the capped
-    # join-back, and both sides of the candidate self-join); without a cache
-    # each consumer recomputes the md5 signature build. The frame is slim —
-    # (_id, short band key) — so persist it eagerly and compute signatures
-    # exactly once. Cache lifetime: tracked (release_caches()).
-    banded = persist_tracked(banded)
-    banded.count()
     banded = _cap_band_size(banded, "_band_key", max_band_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -1095,13 +1094,25 @@ def connected_components(
             atexit.register(shutil.rmtree, tmp, ignore_errors=True)
             sc.setCheckpointDir(tmp)
 
-        def _truncate(df: DataFrame) -> DataFrame:
+        def _truncate(df: DataFrame, lazy: bool = False) -> DataFrame:
+            # reliable checkpoints stay EAGER even when the caller marks the
+            # frame lazy-safe: a non-eager .checkpoint() writes its files in
+            # a SECOND job after the first action, recomputing the lineage —
+            # strictly worse than eager.
             return df.checkpoint(eager=True)
 
     else:
 
-        def _truncate(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+        def _truncate(df: DataFrame, lazy: bool = False) -> DataFrame:
+            # ``lazy=True`` marks frames whose very next consumer is a
+            # single driver action (the convergence aggregate): a lazy
+            # localCheckpoint is then materialized BY that action's job —
+            # one job instead of two per round (localCheckpoint is
+            # cache-backed, so the blocks are computed exactly once either
+            # way). Frames with multiple immediate consumers (``base`` is
+            # referenced by both union branches of ``edges``) stay eager so
+            # concurrent consumers never race to compute the same plan.
+            return df.localCheckpoint(eager=not lazy)
 
     # Materialize the pair list ONCE before mirroring it: both union
     # branches reference `pairs`, so without the checkpoint the entire
@@ -1114,16 +1125,22 @@ def connected_components(
     # iteration — strictly ahead whenever the graph needs ≥ 2 rounds
     # (same fix measured on pipe_graph_pagerank: x100 deep point went
     # 135.5 s -> 73.7 s, superlinear -> sublinear).
+    # edges and the initial labels are consumed strictly sequentially (the
+    # label-sum action below materializes labels, whose plan materializes
+    # edges en route), so both ride the same job as the first convergence
+    # aggregate — 2 fewer jobs per call with identical blocks computed.
     edges = _truncate(
         base
         .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition("b")
+        .repartition("b"),
+        lazy=True,
     )
     labels = _truncate(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("cluster_id"))
+        .select("node", F.col("node").alias("cluster_id")),
+        lazy=True,
     )
     def label_sum(df: DataFrame):
         return df.agg(
@@ -1142,7 +1159,8 @@ def connected_components(
         labels = _truncate(
             labels.unionByName(neighbor_min)
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(F.min("cluster_id").alias("cluster_id")),
+            lazy=True,
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:

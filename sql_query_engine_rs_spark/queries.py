@@ -16765,17 +16765,23 @@ def stream_late_data_drop(spark, sf_dir):
         )
         frontier = tbl.filter(pc.greater_equal(ts, mx_scalar))
         late = tbl.filter(pc.less(ts, split_scalar))
-        # Three files, distinct mtime seconds: batch order = write order.
-        # The straggler is staged TWO triggers after the watermark-advancing
-        # bulk because Spark filters late records with the PREVIOUS batch's
-        # committed watermark (watermarkForLateEvents): a straggler in the
-        # very next trigger is still admitted; from the second trigger on it
-        # must drop — that engaged regime is what this entry pins.
-        pq_arrow.write_table(ontime, os.path.join(src_dir, "b0.parquet"))
-        time.sleep(1.05)
-        pq_arrow.write_table(frontier, os.path.join(src_dir, "b1.parquet"))
-        time.sleep(1.05)
-        pq_arrow.write_table(late, os.path.join(src_dir, "b2.parquet"))
+        # Three files, distinct mtime seconds: batch order = mtime order
+        # (FileStreamSource sorts new files by modification time, path as
+        # tiebreaker). The straggler is staged TWO triggers after the
+        # watermark-advancing bulk because Spark filters late records with
+        # the PREVIOUS batch's committed watermark (watermarkForLateEvents):
+        # a straggler in the very next trigger is still admitted; from the
+        # second trigger on it must drop — that engaged regime is what this
+        # entry pins. The mtimes are BACKDATED with os.utime rather than
+        # spaced with real sleeps (the pre-r12 form slept 2×1.05 s inside
+        # the timed build — pure wall-clock, no data work).
+        now = time.time()
+        for fname, part, age in (
+            ("b0.parquet", ontime, 4), ("b1.parquet", frontier, 2), ("b2.parquet", late, 0),
+        ):
+            p = os.path.join(src_dir, fname)
+            pq_arrow.write_table(part, p)
+            os.utime(p, (now - age, now - age))
         static = parquet_scan(spark, f"{sf_dir}/events.parquet")
         stream = _normalize_events_ts(
             spark.readStream.schema(static.schema)
