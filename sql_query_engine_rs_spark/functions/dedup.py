@@ -460,19 +460,22 @@ def minhash_estimate_audit(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     )
     toked = base.select("_id", tokens(normalized_text(F.col("_text"))).alias("_toks"))
+    # One persisted (id, grams, sig) frame — the same single-barrier shape
+    # as minhash_lsh_candidates: band keys, the estimate's signature
+    # columns, and the exact verify's shingle arrays are all served from
+    # one cache (band-key derivation re-explodes the cached signature per
+    # consumer, a trivial concat per row vs the md5 pass it replaces).
+    n_blocks = (num_hashes + 7) // 8
     grams_df = persist_tracked(
         toked.select("_id", shingles_from_tokens(F.col("_toks"), ngram).alias("_grams"))
-    )
-    grams_df.count()
-    grams_df = grams_df.filter(F.size("_grams") > 0)
-    n_blocks = (num_hashes + 7) // 8
-    digs_df = grams_df.select(
-        "_id",
-        *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
-    )
-    sig = persist_tracked(
-        digs_df.select(
+        .select(
             "_id",
+            "_grams",
+            *[_minhash_digests(F.col("_grams"), b).alias(f"_digs{b}") for b in range(n_blocks)],
+        )
+        .select(
+            "_id",
+            "_grams",
             F.array(
                 *[
                     _minhash_component_from_digests(F.col(f"_digs{i // 8}"), i % 8)
@@ -481,7 +484,9 @@ def minhash_estimate_audit(
             ).alias("_sig"),
         )
     )
-    sig.count()
+    grams_df.count()
+    grams_df = grams_df.filter(F.size("_grams") > 0)
+    sig = grams_df
     banded = sig.select(
         "_id",
         F.explode(
@@ -494,8 +499,6 @@ def minhash_estimate_audit(
             ])
         ).alias("_band_key"),
     )
-    banded = persist_tracked(banded)
-    banded.count()
     banded = _cap_band_size(banded, "_band_key", max_band_size)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -1094,25 +1097,22 @@ def connected_components(
             atexit.register(shutil.rmtree, tmp, ignore_errors=True)
             sc.setCheckpointDir(tmp)
 
-        def _truncate(df: DataFrame, lazy: bool = False) -> DataFrame:
-            # reliable checkpoints stay EAGER even when the caller marks the
-            # frame lazy-safe: a non-eager .checkpoint() writes its files in
-            # a SECOND job after the first action, recomputing the lineage —
-            # strictly worse than eager.
+        def _truncate(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
 
     else:
 
-        def _truncate(df: DataFrame, lazy: bool = False) -> DataFrame:
-            # ``lazy=True`` marks frames whose very next consumer is a
-            # single driver action (the convergence aggregate): a lazy
-            # localCheckpoint is then materialized BY that action's job —
-            # one job instead of two per round (localCheckpoint is
-            # cache-backed, so the blocks are computed exactly once either
-            # way). Frames with multiple immediate consumers (``base`` is
-            # referenced by both union branches of ``edges``) stay eager so
-            # concurrent consumers never race to compute the same plan.
-            return df.localCheckpoint(eager=not lazy)
+        def _truncate(df: DataFrame) -> DataFrame:
+            # Deliberately EAGER (r12 A/B): fusing the checkpoint into the
+            # convergence aggregate's job via eager=False was measured
+            # SLOWER despite saving ~2 jobs per round (dup-clusters family
+            # 5.36 s eager vs 5.64 s lazy at sf0.1, and the same lazy
+            # pattern cost the IVF family +3.4 s) — materializing a lazy
+            # localCheckpoint inside a derived action's job loses more in
+            # the combined stage than the saved job scheduling buys. Lazy
+            # fusion only wins when the materializing action is a count()
+            # over the SAME frame (see pipe_kcore_decompose).
+            return df.localCheckpoint(eager=True)
 
     # Materialize the pair list ONCE before mirroring it: both union
     # branches reference `pairs`, so without the checkpoint the entire
@@ -1125,22 +1125,16 @@ def connected_components(
     # iteration — strictly ahead whenever the graph needs ≥ 2 rounds
     # (same fix measured on pipe_graph_pagerank: x100 deep point went
     # 135.5 s -> 73.7 s, superlinear -> sublinear).
-    # edges and the initial labels are consumed strictly sequentially (the
-    # label-sum action below materializes labels, whose plan materializes
-    # edges en route), so both ride the same job as the first convergence
-    # aggregate — 2 fewer jobs per call with identical blocks computed.
     edges = _truncate(
         base
         .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition("b"),
-        lazy=True,
+        .repartition("b")
     )
     labels = _truncate(
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("cluster_id")),
-        lazy=True,
+        .select("node", F.col("node").alias("cluster_id"))
     )
     def label_sum(df: DataFrame):
         return df.agg(
@@ -1159,8 +1153,7 @@ def connected_components(
         labels = _truncate(
             labels.unionByName(neighbor_min)
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id")),
-            lazy=True,
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         new_sum = label_sum(labels)
         if new_sum == prev_sum:

@@ -286,6 +286,87 @@ def _bucketed_running_sum_excl(g, v_col: str, c_col: str, nb: int = _RANGE_BUCKE
     )
 
 
+def _bucketed_exact_percentiles(df, v_col: str, qs: list[float], nb: int = _RANGE_BUCKETS):
+    """Exact interpolated percentiles — a distributed twin of Spark's
+    ``percentile()`` aggregate, bit-identical arithmetic — without the
+    aggregate's scale hazard (``percentile()`` buffers a value→count map
+    per partition and SORTS the merged map in ONE final task; at sf0.1's
+    583k distinct prices that single task is ~1.9 s, and at 100 TB it is
+    a non-starter). Shape: the proven two-level order-statistic pattern
+    (``_bucketed_ntile``): range-bucket on broadcast min/max/count stats,
+    bucket counts with map-side partials, a ≤``nb``-row offset cumsum,
+    then row_number ONLY within the ≤2·len(qs) candidate buckets that
+    contain a target rank — every window partition is a bucket, never the
+    corpus. Interpolation replicates Spark's Percentile.getPercentile
+    double arithmetic exactly ((ceil(h)−h)·v0 + (h−floor(h))·v1 at
+    h = q·(N−1), integral h short-circuits to v0), so swapping the
+    aggregate for this helper cannot move any oracle-compared value.
+
+    Returns a len(qs)-row frame (q double, _ev double).
+    """
+    from pyspark.sql import Window
+
+    stats_df = df.agg(
+        F.min(v_col).alias("_mn"), F.max(v_col).alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sb = (
+        df.crossJoin(F.broadcast(stats_df))
+        .withColumn("_bkt", _range_bucket(F.col(v_col), F.col("_mn"), F.col("_mx"), nb))
+        .select(v_col, "_bkt")
+    )
+    btot = sb.groupBy("_bkt").agg(F.count(F.lit(1)).cast("long").alias("_bc"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = btot.select(
+        "_bkt", "_bc",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0).cast("long")).alias("_off"),
+    )
+    tq = (
+        stats_df.select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "_n"
+        )
+        .select("q", ((F.col("_n") - 1).cast("double") * F.col("q")).alias("_h"))
+        .select(
+            "q", "_h",
+            F.floor("_h").cast("long").alias("_k0"),
+            F.ceil("_h").cast("long").alias("_k1"),
+        )
+    )
+    ranks = tq.select(F.explode(F.array("_k0", "_k1")).alias("_r")).distinct()
+    cand_b = (
+        off.join(
+            F.broadcast(ranks),
+            (F.col("_off") <= F.col("_r")) & (F.col("_r") < F.col("_off") + F.col("_bc")),
+        )
+        .select("_bkt")
+        .distinct()
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(v_col)
+    picked = (
+        sb.join(F.broadcast(cand_b), "_bkt")
+        .withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(off.select("_bkt", "_off")), "_bkt")
+        .withColumn("_r", F.col("_off") + F.col("_rn") - 1)
+        .join(F.broadcast(ranks), "_r")
+        .select("_r", F.col(v_col).cast("double").alias("_v"))
+    )
+    v0 = picked.select(F.col("_r").alias("_k0"), F.col("_v").alias("_v0"))
+    v1 = picked.select(F.col("_r").alias("_k1"), F.col("_v").alias("_v1"))
+    return (
+        tq.join(F.broadcast(v0), "_k0")
+        .join(F.broadcast(v1), "_k1")
+        .select(
+            "q",
+            F.when(F.col("_k0") == F.col("_k1"), F.col("_v0"))
+            .otherwise(
+                (F.ceil("_h") - F.col("_h")) * F.col("_v0")
+                + (F.col("_h") - F.floor("_h")) * F.col("_v1")
+            )
+            .alias("_ev"),
+        )
+    )
+
+
 def _bucketed_ntile(s, k: int, order_cols, nb: int = _RANGE_BUCKETS):
     """``s`` + column ``_tile`` = exact SQL ``ntile(k)`` over the total
     order ``order_cols`` (first column is the range-bucketed sort key;
@@ -1956,9 +2037,15 @@ def pipe_approx_quantile_audit(spark, sf_dir):
     arr = "array(" + ",".join(f"{q}D" for q in qs) + ")"
     summ = li.agg(
         F.expr(f"percentile_approx(p, {arr}, 100)").alias("av"),
-        F.expr(f"percentile(p, {arr})").alias("ev"),
         F.count(F.lit(1)).cast("double").alias("n"),
     )
+    # Exact reference values via the two-level bucketed order statistic
+    # (_bucketed_exact_percentiles) rather than the percentile() aggregate:
+    # the aggregate's final task sorts the merged value→count map alone
+    # (583k near-unique prices at sf0.1 — measured 1.9 s in that one task;
+    # at 100 TB it would buffer the whole column). Bit-identical values by
+    # construction, so the oracle/hash contract is untouched.
+    evs = _bucketed_exact_percentiles(li, "p", qs)
     checks = li.crossJoin(F.broadcast(summ)).agg(
         *[
             F.sum(F.when(F.col("p") < F.col("av")[i], 1).otherwise(0)).alias(f"lo{i}")
@@ -1968,23 +2055,33 @@ def pipe_approx_quantile_audit(spark, sf_dir):
             F.sum(F.when(F.col("p") <= F.col("av")[i], 1).otherwise(0)).alias(f"hi{i}")
             for i in range(3)
         ],
-        F.first("ev").alias("ev"),
         F.first("n").alias("n"),
     )
-    rows = None
-    for i, q in enumerate(qs):
-        r = checks.select(
-            F.lit(q).alias("q"),
-            pround(F.col("ev")[i], 4).alias("exact_val"),
-            (
-                ~(
-                    (F.col(f"hi{i}") < F.floor((F.lit(q) - eps) * F.col("n")))
-                    | (F.col(f"lo{i}") > F.ceil((F.lit(q) + eps) * F.col("n")))
-                )
-            ).alias("within_bound"),
+    # ONE inline-explode of the 1-row checks frame into the three
+    # (q, within_bound) rows (the pre-r12 form unioned three selects of
+    # `checks`, each branch re-embedding the whole plan), then a tiny
+    # broadcast join attaches each q's exact value.
+    bounds = checks.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        (
+                            ~(
+                                (F.col(f"hi{i}") < F.floor((F.lit(q) - eps) * F.col("n")))
+                                | (F.col(f"lo{i}") > F.ceil((F.lit(q) + eps) * F.col("n")))
+                            )
+                        ).alias("within_bound"),
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
         )
-        rows = r if rows is None else rows.unionAll(r)
-    return rows
+    )
+    return bounds.join(F.broadcast(evs), "q").select(
+        "q", pround(F.col("_ev"), 4).alias("exact_val"), "within_bound"
+    )
 
 
 @register(
@@ -2427,21 +2524,32 @@ def pipe_dup_transitivity(spark, sf_dir):
     ).select("id_a", "id_b")
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
+    # und is consumed by THREE join roles (e1, e2, e3) inside one final
+    # job — materialize it eagerly so the concurrent consumers read cached
+    # blocks instead of racing to recompute the LSH pair plan (r12: the
+    # eager count also replaces the separate n_pairs branch, which used to
+    # re-execute the whole candidate subplan a second time: |und| == 2·
+    # |pairs| exactly — pairs is deduplicated with id_a < id_b strict, so
+    # the mirrored union has no overlaps and no self-loops).
     und = persist_tracked(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
             pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         ).distinct()
     )
+    und.count()
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     wedge = e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e2.b") != F.col("e1.a"))).select(
         F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
     )
+    # wedge feeds two aggregates in the same job (tot, closed) — eager
+    # materialization keeps the two-hop self-join single-execution too
     wedge = persist_tracked(wedge)
+    wedge.count()
     tot = wedge.agg(F.count(F.lit(1)).alias("_nw"))
     closed = wedge.join(
         e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
     ).agg(F.count(F.lit(1)).alias("_nc"))
-    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    np_ = und.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"))
     return (
         np_.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(closed))
@@ -5833,6 +5941,10 @@ def pipe_ann_nprobe_sweep(spark, sf_dir):
             pround(cosine(F.col("_qv"), F.col("embedding")), 6).alias("cos_sim"),
         )
     )
+    # the four sweep arms consume cand concurrently inside one job;
+    # materialize it eagerly so they read cached blocks instead of racing
+    # to recompute the corpus assignment + scoring pass per arm (r12)
+    cand.count()
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     tagged = None
     for np_ in NPROBES:
@@ -17723,16 +17835,19 @@ def pipe_kcore_decompose(spark, sf_dir):
     alive = e.select(F.col("src").alias("node")).distinct()
     rows = []
     for rnd in range(4):
-        alive = alive.localCheckpoint(eager=True)  # node-id frame, tiny
+        # lazy localCheckpoints: the counts right below are the frames'
+        # first (and only concurrent) consumers, so each count's job
+        # materializes its checkpoint — two jobs per round instead of four
+        alive = alive.localCheckpoint(eager=False)  # node-id frame, tiny
+        n_nodes = alive.count()
         s = alive.select(F.col("node").alias("sn"))
         d = alive.select(F.col("node").alias("dn"))
         cur_edges = (
             e.join(s, e["src"] == F.col("sn"))
             .join(d, e["dst"] == F.col("dn"))
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_nodes = alive.count()
         n_edges = cur_edges.count() // 2
         rows.append((rnd, n_nodes, n_edges))
         if rnd < 3:

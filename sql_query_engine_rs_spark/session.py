@@ -69,6 +69,14 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — deployment/experiment overrides
+    # without code edits (e.g. cluster memory sizing, codec choice). An
+    # explicit extra_conf argument wins over the env on key conflicts.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, sep, v = item.partition("=")
+        if sep:
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -265,6 +265,33 @@ def test_minhash_band_cap_drops_flood_keeps_real_pairs(spark):
     assert not any(a < 1000 and b < 1000 for a, b in pairs)  # flood dropped
 
 
+def test_minhash_single_cache_barrier(spark):
+    """r12 internals pin: minhash_lsh_candidates materializes exactly ONE
+    tracked cache — the merged (id, grams, sig) frame — and every consumer
+    (band keys, cap counts, both self-join sides, both verify sides) reads
+    it as an InMemoryTableScan. The pre-r12 shape persisted a second banded
+    frame (a second eager count job per query); a regression back to two
+    caches (or to zero, recomputing the md5 pass per consumer) changes the
+    tracked-cache count or drops the in-memory scans."""
+    from sql_query_engine_rs_spark.functions import caching as C
+    from sql_query_engine_rs_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i % 7} eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    before = len(C._LIVE_CACHES)
+    pairs = D.minhash_lsh_candidates(
+        docs, num_hashes=8, bands=2, ngram=3, verify_threshold=0.5, max_band_size=256
+    )
+    assert len(C._LIVE_CACHES) - before == 1, "expected exactly one tracked cache"
+    simple = explain_str(pairs, "simple")
+    # band self-join (2 sides) + cap count + cap join-back + verify joins (2)
+    assert simple.count("InMemoryTableScan") >= 5
+    pairs.collect()
+    C.release_caches()
+
+
 def test_simhash_band_cap(spark):
     flood = [(i, "common boilerplate banner text repeated everywhere online today") for i in range(300)]
     real = [

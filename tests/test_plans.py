@@ -283,6 +283,11 @@ _GLOBAL_WINDOW_WHITELIST = {
     "pipe_wasserstein_drift": "bucket-totals cumsum + seam lead (<=256 rows)",
     "pipe_rfm_segments": "3x bucket-count offset cumsums (<=256 rows each)",
     "pipe_length_quality_hist": "bucket-count offsets (<=256 rows)",
+    # r12: exact percentile reference moved off the percentile() aggregate
+    # (single final-task sort of the value map) onto the same two-level
+    # bucketed order statistic — the only global window reads the <=256-row
+    # bucket-totals frame (queries._bucketed_exact_percentiles).
+    "pipe_approx_quantile_audit": "bucket-count offsets (<=256 rows)",
 }
 
 
