@@ -887,6 +887,14 @@ def embedding_cosine_dups_lsh(
     # representative (the group's min id); everything downstream runs at
     # rep granularity. num_planes still derives from the TOTAL count so
     # the auto-plane anchors (and every static oracle) are unchanged.
+    # persist (NOT localCheckpoint — r12 A/B): vm is multi-referenced and
+    # its lineage replicates in the analyzed plan (106 Exchange nodes),
+    # but the frame is WIDE (full 64-double vectors), and the columnar
+    # InMemoryRelation lets each skinny consumer (members reads only
+    # (_rid, _id)) column-prune the cache; checkpointed row blocks can't,
+    # and the A/B read 3.76 s checkpoint vs 2.41 s persist at sf0.1. The
+    # lineage-truncation win applies to SKINNY multi-referenced frames
+    # (see pipe_dup_transitivity); wide frames keep persist.
     vm = persist_tracked(
         _ensure_parallelism(df)
         .select(

@@ -1356,23 +1356,35 @@ def pipe_rfm_segments(spark, sf_dir):
         .crossJoin(F.broadcast(maxd))
         .withColumn("recency_days", F.datediff(F.col("dmax"), F.col("_last")))
     )
-    # the chained splits replicate lineage (each consumes its input via
-    # stats + ranking + bucket-totals branches), but ReusedExchange
-    # serves the repeats: an A/B with persist_tracked around every stage
-    # measured 8.7 s min-of-warm vs 3.0 s for this uncached form at
-    # sf0.1 — three materialization barriers cost more than the
-    # recompute they save on a dims-sized frame
+    # Each chained split consumes its input via THREE branches (stats +
+    # ranking + bucket-totals), so the un-truncated lineage grows 3-4x per
+    # level — the formatted plan reached 256 parquet scans / 650 Exchange
+    # nodes and Catalyst ANALYSIS, not execution, dominated the query
+    # (the r9 A/B that rejected persist_tracked-around-every-stage
+    # measured the persist barriers, not the planning blow-up). A
+    # localCheckpoint BETWEEN splits truncates the plan to one split's
+    # machinery over a 10k-row customer frame: 650 -> ~10 exchanges in
+    # the final plan, 4.0 s -> 2.5 s min-of-warm same-session A/B at
+    # sf0.1 (and the checkpointed frame is dims-sized at any corpus
+    # scale — one row per customer). The LAST split is not checkpointed:
+    # its only consumer is the final aggregate (single reference — a
+    # barrier there buys nothing), and it keeps the two-level ntile
+    # shape visible in the returned plan for the plan pin
+    # (test_two_level_order_stats_plan_shape).
     scored = per_cust
-    for key, desc, col in (
+    splits = (
         ("recency_days", False, "r"),
         ("freq", True, "f"),
         ("monetary", True, "m"),
-    ):
+    )
+    for i, (key, desc, col) in enumerate(splits):
         scored = (
             _bucketed_ntile(scored, 4, [(key, desc), "ck"])
             .withColumn(col, F.col("_tile").cast("int"))
             .drop("_tile")
         )
+        if i < len(splits) - 1:
+            scored = scored.localCheckpoint(eager=True)
     # avg in exact CENTS (monetary is 2dp floor-form, so cents are exact
     # integers and the segment sum is order-insensitive below 2^53): the
     # old AVG-of-doubles only hash-matched because the single-partition
@@ -1583,10 +1595,17 @@ def pipe_cov_spectrum(spark, sf_dir):
         .groupBy(F.col("_ia").alias("i"), F.col("_jb").alias("j"))
         .agg(F.avg(F.col("_xa") * F.col("_xb")).alias("exy"))
     )
+    # cov is referenced by every unrolled power-iteration hop plus the
+    # Rayleigh and trace branches; materialize the d²-row (4,096 at d=64)
+    # frame ONCE so the N·d² second-moment pass isn't re-embedded per
+    # reference (the analyzed plan carried 166 Exchange nodes before —
+    # Catalyst planning cost, and a recompute risk wherever ReusedExchange
+    # fails to fire). KBs at any corpus size: d is a model constant.
     cov = (
         m2.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("_ma"))), "i")
         .join(F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("_mb"))), "j")
         .select("i", "j", pround(F.col("exy") - F.col("_ma") * F.col("_mb"), 9).alias("c"))
+        .localCheckpoint(eager=True)
     )
     v = mu.select("i", F.lit(1.0).alias("v"))
     vs = [v]
@@ -2524,27 +2543,27 @@ def pipe_dup_transitivity(spark, sf_dir):
     ).select("id_a", "id_b")
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
-    # und is consumed by THREE join roles (e1, e2, e3) inside one final
-    # job — materialize it eagerly so the concurrent consumers read cached
-    # blocks instead of racing to recompute the LSH pair plan (r12: the
-    # eager count also replaces the separate n_pairs branch, which used to
-    # re-execute the whole candidate subplan a second time: |und| == 2·
-    # |pairs| exactly — pairs is deduplicated with id_a < id_b strict, so
-    # the mirrored union has no overlaps and no self-loops).
-    und = persist_tracked(
+    # und is consumed by THREE join roles (e1, e2, e3) plus the n_pairs
+    # aggregate, and wedge by two aggregates — all in one final job. They
+    # are materialized with localCheckpoint (NOT persist): persist keeps
+    # the logical lineage, so the multi-referenced frames replicated the
+    # whole LSH candidate plan per consumer and the analyzed final plan
+    # reached 874 Exchange / 481 scan nodes — Catalyst analysis, not
+    # execution, dominated the query. Checkpointing truncates each
+    # reference to an RDD scan (final plan ~20 nodes; 4.1 -> ~2.3 s
+    # min-of-warm at sf0.1). n_pairs = |und|/2 off the materialized edge
+    # frame (pairs is deduplicated with id_a < id_b strict, so the
+    # mirrored union has exactly 2·|pairs| rows — no overlaps, no
+    # self-loops).
+    und = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
             pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
         ).distinct()
-    )
-    und.count()
+    ).localCheckpoint(eager=True)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     wedge = e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e2.b") != F.col("e1.a"))).select(
         F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
-    )
-    # wedge feeds two aggregates in the same job (tot, closed) — eager
-    # materialization keeps the two-hop self-join single-execution too
-    wedge = persist_tracked(wedge)
-    wedge.count()
+    ).localCheckpoint(eager=True)
     tot = wedge.agg(F.count(F.lit(1)).alias("_nw"))
     closed = wedge.join(
         e3, (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b"))
@@ -3392,14 +3411,18 @@ def pipe_graph_pagerank(spark, sf_dir):
         F.concat(F.lit("o:"), F.col("_o")).alias("dst"),
     )
     # co-partition the immutable edge frame on the join key ONCE: the
-    # persisted InMemoryTableScan advertises its hashpartitioning(src), so
-    # every iteration's edges⋈ranks join re-exchanges only the skinny ranks
+    # materialized frame advertises its hashpartitioning(src), so every
+    # iteration's edges⋈ranks join re-exchanges only the skinny ranks
     # frame, never the edges (measured 5.6 s -> 3.9 s warm at sf0.1; at
     # 120M edges the x100 deep point's superlinearity is exactly this
-    # repeated edge shuffle)
-    edges = persist_tracked(fwd.unionAll(rev).repartition("src"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
+    # repeated edge shuffle). r12: localCheckpoint instead of persist —
+    # edges/nodes/deg are referenced in every unrolled round, and with
+    # persist the analyzed plan re-embedded the scan+distinct lineage per
+    # reference (113 Exchange nodes); truncation cuts each reference to an
+    # RDD scan (plan ~20 nodes, 3.3 -> ~2.6 s min-of-warm at sf0.1).
+    edges = fwd.unionAll(rev).repartition("src").localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
     d = 0.85
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
@@ -11379,13 +11402,13 @@ def pipe_bloom_membership(spark, sf_dir):
     anti-join (pipe_cross_corpus_dedup): probes that miss the filter skip
     the dedup-index lookup entirely.
     """
-    from sql_query_engine_rs_spark.functions.caching import persist_tracked
-
     d = docs_parallel(spark, sf_dir)
-    tok = persist_tracked(
+    # skinny (source, token) frame feeding the filter build AND the top-50
+    # probe — localCheckpoint (r12 lineage-truncation rule: the tokenize
+    # plan was re-embedded per reference, 72 Exchange nodes analyzed)
+    tok = (
         d.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")).distinct()
-    )
-    tok.count()
+    ).localCheckpoint(eager=True)
 
     def pos(h, tcol):
         return (
@@ -11406,10 +11429,9 @@ def pipe_bloom_membership(spark, sf_dir):
         (F.col("p") / _BLOOM_BITS_PER_WORD).cast("int").alias("word"),
         contrib_expr.alias("contrib"),
     )
-    bloom = persist_tracked(
+    bloom = (
         words.groupBy("source", "word").agg(F.bit_or("contrib").alias("w"))
-    )
-    bloom.count()
+    ).localCheckpoint(eager=True)
     set_bits = bloom.groupBy("source").agg(
         F.sum(F.bit_count("w")).cast("bigint").alias("n_set_bits")
     )
@@ -13766,9 +13788,14 @@ def pipe_js_source_divergence(spark, sf_dir):
     p = cnt.join(F.broadcast(tot), "source").select(
         "source", "term", (F.col("c") / F.col("n")).alias("p")
     )
+    # the 6 pair branches below all aggregate this matrix; materialize it
+    # once (vocab-bounded rows) so each branch reads an RDD scan instead
+    # of re-embedding the tokenize+count+pivot plan (analyzed plan was 96
+    # Exchange nodes; ReusedExchange only dedupes at runtime, Catalyst
+    # still analyzed every copy) — r12
     mat = (
         p.groupBy("term").pivot("source", srcs).agg(F.first("p")).na.fill(0.0)
-    )
+    ).localCheckpoint(eager=True)
     outs = []
     for i, a in enumerate(srcs):
         for b in srcs[i + 1:]:
@@ -16365,18 +16392,18 @@ def pipe_theil_sen(spark, sf_dir):
         .cast("bigint")
         .alias("d")
     ).agg(pround(F.sum("o_totalprice"), 2).alias("y"))
-    from sql_query_engine_rs_spark.functions.caching import persist_tracked
-
     dmax = daily0.agg(F.max("d").alias("mx"))
-    daily = persist_tracked(
+    # skinny bounded frames referenced 3x/2x — localCheckpoint truncates
+    # the per-reference lineage re-embedding (analyzed plan 76 -> ~10
+    # Exchange nodes; r12 lineage-truncation rule)
+    daily = (
         daily0.join(F.broadcast(dmax)).filter(F.col("d") > F.col("mx") - 365).select("d", "y")
-    )
+    ).localCheckpoint(eager=True)
     n_days = daily.count()
     b = daily.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
     pairs = daily.join(F.broadcast(b), F.col("d2") > F.col("d")).select(
         ((F.col("y2") - F.col("y")) / (F.col("d2") - F.col("d"))).alias("slope")
-    )
-    pairs = persist_tracked(pairs)
+    ).localCheckpoint(eager=True)
     n_pairs = pairs.count()
     ms = pairs.agg(F.percentile("slope", F.lit(0.5)).alias("slope"))
     ic = (
@@ -16655,12 +16682,15 @@ def pipe_lpa_communities(spark, sf_dir):
         max_band_size=256,
     ).select("id_a", "id_b")
     e = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
-    from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
     # co-partition the immutable edge frame on the per-round join key once
     # (the connected_components / pagerank fix): rounds re-exchange only
-    # the (node, label) frame
-    e = persist_tracked(e.repartition("dst"))
+    # the (node, label) frame. localCheckpoint, not persist (r12): e is
+    # referenced once per unrolled round plus the label init, and persist
+    # keeps the lineage — the analyzed plan embedded the whole LSH
+    # candidate pipeline per reference (156 Exchange nodes); truncation
+    # cuts each to an RDD scan.
+    e = e.repartition("dst").localCheckpoint(eager=True)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -17115,14 +17145,16 @@ def pipe_link_prediction(spark, sf_dir):
     knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id"
     )
-    from sql_query_engine_rs_spark.functions.caching import persist_tracked
-
+    # skinny (two longs) and referenced 4x (deg, both wedge sides, the
+    # anti-join): localCheckpoint truncates the kNN-graph lineage that
+    # persist would re-embed per reference (analyzed plan 73 -> ~15
+    # Exchange nodes — the r12 lineage-truncation rule for skinny
+    # multi-referenced frames)
     e = (
         knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
         .union(knn.select(F.col("nbr_id"), F.col("src_id")))
         .distinct()
-    )
-    e = persist_tracked(e)
+    ).localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
     )
@@ -18093,14 +18125,13 @@ def pipe_graph_assortativity(spark, sf_dir):
     knn = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id"
     )
+    # skinny, referenced 3x — same lineage-truncation rule as
+    # pipe_link_prediction's edge frame (r12)
     e = (
         knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
         .union(knn.select(F.col("nbr_id"), F.col("src_id")))
         .distinct()
-    )
-    from sql_query_engine_rs_spark.functions.caching import persist_tracked
-
-    e = persist_tracked(e)
+    ).localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("double").alias("d")
     )

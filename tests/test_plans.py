@@ -281,7 +281,8 @@ _GLOBAL_WINDOW_WHITELIST = {
     "pipe_mannwhitney_u": "bucket-totals cumsum (<=256 rows)",
     "pipe_ks_test": "bucket-totals cumsum (<=256 rows); sup is TakeOrdered top-1",
     "pipe_wasserstein_drift": "bucket-totals cumsum + seam lead (<=256 rows)",
-    "pipe_rfm_segments": "3x bucket-count offset cumsums (<=256 rows each)",
+    "pipe_rfm_segments": "last split's bucket-count offset cumsum (<=256 rows; "
+    "the first two splits' windows sit behind localCheckpoint barriers — r12)",
     "pipe_length_quality_hist": "bucket-count offsets (<=256 rows)",
     # r12: exact percentile reference moved off the percentile() aggregate
     # (single final-task sort of the value map) onto the same two-level
@@ -367,7 +368,9 @@ def test_registry_wide_scale_lint(spark, sf_dir, name):
         ("pipe_lift_deciles", 2),
         ("pipe_ks_test", 1),
         ("pipe_wasserstein_drift", 1),
-        ("pipe_rfm_segments", 3),
+        # r12: only the LAST ntile split is visible in the returned plan —
+        # the first two are truncated behind localCheckpoint barriers
+        ("pipe_rfm_segments", 1),
         ("pipe_length_quality_hist", 1),
     ],
 )
@@ -778,12 +781,16 @@ def test_join_skew_audit_takeordered_not_window(spark, sf_dir):
 
 
 def test_pagerank_reuses_cached_edges(spark, sf_dir):
-    """The PageRank loop must iterate over the PERSISTED edge frame (an
-    InMemoryTableScan per reuse), never re-derive the distinct edge set
-    from the parquet scan each round, and plan no cartesian product."""
+    """The PageRank loop must iterate over the MATERIALIZED edge frame
+    (r12: localCheckpoint — each reuse is a Scan ExistingRDD), never
+    re-derive the distinct edge set from the parquet scan each round
+    (zero parquet scans may remain in the returned plan: every source
+    read happens once, behind the checkpoint barrier), and plan no
+    cartesian product."""
     df = QUERIES["pipe_graph_pagerank"].build(spark, sf_dir)
     simple = explain_str(df, "simple")
-    assert "InMemoryTableScan" in simple
+    assert "ExistingRDD" in simple
+    assert "Scan parquet" not in simple
     assert "CartesianProduct" not in simple
     rows = df.collect()
     import math
