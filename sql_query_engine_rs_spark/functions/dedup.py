@@ -957,38 +957,54 @@ def embedding_cosine_dups_lsh(
         )
     )
     bkt.count()
-    surv = None
-    for t in range(num_tables):
-        tbl = bkt.select("_id", "_v", "_n", F.col(f"_b{t}").alias("bucket"))
-        a, b = tbl.alias("a"), tbl.alias("b")
-        pairs_t = (
-            a.join(b, on="bucket")
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(
-                F.col("a._id").alias("id_a"),
-                F.col("b._id").alias("id_b"),
-                # zero-norm guard: under ANSI mode (on in this engine's
-                # sessions) an unguarded 0/0 would throw; when() evaluates
-                # the division only on non-degenerate pairs, the NULL
-                # cos_sim fails the >= filter, and the pair drops — the
-                # outcome the unguarded plan could only reach by luck in
-                # non-ANSI sessions.
-                portable_round(
-                    F.when(
-                        F.col("a._n") * F.col("b._n") != 0,
-                        pair_cosine(
-                            F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
-                        )
-                        if use_arrow_verify
-                        else dot(F.col("a._v"), F.col("b._v"))
-                        / (F.col("a._n") * F.col("b._n")),
-                    ),
-                    6,
-                ).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
+    # ONE melted self-join instead of num_tables per-table self-joins
+    # (r12): posexplode folds the table axis into the rows — (_t, bucket)
+    # — so the candidate build is a single join keyed on (_t, bucket).
+    # Identical pair set: a within-bucket pair of table t appears exactly
+    # where the old per-table join emitted it, and the trailing distinct
+    # already collapsed cross-table repeats (cos_sim is a function of the
+    # vectors, so repeated rows are bit-equal). Identical shuffle BYTES
+    # (num_tables× rows through 1 exchange vs 1× rows through num_tables
+    # exchanges) but one exchange / one join stage / one analysis of the
+    # bkt lineage instead of 2·num_tables references — the formatted plan
+    # drops ~4x in size and the scheduler runs one wide stage instead of
+    # four sequential ones.
+    tbl = bkt.select(
+        "_id",
+        "_v",
+        "_n",
+        F.posexplode(F.array(*[F.col(f"_b{t}") for t in range(num_tables)])).alias(
+            "_t", "bucket"
+        ),
+    )
+    a, b = tbl.alias("a"), tbl.alias("b")
+    surv = (
+        a.join(b, on=["_t", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            # zero-norm guard: under ANSI mode (on in this engine's
+            # sessions) an unguarded 0/0 would throw; when() evaluates
+            # the division only on non-degenerate pairs, the NULL
+            # cos_sim fails the >= filter, and the pair drops — the
+            # outcome the unguarded plan could only reach by luck in
+            # non-ANSI sessions.
+            portable_round(
+                F.when(
+                    F.col("a._n") * F.col("b._n") != 0,
+                    pair_cosine(
+                        F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+                    )
+                    if use_arrow_verify
+                    else dot(F.col("a._v"), F.col("b._v"))
+                    / (F.col("a._n") * F.col("b._n")),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
-        surv = pairs_t if surv is None else surv.unionByName(pairs_t)
+        .filter(F.col("cos_sim") >= threshold)
+    )
     rep_pairs = surv.distinct()
     # Expansion back to member pairs — O(output) by construction.
     # Within-group: every pair of clones, at the group's self-cosine

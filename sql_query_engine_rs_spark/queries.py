@@ -3411,18 +3411,22 @@ def pipe_graph_pagerank(spark, sf_dir):
         F.concat(F.lit("o:"), F.col("_o")).alias("dst"),
     )
     # co-partition the immutable edge frame on the join key ONCE: the
-    # materialized frame advertises its hashpartitioning(src), so every
-    # iteration's edges⋈ranks join re-exchanges only the skinny ranks
+    # persisted InMemoryTableScan advertises its hashpartitioning(src), so
+    # every iteration's edges⋈ranks join re-exchanges only the skinny ranks
     # frame, never the edges (measured 5.6 s -> 3.9 s warm at sf0.1; at
     # 120M edges the x100 deep point's superlinearity is exactly this
-    # repeated edge shuffle). r12: localCheckpoint instead of persist —
-    # edges/nodes/deg are referenced in every unrolled round, and with
-    # persist the analyzed plan re-embedded the scan+distinct lineage per
-    # reference (113 Exchange nodes); truncation cuts each reference to an
-    # RDD scan (plan ~20 nodes, 3.3 -> ~2.6 s min-of-warm at sf0.1).
-    edges = fwd.unionAll(rev).repartition("src").localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    # repeated edge shuffle). r12 NEGATIVE RESULT, kept deliberately as
+    # persist: converting edges to localCheckpoint (the §8 lineage
+    # truncation) regressed this query 3.1 -> 6.8 s isolated because a
+    # Scan ExistingRDD does NOT advertise the repartition("src")
+    # partitioning — every iteration re-exchanged the full edge frame
+    # (probe: SortMergeJoin over ExistingRDD gets an ENSURE_REQUIREMENTS
+    # Exchange; over InMemoryTableScan it does not). Rule: lineage
+    # truncation must never replace a persist whose ADVERTISED
+    # co-partitioning downstream keyed joins rely on.
+    edges = persist_tracked(fwd.unionAll(rev).repartition("src"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     d = 0.85
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))

