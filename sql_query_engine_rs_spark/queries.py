@@ -13165,13 +13165,24 @@ def pipe_bucketed_join_audit(spark, sf_dir):
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # r12: repartition(numBuckets, bucketCol) BEFORE the bucketed write so
+    # task layout == bucket layout — every task sorts and writes exactly its
+    # own bucket file, in parallel. Without it the write inherits the scan's
+    # partitioning: at sf0.1 the small parquet reads as 1-2 partitions, so
+    # ONE task sorted all 600k rows and wrote all 8 bucket files serially
+    # (A/B: 1.97 -> 1.06 s for the two writes, identical 8-file layout);
+    # with a many-partition input the same inheritance fragments into
+    # tasks x buckets small files — the repartition fixes both regimes and
+    # is the 100 TB shape (guide §6: sized parallel writes, no small files).
     (
-        li.write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        li.repartition(8, "l_orderkey")
+        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", base + "/lineitem_b").mode("overwrite")
         .saveAsTable("bja_lineitem_b")
     )
     (
-        orders.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        orders.repartition(8, "o_orderkey")
+        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", base + "/orders_b").mode("overwrite")
         .saveAsTable("bja_orders_b")
     )
