@@ -19641,27 +19641,49 @@ def pipe_dedup_method_agreement(spark, sf_dir):
     pipe_basket_lift lesson); with partitions ∝ input bytes the width
     stays constant. Oracle: both existing oracle CTEs reused verbatim,
     full-outer-joined in DuckDB."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from sql_query_engine_rs_spark.functions.partitioning import volume_scaled_partitions
 
     docs = t(spark, sf_dir, "documents")
     nparts = volume_scaled_partitions(docs)
-    mh = (
-        D.minhash_lsh_candidates(
-            docs_parallel(spark, sf_dir),
-            num_hashes=8,
-            bands=2,
-            ngram=3,
-            verify_threshold=0.8,
-            max_band_size=256,
+
+    # r12 (guide §2.6): the two detector pipelines are independent until the
+    # final full-outer join, but each builds behind an eager signature-cache
+    # barrier (persist + count inside minhash_lsh_candidates /
+    # simhash_md5_candidates) — run serially, the second detector's barrier
+    # waits on the first's stragglers while the cluster idles. Submitting
+    # both builds from a 2-thread pool lets the scheduler back-fill one
+    # detector's tail with the other's tasks (FIFO default = exactly the
+    # back-fill behaviour wanted). The returned DataFrames — and therefore
+    # the plan and the result — are identical to the serial build; only the
+    # barrier jobs overlap. Interleaved A/B at sf0.1: wins all 3 rounds,
+    # min-warm 5.04 -> 3.65 s, rows bit-equal. persist_tracked registration
+    # is a GIL-atomic list append, safe from both threads.
+    def _mk_mh():
+        return (
+            D.minhash_lsh_candidates(
+                docs_parallel(spark, sf_dir),
+                num_hashes=8,
+                bands=2,
+                ngram=3,
+                verify_threshold=0.8,
+                max_band_size=256,
+            )
+            .select("id_a", "id_b")
+            .repartition(nparts, "id_a", "id_b")
         )
-        .select("id_a", "id_b")
-        .repartition(nparts, "id_a", "id_b")
-    )
-    sh = (
-        D.simhash_md5_candidates(docs, max_band_size=256)
-        .select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb"))
-        .repartition(nparts, "sa", "sb")
-    )
+
+    def _mk_sh():
+        return (
+            D.simhash_md5_candidates(docs, max_band_size=256)
+            .select(F.col("id_a").alias("sa"), F.col("id_b").alias("sb"))
+            .repartition(nparts, "sa", "sb")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fmh, _fsh = _pool.submit(_mk_mh), _pool.submit(_mk_sh)
+        mh, sh = _fmh.result(), _fsh.result()
     j = mh.join(
         sh, (mh["id_a"] == sh["sa"]) & (mh["id_b"] == sh["sb"]), "full_outer"
     ).select(
