@@ -3406,6 +3406,8 @@ def pipe_graph_pagerank(spark, sf_dir):
     ~1.0 after normalization) — the float-drift-proof margin for chained
     cross-partition sums. (The reference has no joins at all,
     /root/reference/src/binder/table/mod.rs:15.)"""
+    from pyspark.sql import Window
+
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
     li = (
@@ -3435,8 +3437,19 @@ def pipe_graph_pagerank(spark, sf_dir):
     # Exchange; over InMemoryTableScan it does not). Rule: lineage
     # truncation must never replace a persist whose ADVERTISED
     # co-partitioning downstream keyed joins rely on.
-    edges = persist_tracked(fwd.unionAll(rev).repartition("src"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    # r12: bake the out-degree into the persisted edge frame (count() over a
+    # src window on the already-src-partitioned frame — no extra shuffle)
+    # instead of re-deriving deg = edges.groupBy(src).count() and re-joining
+    # it on src inside EVERY iteration: that was 3 extra aggregations + 3
+    # sort-merge joins over the full edge cardinality per run. The window
+    # preserves hashpartitioning(src), so the persisted InMemoryTableScan
+    # still advertises the co-partitioning the loop join relies on, and each
+    # edge's r/_deg contribution is numerically identical (same divisor).
+    edges = persist_tracked(
+        fwd.unionAll(rev)
+        .repartition("src")
+        .withColumn("_deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+    )
     nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     d = 0.85
@@ -3444,7 +3457,6 @@ def pipe_graph_pagerank(spark, sf_dir):
     for _ in range(3):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("_deg")).alias("_s"))
         )
