@@ -5362,29 +5362,35 @@ def pipe_dedup_mixture_shift(spark, sf_dir):
     with high internal duplication lose weight when dedup runs — if
     mixture weights (pipe_mixture_sample, pipe_lang_balance_weights) were
     tuned pre-dedup, this report is the correction sheet; run it after
-    every dedup-policy change. One tokenize pass feeds both sides; the
-    keep-list join is a skinny doc_id semi-join; everything downstream is
-    #sources-row arithmetic with the two 1-row totals broadcast."""
+    every dedup-policy change. r12: ONE tokenize+keep-flag pass computes
+    both sides in a single groupBy (before: pre, post, and the two totals
+    each re-embedded the tok subplan — 4 tok / 2 keeplist-pipeline plan
+    embeddings, raced at runtime because the persist was never
+    materialized). `_kc` (kept-row count) reproduces the old
+    pre-INNER-JOIN-post semantics exactly: a source appears iff it has
+    >=1 kept doc, even when those docs' token counts are all NULL. The
+    <=#sources-row result is eagerly checkpointed (expensive upstream —
+    the whole LSH keeplist pipeline — so §8's refs x upstream-size rule
+    applies), then the totals and the final projection read ExistingRDD."""
     keep = QUERIES["pipe_dedup_keeplist"].build(spark, sf_dir).select("doc_id")
-    from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
-    tok = persist_tracked(
-        docs_parallel(spark, sf_dir).select(
-            "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("_n")
-        )
+    tok = docs_parallel(spark, sf_dir).select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("_n")
     )
-    pre = tok.groupBy("source").agg(F.sum("_n").alias("_tb"))
-    post = (
-        tok.join(keep, "doc_id", "left_semi")
+    per_src = (
+        tok.join(keep.withColumn("_k", F.lit(True)), "doc_id", "left")
         .groupBy("source")
-        .agg(F.sum("_n").alias("_ta"))
+        .agg(
+            F.sum("_n").alias("_tb"),
+            F.sum(F.when(F.col("_k"), F.col("_n"))).alias("_ta"),
+            F.count(F.when(F.col("_k"), F.lit(1))).alias("_kc"),
+        )
+        .localCheckpoint(eager=True)
     )
-    pt = pre.agg(F.sum("_tb").alias("_ptt"))
-    at = post.agg(F.sum("_ta").alias("_att"))
+    totals = per_src.agg(F.sum("_tb").alias("_ptt"), F.sum("_ta").alias("_att"))
     return (
-        pre.join(post, "source")
-        .crossJoin(F.broadcast(pt))
-        .crossJoin(F.broadcast(at))
+        per_src.filter(F.col("_kc") > 0)
+        .crossJoin(F.broadcast(totals))
         .select(
             "source",
             F.col("_tb").cast("bigint").alias("tokens_before"),
