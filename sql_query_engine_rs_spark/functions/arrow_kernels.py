@@ -154,8 +154,30 @@ def _collect_codebook(centroids: DataFrame, cid_col: str, cvec_col: str):
     never materializes — at most max+1 rows land before the raise), and
     the error names the documented distributed route (coarse two-level
     assign + bucketed fine-codebook join; see the constant's comment).
+
+    Fast path: a frame built by ``similarity._local_codebook_df`` already
+    holds its (cid, vector) rows driver-side (it was BUILT from a driver
+    round-trip — the Lloyd loop's k-bounded means); re-collecting them
+    through a Spark job is pure scheduler overhead, so the rows ride an
+    attribute on the DataFrame and are reused directly. Guarded on the
+    exact (cid, vec) column layout the attribute describes.
     """
     field = centroids.schema[cid_col]
+    local = getattr(centroids, "_sgr_codebook_rows", None)
+    if local is not None and getattr(centroids, "_sgr_codebook_cols", None) == (
+        cid_col,
+        cvec_col,
+    ):
+        if len(local) > CODEBOOK_COLLECT_MAX:
+            raise CodebookTooLarge(
+                f"codebook exceeds CODEBOOK_COLLECT_MAX={CODEBOOK_COLLECT_MAX} "
+                "rows; driver-side reuse refused — same bound as the collect "
+                "path (see arrow_kernels.py CODEBOOK_COLLECT_MAX)."
+            )
+        cids = np.array([c for c, _ in local], dtype=np.int64)
+        mat = np.array([list(v) for _, v in local], dtype=np.float64)
+        order = np.argsort(cids, kind="stable")
+        return cids[order], mat[order], field
     rows = centroids.select(cid_col, cvec_col).limit(CODEBOOK_COLLECT_MAX + 1).collect()
     if len(rows) > CODEBOOK_COLLECT_MAX:
         raise CodebookTooLarge(

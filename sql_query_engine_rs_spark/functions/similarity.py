@@ -552,6 +552,27 @@ def _ivf_seed_rank(corpus: DataFrame, num_centroids: int, id_col: str = "vec_id"
     )
 
 
+def _local_codebook_df(spark, cb_rows: list[tuple[int, list[float]]]) -> DataFrame:
+    """(centroid_id int, _centroid array<double>) as a LOCAL relation from
+    driver-resident rows, tagged so ``arrow_kernels._collect_codebook``
+    reuses the rows without a collect job.
+
+    This is the k-bounded half of the Lloyd loop's data movement done
+    once instead of three times: the per-iteration codebook is ≤
+    ``CODEBOOK_COLLECT_MAX`` rows (≈34 MB ceiling) and every consumer —
+    the next iteration's assign, the corpus assignment, the query-probe
+    broadcast — needs it driver-side or broadcast anyway. Holding it as
+    a local relation removes the eager localCheckpoint barrier + its
+    re-collect job per consumer (measured: pipe_ann_ivf ran 15 jobs for
+    2 corpus passes); the N-row corpus passes are untouched. Values are
+    exact: collected doubles round-trip bit-identically through
+    createDataFrame with an explicit array<double> schema."""
+    df = spark.createDataFrame(cb_rows, schema="centroid_id int, _centroid array<double>")
+    df._sgr_codebook_rows = cb_rows
+    df._sgr_codebook_cols = ("centroid_id", "_centroid")
+    return df
+
+
 def ivf_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,
@@ -601,6 +622,11 @@ def ivf_centroids(
         CODEBOOK_COLLECT_MAX,
     )
 
+    # the un-repartitioned input: the seed take is a per-partition top-k +
+    # driver merge and needs no parallel CPU, so reading it here skips
+    # executing ensure_parallelism's round-robin exchange inside the seed
+    # job (the global md5 rank is partitioning-independent — same rows)
+    raw_corpus = corpus
     corpus = _ensure_parallelism(corpus)
     lloyd_assign = (
         ivf_assign_two_level
@@ -623,19 +649,32 @@ def ivf_centroids(
             .localCheckpoint(eager=True)
         )
     else:
-        seeds = (
-            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid"))
+        # Seed rank via ONE TakeOrderedAndProject job collected straight to
+        # the driver: k ≤ CODEBOOK_COLLECT_MAX rows (the same bound every
+        # downstream assign already needs driver-side), ranked by the md5
+        # hex — Python's str ordering over lowercase hex equals Spark's
+        # UTF8 ordering, so the driver-side sort is belt-and-braces over
+        # the already-ordered take. Replaces the orderBy+limit+row_number
+        # window + eager localCheckpoint (a full job + barrier whose only
+        # output was re-collected by the very next assign).
+        rows = (
+            raw_corpus.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("_centroid")
+            )
             .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .select("_h", "_centroid")
             .orderBy("_h")
             .limit(num_centroids)
+            .collect()
         )
-        w = Window.orderBy("_h")
-        cents = seeds.select(
-            (F.row_number().over(w) - 1).alias("centroid_id"), "_centroid"
-        ).localCheckpoint(eager=True)
+        rows.sort(key=lambda r: r["_h"])
+        cents = _local_codebook_df(
+            corpus.sparkSession, [(i, list(r["_centroid"])) for i, r in enumerate(rows)]
+        )
+    local_codebook = num_centroids <= CODEBOOK_COLLECT_MAX
     for _ in range(iterations):
         assigned = lloyd_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
-        cents = (
+        means = (
             assigned.select("centroid_id", F.posexplode(F.col(vec_col).cast("array<double>")))
             .groupBy("centroid_id", "pos")
             .agg(F.avg("col").alias("_v"))
@@ -645,8 +684,18 @@ def ivf_centroids(
                     F.array_sort(F.collect_list(F.struct("pos", "_v"))), lambda s: s["_v"]
                 ).alias("_centroid")
             )
-            .localCheckpoint(eager=True)
         )
+        if local_codebook:
+            # the refined codebook is k-bounded: collect it (one job — the
+            # corpus pass itself) and keep it driver-side for the next
+            # consumer instead of checkpointing + re-collecting. Values are
+            # the identical Spark-computed means either way.
+            cb = sorted(
+                (int(r["centroid_id"]), list(r["_centroid"])) for r in means.collect()
+            )
+            cents = _local_codebook_df(corpus.sparkSession, cb)
+        else:
+            cents = means.localCheckpoint(eager=True)
     return cents
 
 
@@ -1059,11 +1108,13 @@ def pq_assign_codes(
     )
 
     sub = dim // num_subspaces
-    rows = (
-        codebook.select("m", "centroid_id", "_centroid")
-        .limit(CODEBOOK_COLLECT_MAX + 1)
-        .collect()
-    )
+    rows = getattr(codebook, "_sgr_pq_rows", None)
+    if rows is None:
+        rows = (
+            codebook.select("m", "centroid_id", "_centroid")
+            .limit(CODEBOOK_COLLECT_MAX + 1)
+            .collect()
+        )
     if len(rows) > CODEBOOK_COLLECT_MAX:
         raise CodebookTooLarge(
             f"PQ codebook exceeds CODEBOOK_COLLECT_MAX={CODEBOOK_COLLECT_MAX} "
@@ -1146,24 +1197,62 @@ def pq_codebook(
     64-subspace × 256-centroid book is 16k skinny rows). Each Lloyd step
     costs one N·M·ks scoring pass + one (m, code, dim)-keyed shuffle whose
     cardinality is M·ks·sub — trivial."""
+    from sql_query_engine_rs_spark.functions.arrow_kernels import (
+        CODEBOOK_COLLECT_MAX,
+    )
+
     sub = dim // num_subspaces
-    seeds = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h")
-        .limit(num_centroids)
-    )
-    w = Window.orderBy("_h")
-    seeds = seeds.select((F.row_number().over(w) - 1).alias("centroid_id"), "_v")
-    cb = (
-        seeds.select(
-            F.explode(F.expr(f"sequence(0, {num_subspaces - 1})")).alias("m"),
-            "centroid_id",
-            "_v",
+    local_codebook = num_subspaces * num_centroids <= CODEBOOK_COLLECT_MAX
+
+    def _local_pq_df(cb_rows):
+        """(m, centroid_id, _centroid) local relation tagged with its
+        driver-side rows so ``pq_assign_codes`` skips the re-collect job —
+        the same k-bounded round-trip economy as ``_local_codebook_df``."""
+        df = corpus.sparkSession.createDataFrame(
+            cb_rows, schema="m int, centroid_id int, _centroid array<double>"
         )
-        .select("m", "centroid_id", F.expr(f"slice(_v, m * {sub} + 1, {sub})").alias("_centroid"))
-        .localCheckpoint(eager=True)
-    )
+        df._sgr_pq_rows = cb_rows
+        return df
+
+    if local_codebook:
+        # ONE TakeOrderedAndProject job collects the ks seed vectors;
+        # ranking and subspace slicing are exact driver-side (list slicing,
+        # no FP math) — replaces the orderBy window + explode/slice plan +
+        # eager localCheckpoint barrier.
+        rows = (
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .select("_h", "_v")
+            .orderBy("_h")
+            .limit(num_centroids)
+            .collect()
+        )
+        rows.sort(key=lambda r: r["_h"])
+        cb = _local_pq_df(
+            [
+                (m, i, list(r["_v"])[m * sub : (m + 1) * sub])
+                for i, r in enumerate(rows)
+                for m in range(num_subspaces)
+            ]
+        )
+    else:
+        seeds = (
+            corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h")
+            .limit(num_centroids)
+        )
+        w = Window.orderBy("_h")
+        seeds = seeds.select((F.row_number().over(w) - 1).alias("centroid_id"), "_v")
+        cb = (
+            seeds.select(
+                F.explode(F.expr(f"sequence(0, {num_subspaces - 1})")).alias("m"),
+                "centroid_id",
+                "_v",
+            )
+            .select("m", "centroid_id", F.expr(f"slice(_v, m * {sub} + 1, {sub})").alias("_centroid"))
+            .localCheckpoint(eager=True)
+        )
     if iterations:
         sliced = _pq_slices(corpus, num_subspaces, dim, id_col, vec_col)
         for _ in range(iterations):
@@ -1171,7 +1260,7 @@ def pq_codebook(
                 corpus, cb, num_subspaces=num_subspaces, dim=dim,
                 id_col=id_col, vec_col=vec_col,
             )
-            cb = (
+            means = (
                 sliced.join(assigned, on=[id_col, "m"])
                 .select("m", "code", F.posexplode("_sv"))
                 .groupBy("m", "code", "pos")
@@ -1183,8 +1272,19 @@ def pq_codebook(
                     ).alias("_centroid")
                 )
                 .select("m", F.col("code").alias("centroid_id"), "_centroid")
-                .localCheckpoint(eager=True)
             )
+            if local_codebook:
+                # M·ks-bounded refined book: collect (the corpus pass is the
+                # job) and keep driver-side — identical Spark-computed means,
+                # no checkpoint barrier + re-collect per consumer.
+                cb = _local_pq_df(
+                    sorted(
+                        (int(r["m"]), int(r["centroid_id"]), list(r["_centroid"]))
+                        for r in means.collect()
+                    )
+                )
+            else:
+                cb = means.localCheckpoint(eager=True)
     return cb
 
 

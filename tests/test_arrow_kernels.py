@@ -342,3 +342,42 @@ def test_pair_dot_random_vectors_bit_exact(spark):
     assert all(r.k == r.j for r in out), [
         (r.i, r.k, r.j) for r in out if r.k != r.j
     ][:5]
+
+
+def test_local_codebook_fast_path_matches_collect_path(spark, emb, cents):
+    """ivf_centroids (k <= bound) returns a local-relation codebook whose
+    driver-side rows ride a DataFrame attribute; _collect_codebook must
+    read them bit-identically to collecting the frame through Spark —
+    and any transformation (here select) drops the attribute, forcing
+    the collect path, so both routes are exercised against each other."""
+    assert getattr(cents, "_sgr_codebook_rows", None) is not None
+    assert cents._sgr_codebook_cols == ("centroid_id", "_centroid")
+    # attribute rows == the frame's actual rows
+    frame_rows = sorted((r.centroid_id, list(r._centroid)) for r in cents.collect())
+    assert sorted(cents._sgr_codebook_rows) == frame_rows
+    # assignment through the fast path == through the collect path
+    stripped = cents.select("centroid_id", "_centroid")  # attribute lost
+    assert getattr(stripped, "_sgr_codebook_rows", None) is None
+    fast = _as_map(AK.assign_nearest(emb, cents).select("vec_id", "centroid_id").collect())
+    slow = _as_map(AK.assign_nearest(emb, stripped).select("vec_id", "centroid_id").collect())
+    assert fast == slow
+
+
+def test_pq_local_codebook_fast_path_matches_collect_path(spark, emb):
+    """pq_codebook's local-relation book (attribute rows) must encode
+    bit-identically to the same book with the attribute stripped (the
+    limit+collect path)."""
+    cb = S.pq_codebook(emb, num_subspaces=4, num_centroids=8, iterations=1)
+    assert getattr(cb, "_sgr_pq_rows", None) is not None
+    frame_rows = sorted((r.m, r.centroid_id, list(r._centroid)) for r in cb.collect())
+    assert sorted(tuple(t) for t in cb._sgr_pq_rows) == frame_rows
+    stripped = cb.select("m", "centroid_id", "_centroid")
+    fast = {
+        (r.vec_id, r.m): r.code
+        for r in S.pq_assign_codes(emb, cb, num_subspaces=4).collect()
+    }
+    slow = {
+        (r.vec_id, r.m): r.code
+        for r in S.pq_assign_codes(emb, stripped, num_subspaces=4).collect()
+    }
+    assert fast == slow
