@@ -20667,9 +20667,15 @@ def pipe_skipgram_pairs(spark, sf_dir):
     Scale: one tokenize+posexplode pass; the frequency table is
     vocab-bounded and broadcast back (Zipf makes vocab ≪ corpus; if a
     tokenizer blows vocab past executor memory, drop the hint and the
-    join falls back to shuffle-on-w); the window pair join is
-    co-partitioned on doc_id with fan-out ≤ 2·window; pair counts are
-    a skinny (center, context) shuffle. √ is IEEE-exact; the keep
+    join falls back to shuffle-on-w); the ±2 window pairs come from
+    lead/lag over ONE per-doc sort — O(L) per doc and no join. (The
+    previous self-join on doc_id alone made the sort-merge join
+    enumerate every within-doc token pair and filter to |Δq| ≤ 2
+    afterwards: O(L²) per doc — quadratic in document length at corpus
+    scale. The subsampled sequence is dense-ranked, so the ±2 q-range
+    is exactly the 4 lead/lag neighbors; boundary NULLs are the
+    out-of-range rows the join never produced.) Pair counts are a
+    skinny (center, context) shuffle. √ is IEEE-exact; the keep
     comparison operates on identical doubles both engines.
 
     Reference: extension beyond /root/reference scope."""
@@ -20707,18 +20713,19 @@ def pipe_skipgram_pairs(spark, sf_dir):
         .filter(u < keep_p)
         .select("doc_id", "p", "w")
     )
-    seq = kept.withColumn(
-        "q", F.row_number().over(Window.partitionBy("doc_id").orderBy("p"))
-    ).select("doc_id", "w", "q")
-    a = seq.select("doc_id", F.col("w").alias("center"), F.col("q").alias("qa"))
-    b = seq.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("context"), F.col("q").alias("qb"))
-    pairs = a.join(
-        b,
-        (F.col("doc_id") == F.col("doc_b"))
-        & (F.col("qb") >= F.col("qa") - 2)
-        & (F.col("qb") <= F.col("qa") + 2)
-        & (F.col("qb") != F.col("qa")),
+    w_seq = Window.partitionBy("doc_id").orderBy("p")
+    neigh = kept.select(
+        F.col("w").alias("center"),
+        F.array(
+            F.lag("w", 2).over(w_seq),
+            F.lag("w", 1).over(w_seq),
+            F.lead("w", 1).over(w_seq),
+            F.lead("w", 2).over(w_seq),
+        ).alias("_ctxs"),
     )
+    pairs = neigh.select(
+        "center", F.explode("_ctxs").alias("context")
+    ).filter(F.col("context").isNotNull())
     cnt = pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )

@@ -879,18 +879,20 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 def test_skipgram_vocab_broadcast_and_no_text_in_exchange(spark, sf_dir):
     """Skip-gram pairs: the vocab frequency table joins back as a
     BROADCAST (never shuffling the giant positional-token frame on the
-    word), the window pair join is a real co-partitioned join on doc_id,
-    and no exchange carries the raw text column — only (doc_id, p, w)
-    and pair keys move."""
-    from sql_query_engine_rs_spark.plans import plan_report
+    word), the ±2 context pairs come from lead/lag over ONE per-doc
+    window — NO pair self-join at all (the old doc_id-equality join
+    enumerated O(L²) within-doc pairs before the |Δq| ≤ 2 filter) —
+    and no exchange carries the raw text column."""
+    from sql_query_engine_rs_spark.plans import explain_str, plan_report
 
     df = QUERIES["pipe_skipgram_pairs"].build(spark, sf_dir)
     r = plan_report(df)
     assert r["broadcast_joins"] >= 2  # vocab cf + 1-row total
-    # the (doc_id, q) pair join is an equi-hash join on doc_id (broadcast
-    # at test SF where the kept side is tiny; shuffle-on-doc_id at scale) —
-    # what matters is that it is NOT a cartesian/NLJ on the range condition
-    assert r["broadcast_joins"] + r["shuffle_joins"] >= 3
+    # the pair stage is a window (lead/lag) pass, not a join: the only
+    # joins in the whole plan are the two broadcast attach joins above
+    assert r["shuffle_joins"] == 0
+    formatted = explain_str(df, "formatted")
+    assert "Window" in formatted
     assert_no_col_in_hash_exchanges(df, "text")
     rows = df.collect()
     assert len(rows) == 10 and all(x.n_pairs >= 1 for x in rows)
