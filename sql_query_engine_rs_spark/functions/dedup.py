@@ -1138,10 +1138,22 @@ def connected_components(
             # over the SAME frame (see pipe_kcore_decompose).
             return df.localCheckpoint(eager=True)
 
-    # Materialize the pair list ONCE before mirroring it: both union
-    # branches reference `pairs`, so without the checkpoint the entire
-    # upstream plan (e.g. the MinHash-LSH pipeline) executes twice.
-    base = _truncate(pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # Mirror each pair into both orientations with ONE explode instead of
+    # a union of two references to `pairs`: the union form either executes
+    # the entire upstream plan (e.g. the MinHash-LSH pipeline) twice or —
+    # as previously written — needs an extra materialization barrier
+    # (`base` was eagerly truncated first, costing one more full job and a
+    # second copy of the edge bytes; under reliable_checkpoint that was a
+    # whole extra write to the shared store). The exploded row multiset
+    # entering `distinct` is identical to union(base, swapped-base).
+    mirrored = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     # Co-partition the immutable edge frame on its join key ONCE: the
     # checkpointed plan advertises hashpartitioning(b), so every
     # iteration's edges⋈labels join re-exchanges only the (node, label)
@@ -1149,12 +1161,7 @@ def connected_components(
     # iteration — strictly ahead whenever the graph needs ≥ 2 rounds
     # (same fix measured on pipe_graph_pagerank: x100 deep point went
     # 135.5 s -> 73.7 s, superlinear -> sublinear).
-    edges = _truncate(
-        base
-        .union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .repartition("b")
-    )
+    edges = _truncate(mirrored.distinct().repartition("b"))
     labels = _truncate(
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -544,6 +544,22 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
 
 
+def test_connected_components_orientation_invariant(spark):
+    """The single-explode edge mirroring (r12: replaces the union of two
+    `pairs` references and its extra materialization barrier) must make the
+    result independent of pair orientation: reversing every (a, b) — or
+    mixing orientations — yields identical components."""
+    from sql_query_engine_rs_spark.functions.dedup import connected_components
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3), (5, 6), (8, 8)], "id_a long, id_b long")
+    rev = spark.createDataFrame([(2, 1), (3, 2), (6, 5), (8, 8)], "id_a long, id_b long")
+    mixed = spark.createDataFrame([(2, 1), (2, 3), (6, 5), (8, 8)], "id_a long, id_b long")
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+    for pairs in (fwd, rev, mixed):
+        got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == want
+
+
 def test_connected_components_chain_diameter(spark):
     """A long chain needs multiple propagation rounds — exercises the loop."""
     from sql_query_engine_rs_spark.functions.dedup import connected_components
