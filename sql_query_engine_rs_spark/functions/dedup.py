@@ -1054,6 +1054,28 @@ def embedding_cosine_dups_lsh(
     return cross.unionByName(within)
 
 
+def mirror_pairs(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+    out_src: str = "a", out_dst: str = "b",
+) -> DataFrame:
+    """Emit each (src, dst) pair in BOTH orientations with one explode —
+    the row multiset of ``pairs.union(pairs-with-columns-swapped)`` through
+    a SINGLE reference to ``pairs``. The union form forces a choice between
+    executing the upstream plan (often a whole LSH candidate pipeline or a
+    kNN-graph build) once per branch, or paying an extra materialization
+    barrier first; the explode needs neither (r12 §19a — one fewer eager
+    checkpoint per clustering run, and under reliable checkpointing one
+    fewer write to the shared store)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias(out_src), F.col(dst).alias(out_dst)),
+                F.struct(F.col(dst).alias(out_src), F.col(src).alias(out_dst)),
+            )
+        ).alias("_e")
+    ).select(f"_e.{out_src}", f"_e.{out_dst}")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -1139,21 +1161,11 @@ def connected_components(
             return df.localCheckpoint(eager=True)
 
     # Mirror each pair into both orientations with ONE explode instead of
-    # a union of two references to `pairs`: the union form either executes
-    # the entire upstream plan (e.g. the MinHash-LSH pipeline) twice or —
-    # as previously written — needs an extra materialization barrier
-    # (`base` was eagerly truncated first, costing one more full job and a
-    # second copy of the edge bytes; under reliable_checkpoint that was a
-    # whole extra write to the shared store). The exploded row multiset
-    # entering `distinct` is identical to union(base, swapped-base).
-    mirrored = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
-            )
-        ).alias("_e")
-    ).select("_e.a", "_e.b")
+    # a union of two references to `pairs` (see mirror_pairs: the union
+    # form previously needed an eager `base` barrier here — one more full
+    # job, a second copy of the edge bytes, and under reliable_checkpoint
+    # a whole extra write to the shared store).
+    mirrored = mirror_pairs(pairs, src, dst)
     # Co-partition the immutable edge frame on its join key ONCE: the
     # checkpointed plan advertises hashpartitioning(b), so every
     # iteration's edges⋈labels join re-exchanges only the (node, label)

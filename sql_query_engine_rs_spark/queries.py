@@ -2562,15 +2562,14 @@ def pipe_dup_transitivity(spark, sf_dir):
     # reached 874 Exchange / 481 scan nodes — Catalyst analysis, not
     # execution, dominated the query. Checkpointing truncates each
     # reference to an RDD scan (final plan ~20 nodes; 4.1 -> ~2.3 s
-    # min-of-warm at sf0.1). n_pairs = |und|/2 off the materialized edge
-    # frame (pairs is deduplicated with id_a < id_b strict, so the
-    # mirrored union has exactly 2·|pairs| rows — no overlaps, no
-    # self-loops).
-    und = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
-            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
-        ).distinct()
-    ).localCheckpoint(eager=True)
+    # min-of-warm at sf0.1). Mirroring via D.mirror_pairs (single explode,
+    # r12 §19a), not a union of two `pairs` references: the post-cache LSH
+    # candidate pipeline (band explode, cap join, self-join, verify) now
+    # executes ONCE inside this checkpoint job instead of once per union
+    # branch. n_pairs = |und|/2 off the materialized edge frame (pairs is
+    # deduplicated with id_a < id_b strict, so the mirrored frame has
+    # exactly 2·|pairs| rows — no overlaps, no self-loops).
+    und = D.mirror_pairs(pairs).distinct().localCheckpoint(eager=True)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     wedge = e1.join(e2, (F.col("e1.b") == F.col("e2.a")) & (F.col("e2.b") != F.col("e1.a"))).select(
         F.col("e1.a").alias("x"), F.col("e2.b").alias("z")
@@ -3260,15 +3259,25 @@ def pipe_graph_degree_dist(spark, sf_dir):
         .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
         .distinct()
     )
+    # melt each pair into its two (node_class, node) endpoints with ONE
+    # explode and aggregate once on the compound key (r12 §19a): the old
+    # unionAll of two per-class aggregates referenced the unpersisted
+    # distinct-pair frame twice, running the lineitem scan + distinct
+    # exchange once per class. Same rows, same shuffled bytes (2E skinny
+    # rows through one exchange vs E through each of two), half the
+    # source passes.
+    nodes = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("order").alias("node_class"), F.col("_o").alias("node")),
+                F.struct(F.lit("part").alias("node_class"), F.col("_p").alias("node")),
+            )
+        ).alias("_e")
+    ).select("_e.node_class", "_e.node")
     deg = (
-        li.groupBy(F.col("_o").alias("node"))
+        nodes.groupBy("node_class", "node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .select(F.lit("order").alias("node_class"), "deg")
-        .unionAll(
-            li.groupBy(F.col("_p").alias("node"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-            .select(F.lit("part").alias("node_class"), "deg")
-        )
+        .select("node_class", "deg")
     )
     return deg.groupBy(
         "node_class", F.length(F.bin("deg")).cast("int").alias("log2_bucket")
@@ -3415,13 +3424,13 @@ def pipe_graph_pagerank(spark, sf_dir):
         .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
         .distinct()
     )
-    fwd = li.select(
-        F.concat(F.lit("o:"), F.col("_o")).alias("src"),
-        F.concat(F.lit("p:"), F.col("_p")).alias("dst"),
-    )
-    rev = li.select(
-        F.concat(F.lit("p:"), F.col("_p")).alias("src"),
-        F.concat(F.lit("o:"), F.col("_o")).alias("dst"),
+    # one (o:, p:) pair frame mirrored into both directions by ONE explode
+    # (r12 §19a): the old fwd.unionAll(rev) referenced the unpersisted
+    # lineitem distinct twice, running its scan + distinct exchange once
+    # per branch inside the cache build.
+    pair = li.select(
+        F.concat(F.lit("o:"), F.col("_o")).alias("_a"),
+        F.concat(F.lit("p:"), F.col("_p")).alias("_b"),
     )
     # co-partition the immutable edge frame on the join key ONCE: the
     # persisted InMemoryTableScan advertises its hashpartitioning(src), so
@@ -3446,7 +3455,7 @@ def pipe_graph_pagerank(spark, sf_dir):
     # still advertises the co-partitioning the loop join relies on, and each
     # edge's r/_deg contribution is numerically identical (same divisor).
     edges = persist_tracked(
-        fwd.unionAll(rev)
+        D.mirror_pairs(pair, "_a", "_b", out_src="src", out_dst="dst")
         .repartition("src")
         .withColumn("_deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
     )
@@ -16725,7 +16734,7 @@ def pipe_lpa_communities(spark, sf_dir):
         verify_threshold=0.8,
         max_band_size=256,
     ).select("id_a", "id_b")
-    e = pairs.union(pairs.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    e = D.mirror_pairs(pairs, out_src="src", out_dst="dst")
 
     # co-partition the immutable edge frame on the per-round join key once
     # (the connected_components / pagerank fix): rounds re-exchange only
@@ -16733,7 +16742,9 @@ def pipe_lpa_communities(spark, sf_dir):
     # referenced once per unrolled round plus the label init, and persist
     # keeps the lineage — the analyzed plan embedded the whole LSH
     # candidate pipeline per reference (156 Exchange nodes); truncation
-    # cuts each to an RDD scan.
+    # cuts each to an RDD scan. Mirrored via ONE explode (r12 §19a), not a
+    # union of two `pairs` references — the post-cache candidate pipeline
+    # executes once inside the checkpoint job, not once per branch.
     e = e.repartition("dst").localCheckpoint(eager=True)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -17193,10 +17204,11 @@ def pipe_link_prediction(spark, sf_dir):
     # anti-join): localCheckpoint truncates the kNN-graph lineage that
     # persist would re-embed per reference (analyzed plan 73 -> ~15
     # Exchange nodes — the r12 lineage-truncation rule for skinny
-    # multi-referenced frames)
+    # multi-referenced frames). Mirrored via ONE explode (r12 §19a): the
+    # kNN top-k build (unmaterialized above its bucket cache) executes
+    # once inside this checkpoint job, not once per union branch.
     e = (
-        knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .union(knn.select(F.col("nbr_id"), F.col("src_id")))
+        D.mirror_pairs(knn, "src_id", "nbr_id", out_src="src", out_dst="dst")
         .distinct()
     ).localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
@@ -17898,14 +17910,15 @@ def pipe_kcore_decompose(spark, sf_dir):
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
     e = (
-        knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .union(knn.select(F.col("nbr_id"), F.col("src_id")))
+        D.mirror_pairs(knn, "src_id", "nbr_id", out_src="src", out_dst="dst")
         .distinct()
         # truncate the LSH lineage: without this, round r's logical plan
         # embeds the knn-graph plan 2^r times (each round references the
         # previous round's alive twice) and Catalyst ANALYSIS — not
         # execution — dominates (measured 19.6 s at sf0.1; the same
-        # reliable-checkpoint trade as dedup.connected_components)
+        # reliable-checkpoint trade as dedup.connected_components).
+        # Mirrored via ONE explode (r12 §19a): the kNN top-k build runs
+        # once inside this checkpoint job, not once per union branch.
         .localCheckpoint(eager=True)
     )
     alive = e.select(F.col("src").alias("node")).distinct()
@@ -18170,10 +18183,10 @@ def pipe_graph_assortativity(spark, sf_dir):
         "src_id", "nbr_id"
     )
     # skinny, referenced 3x — same lineage-truncation rule as
-    # pipe_link_prediction's edge frame (r12)
+    # pipe_link_prediction's edge frame (r12); mirrored via ONE explode
+    # (r12 §19a: kNN top-k build runs once, not once per union branch)
     e = (
-        knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
-        .union(knn.select(F.col("nbr_id"), F.col("src_id")))
+        D.mirror_pairs(knn, "src_id", "nbr_id", out_src="src", out_dst="dst")
         .distinct()
     ).localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
