@@ -3036,17 +3036,29 @@ def pipe_mutual_knn(spark, sf_dir):
     g = S.knn_graph(t(spark, sf_dir, "embeddings"), k=4, num_planes=None).select(
         "src_id", "nbr_id", "cos_sim"
     )
-    rev = g.select(
-        F.col("src_id").alias("nbr_id"), F.col("nbr_id").alias("src_id")
-    )
+    # Mutuality as ONE aggregate instead of a reversed self-join (r12
+    # §19c): each directed edge appears at most once per source (the
+    # top-k window dedupes by construction), so grouping on the unordered
+    # pair leaves count == 2 exactly when BOTH orientations exist. The old
+    # self-join referenced the unmaterialized kNN build twice — the bucket
+    # self-join + scoring + top-k window ran once per side — and paid a
+    # join where a map-side-combinable groupBy suffices. cos_sim is taken
+    # from the src < nbr orientation (the row the old x-side emitted);
+    # both orientations score the identical vector pair, so the value is
+    # unchanged.
     return (
-        g.join(rev, on=["src_id", "nbr_id"])
-        .filter(F.col("src_id") < F.col("nbr_id"))
-        .select(
-            F.col("src_id").alias("id_a"),
-            F.col("nbr_id").alias("id_b"),
-            "cos_sim",
+        g.groupBy(
+            F.least("src_id", "nbr_id").alias("id_a"),
+            F.greatest("src_id", "nbr_id").alias("id_b"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(
+                F.when(F.col("src_id") < F.col("nbr_id"), F.col("cos_sim"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("_n") == 2)
+        .select("id_a", "id_b", "cos_sim")
     )
 
 

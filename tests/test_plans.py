@@ -898,6 +898,36 @@ def test_skipgram_vocab_broadcast_and_no_text_in_exchange(spark, sf_dir):
     assert len(rows) == 10 and all(x.n_pairs >= 1 for x in rows)
 
 
+def test_mutual_knn_single_aggregate_no_join(spark, sf_dir):
+    """Mutual kNN (r12 §19c): the reciprocity filter is ONE unordered-pair
+    aggregate (count == 2) over a single kNN-graph build — no reversed
+    self-join, so the expensive bucket-join + top-k subplan is embedded
+    once and no shuffle join exists downstream of it. Every emitted pair
+    must be genuinely reciprocal in the directed graph."""
+    from sql_query_engine_rs_spark.functions.similarity import knn_graph
+    from sql_query_engine_rs_spark.plans import plan_report
+
+    df = QUERIES["pipe_mutual_knn"].build(spark, sf_dir)
+    r = plan_report(df)
+    assert r["shuffle_joins"] == 0
+    rows = df.collect()
+    g = {
+        (x.src_id, x.nbr_id)
+        for x in knn_graph(
+            QUERIES["pipe_knn_graph"].build(spark, sf_dir).sparkSession.read.parquet(
+                f"{sf_dir}/embeddings.parquet"
+            ),
+            k=4,
+            num_planes=None,
+        )
+        .select("src_id", "nbr_id")
+        .collect()
+    }
+    assert rows, "mutual pairs expected at test SF"
+    for p in rows:
+        assert (p.id_a, p.id_b) in g and (p.id_b, p.id_a) in g
+
+
 def test_coverage_curve_single_fingerprint_shuffle(spark, sf_dir):
     """The shard coverage curve reduces on the fingerprint hash with a
     map-side partial min (first-occurrence trick); text never enters an
