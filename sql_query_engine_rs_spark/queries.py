@@ -7811,6 +7811,12 @@ def pipe_mmr_diversify(spark, sf_dir):
     ce = cand.join(emb.select("vec_id", "embedding"), cand["doc_id"] == emb["vec_id"]).select(
         "doc_id", "rel", F.col("embedding").cast("array<double>").alias("_v")
     )
+    # k-bounded (≤10 rows) but referenced by BOTH pair-join sides: without
+    # materialization the brute-force top-k (a full corpus cosine scan +
+    # global rank) and the vector join-back execute once per side (r12
+    # §19c's hazard class). Eager localCheckpoint runs them once; the
+    # 10-row frame is the only thing either side re-reads.
+    ce = ce.localCheckpoint(eager=True)
     a, b = ce.alias("a"), ce.alias("b")
     # the 10-row candidate side broadcasts (BroadcastNestedLoopJoin, the
     # sanctioned k-bounded shape) — never an unbroadcast CartesianProduct
