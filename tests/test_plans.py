@@ -638,14 +638,22 @@ def test_bench_stdout_line_stays_driver_safe():
     # name-collision-free value; slowest-5 capped by construction
     times = {n: 123.456 for n in bench.BENCH_QUERIES}
     cold = {n: 456.789 for n in bench.BENCH_QUERIES}
-    sorted_times = sorted(times.values())
-    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
-    line = _json.dumps(bench.summary_line(times, cold, sorted_times, slowest, 0.1))
+    wash = {"total_raw_legacy": 123.456, "noise_ratio_median": 1.001}
+    line = _json.dumps(bench.summary_line(times, cold, 0.1, 3, wash))
     assert len(line) < 2000, f"bench stdout line {len(line)} bytes — driver-unsafe"
     parsed = _json.loads(line)
     assert parsed["metric"] == "headline_queries_total_time"
     assert parsed["value"] > 0 and parsed["unit"] == "sec"
     assert len(parsed["queries"]) <= 5
+    # r12 VERDICT item 1: the warmth fields must ride the captured line so
+    # the driver can wash its own round-over-round comparison, and item 5:
+    # both totals (legacy-256 comparable + full-registry) must be present.
+    assert parsed["total_raw"] == 123.456
+    assert parsed["noise_ratio_median"] == 1.001
+    assert parsed["retried"] == 3
+    assert parsed["n_queries"] == len(bench.LEGACY_BENCH_QUERIES)
+    assert parsed["n_queries_full"] == len(bench.BENCH_QUERIES)
+    assert parsed["value_full"] > parsed["value"]
 
 
 def test_knn_graph_candidates_never_exchange_vectors(spark, sf_dir):
