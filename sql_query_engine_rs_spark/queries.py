@@ -3431,11 +3431,10 @@ def pipe_graph_pagerank(spark, sf_dir):
 
     from sql_query_engine_rs_spark.functions.caching import persist_tracked
 
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p"))
-        .distinct()
+    src_li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("_p")
     )
+    li = src_li.distinct()
     # one (o:, p:) pair frame mirrored into both directions by ONE explode
     # (r12 §19a): the old fwd.unionAll(rev) referenced the unpersisted
     # lineitem distinct twice, running its scan + distinct exchange once
@@ -3471,21 +3470,46 @@ def pipe_graph_pagerank(spark, sf_dir):
         .repartition("src")
         .withColumn("_deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
     )
-    nodes = persist_tracked(edges.select(F.col("src").alias("node")).distinct())
-    n = nodes.count()
+    # r13 iteration-shape rework (guide §2.4; r12 VERDICT item 2), three
+    # structural cuts, values bit-identical (verified collect-equal to the
+    # r12 form and oracle-green at sf0.001/sf0.01):
+    # 1. No ``nodes`` frame at all: the node count is two exact
+    #    countDistincts off the skinny (o, p) scan — the namespaces are
+    #    disjoint, so |nodes| = |distinct o| + |distinct p| — replacing a
+    #    full distinct + persist + count barrier over the 1.2M-row mirrored
+    #    string frame.
+    # 2. Iteration 1's edges-ranks join is an identity (every rank is the
+    #    constant 1/n and every src is a node), so it folds into the
+    #    aggregate: sum((1/n)/_deg) — one join and one skinny exchange gone.
+    # 3. No nodes-left-join per iteration: the edge frame is MIRRORED, so
+    #    every node appears as a dst (in-degree == out-degree >= 1) and the
+    #    contribution aggregate already covers the full node set — the old
+    #    LEFT JOIN back onto nodes (and its COALESCE(_s, 0)) was an identity
+    #    costing one join + exchange per iteration. The oracle's r_i CTE
+    #    left-joins too, but over the same total coverage, so values match.
+    # Per-iteration localCheckpoint of ranks was ALSO tried (the VERDICT's
+    # suggestion) and measured SLOWER (interleaved A/B: 3.55 vs 4.06 min-of-
+    # rounds) — the two extra barrier jobs cost more than the AQE replanning
+    # they remove at this scale; negative result kept deliberately.
+    n = src_li.agg((F.countDistinct("_o") + F.countDistinct("_p")).alias("n")).collect()[
+        0
+    ][0]
     d = 0.85
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
-    for _ in range(3):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("_deg")).alias("_s"))
-        )
-        ranks = nodes.join(
-            contrib, nodes["node"] == contrib["dst"], "left"
-        ).select(
-            "node",
-            (F.lit((1 - d) / n) + d * F.coalesce(F.col("_s"), F.lit(0.0))).alias("r"),
+    ranks = None
+    for it in range(3):
+        if ranks is None:
+            contrib = edges.groupBy("dst").agg(
+                F.sum(F.lit(1.0 / n) / F.col("_deg")).alias("_s")
+            )
+        else:
+            contrib = (
+                edges.join(ranks, edges["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("r") / F.col("_deg")).alias("_s"))
+            )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit((1 - d) / n) + d * F.col("_s")).alias("r"),
         )
     return ranks.select("node", pround(F.col("r") * n, 5).alias("pagerank_norm"))
 
@@ -6419,8 +6443,19 @@ def stream_interval_join(spark, sf_dir):
                 spark.readStream.schema(static.schema).parquet(stream_dir)
             )
 
-        clicks = src().filter(F.col("event_type") == "click")
-        purchases = src().filter(F.col("event_type") == "purchase")
+        # project to the join's inputs before the stream-stream join: every
+        # buffered row sits in FOUR state stores per partition until the
+        # watermark expires it, so unneeded columns (props, value,
+        # event_type) would be paid per-row in state bytes and in the
+        # shuffle feeding it (guide §2.3/§5)
+        clicks = (
+            src().filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+        )
+        purchases = (
+            src().filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+        )
         joined = interval_join(clicks, purchases, key_col="user_id", upper="10 minutes")
         out = joined.select(
             F.col("l_event_id").alias("click_id"),
@@ -8293,6 +8328,14 @@ def pipe_winnow_dups(spark, sf_dir):
     base = d.select("doc_id", T.normalized_text(F.col("text")).alias("_t")).filter(
         F.length("_t") >= k + w - 1
     )
+    # Materialization barrier BEFORE the gram transforms (r13): without it
+    # CollapseProject inlines the normalized_text regexp chain into the
+    # per-gram lambda — md5(substr(trim(regexp_replace(lower(text))), i, k))
+    # re-normalizes the WHOLE document once per gram position, O(L^2) chars
+    # per doc. Pinning (doc_id, _t) rows makes the lambda read a
+    # materialized column: one normalization pass, O(L) md5s per doc,
+    # distributed over the ensure_parallelism partitions.
+    base = base.localCheckpoint(eager=True)
     hs = F.transform(
         F.sequence(F.lit(1), F.length("_t") - (k - 1)),
         lambda i: F.md5(F.col("_t").substr(i, F.lit(k))),
@@ -8303,11 +8346,24 @@ def pipe_winnow_dups(spark, sf_dir):
             lambda i: F.array_min(F.slice(F.col("_hs"), i, w)),
         )
     )
-    e = (
-        base.select("doc_id", hs.alias("_hs"))
-        .select("doc_id", fps.alias("_fps"))
-        .select("doc_id", F.explode("_fps").alias("fp"))
+    per_doc = base.select("doc_id", hs.alias("_hs")).select(
+        "doc_id", fps.alias("_fps")
     )
+    # Second barrier BEFORE the explode (r13, thread-dump-verified): the
+    # planner guards every Generate with a pushed-down
+    # ``size(gen_expr) > 0 AND isnotnull(gen_expr)`` filter, INLINING the
+    # generator expression. Inside that inlined copy the outer window-min
+    # lambda re-evaluates the whole md5-gram transform once PER WINDOW
+    # POSITION (interpreted higher-order functions re-evaluate captured
+    # array arguments per lambda call) — O(L^2) md5s per document: a single
+    # bench trial at sf0.1 sat >15 minutes in that filter before this fix,
+    # and 30 s with only the base barrier (vs 0.3 s with this one).
+    # Materializing the k-bounded per-doc array frame makes the Generate
+    # guard a size() over a stored column, and the three downstream
+    # consumers (df cap + both pair-join sides) re-derive (doc_id, fp) from
+    # the materialized arrays instead of re-running the fingerprint math.
+    per_doc = per_doc.localCheckpoint(eager=True)
+    e = per_doc.select("doc_id", F.explode("_fps").alias("fp"))
     f = (
         e.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -9783,8 +9839,18 @@ def stream_outer_join(spark, sf_dir):
                 spark.readStream.schema(static.schema).parquet(stream_dir)
             )
 
-        clicks = src().filter(F.col("event_type") == "click")
-        purchases = src().filter(F.col("event_type") == "purchase")
+        # project to the join's inputs before the stream-stream join (see
+        # stream_interval_join): state stores hold only (event_id, user_id,
+        # ts) per buffered row. The sentinel rows' negative event_ids
+        # survive the projection for the post-drain filter.
+        clicks = (
+            src().filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+        )
+        purchases = (
+            src().filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+        )
         joined = interval_join(
             clicks, purchases, key_col="user_id", upper="10 minutes", how="left_outer"
         )

@@ -185,10 +185,16 @@ def running_totals_stateful(
             state.setTimeoutTimestamp(max_ts_ms + gap_ms)
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [total]})
 
-    src = events
+    # applyInPandasWithState ships EVERY input column through Arrow to the
+    # Python worker — Catalyst cannot prune into an opaque function (guide
+    # §4.1). Project to the columns the update function reads (key, value,
+    # and ts only when event-time timers are armed) so payload columns
+    # (props, event_type, ...) never cross the boundary or sit in shuffle.
+    need = [key_col, value_col] + ([ts_col] if gap_ms is not None else [])
+    src = events.select(*need)
     if gap_ms is not None:
         # EventTimeTimeout requires a watermark on the stream
-        src = events.withWatermark(ts_col, watermark)
+        src = src.withWatermark(ts_col, watermark)
     return src.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -402,6 +408,9 @@ def last_touch_attribution_stateful(
             agg = allp.groupby("channel").agg(n=("value", "size"), value_sum=("value", "sum"))
             yield agg.reset_index()
 
+    # project to the update function's inputs — an opaque stateful op ships
+    # every column through Arrow otherwise (guide §4.1)
+    events = events.select(key_col, type_col, ts_col, order_col, value_col)
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -476,6 +485,9 @@ def transition_counts_stateful(
             vc = allp.groupby(["from_type", "to_type"]).size().reset_index(name="n")
             yield vc
 
+    # project to the update function's inputs — an opaque stateful op ships
+    # every column through Arrow otherwise (guide §4.1)
+    events = events.select(key_col, type_col, ts_col, order_col)
     return events.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=out_schema,
