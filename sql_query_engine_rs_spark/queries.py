@@ -6032,7 +6032,7 @@ def pipe_ann_nprobe_sweep(spark, sf_dir):
         "centroid_id",
         "probe_rank",
     )
-    cand = persist_tracked(
+    cand = (
         corpus_cells.join(F.broadcast(query_cells), on="centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
@@ -6042,20 +6042,42 @@ def pipe_ann_nprobe_sweep(spark, sf_dir):
             pround(cosine(F.col("_qv"), F.col("embedding")), 6).alias("cos_sim"),
         )
     )
-    # the four sweep arms consume cand concurrently inside one job;
-    # materialize it eagerly so they read cached blocks instead of racing
-    # to recompute the corpus assignment + scoring pass per arm (r12)
-    cand.count()
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    tagged = None
-    for np_ in NPROBES:
-        arm = (
-            cand.filter(F.col("probe_rank") <= np_)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= K)
-            .select(F.lit(np_).alias("nprobe"), "query_id", "vec_id")
-        )
-        tagged = arm if tagged is None else tagged.unionAll(arm)
+    # r13 (VERDICT item 6): the candidate frame is skinny (4 scalars), its
+    # upstream is the whole codebook + assignment pipeline, and four arms
+    # consume it — the refs x upstream-size rule says truncate lineage, not
+    # persist: the r12 persist+count left every arm re-analyzing the full
+    # upstream plan. Eager localCheckpoint runs the scoring pass once and
+    # hands the arms a materialized ExistingRDD.
+    cand = cand.localCheckpoint(eager=True)
+    # One window pass for ALL FOUR arms (guide §2.4): arm p's top-k is "rows
+    # with probe_rank <= p whose running count of p-eligible rows, in the
+    # (cos_sim desc, vec_id) order, is <= K" — four running conditional sums
+    # over ONE sorted window replace four filter+row_number passes (and
+    # their four exchanges+sorts) over the same frame. Row-for-row identical
+    # to the per-arm row_number by construction (the running count IS that
+    # arm's row_number restricted to its rows); verified collect-equal and
+    # oracle-green.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt_cols = [
+        F.sum(F.when(F.col("probe_rank") <= p, 1).otherwise(0)).over(w).alias(f"_c{p}")
+        for p in NPROBES
+    ]
+    arms = F.array(
+        [
+            F.when(
+                (F.col("probe_rank") <= p) & (F.col(f"_c{p}") <= K), F.lit(p)
+            ).otherwise(F.lit(None))
+            for p in NPROBES
+        ]
+    )
+    tagged = (
+        cand.select("query_id", "vec_id", "probe_rank", *cnt_cols)
+        .select("query_id", "vec_id", F.explode(arms).alias("nprobe"))
+        .filter(F.col("nprobe").isNotNull())
+        .select("nprobe", "query_id", "vec_id")
+    )
     hits = tagged.join(exact, ["query_id", "vec_id"])
     return hits.groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
@@ -11060,6 +11082,12 @@ def pipe_dsir_weights(spark, sf_dir):
         F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("int").alias("b"),
     )
     docb = tok.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    # r13 (§8 refs x upstream rule): docb is skinny ints referenced THREE
+    # times (target model, raw model, final per-doc rollup) over the
+    # tokenize+md5+aggregate upstream; eager truncation runs that pass once
+    # and all three consumers read materialized rows (interleaved A/B:
+    # 0.71x, wins 3/3 rounds; values collect-equal).
+    docb = docb.localCheckpoint(eager=True)
     tgt = (
         docb.filter(F.col("source").isin(*_DSIR_TARGET))
         .groupBy("b")
@@ -13378,11 +13406,16 @@ def pipe_sparse_cosine_dups(spark, sf_dir):
     )
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    w = persist_tracked(
+    # r13 (§8 refs x upstream rule): the weight table is skinny, referenced
+    # three times (norms, probe postings, corpus side of the dot join), and
+    # its upstream re-embeds the tf cache + df aggregate per reference —
+    # truncate lineage instead of persist (interleaved A/B: 0.80x, wins 3/3
+    # rounds; values collect-equal, oracle green).
+    w = (
         tf.join(dfq, "term")
         .join(F.broadcast(n))
         .select("doc_id", "term", (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("w"))
-    )
+    ).localCheckpoint(eager=True)
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     probe = w.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), "term", F.col("w").alias("wq")
