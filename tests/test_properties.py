@@ -43,6 +43,7 @@ def test_portable_round_matches_duckdb(spark, values):
 @given(
     st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=6)
 )
+@pytest.mark.slow  # heavyweight sweep; round-end full validation runs it (SPARK_GRAFT_FULL_TESTS=1)
 def test_jaccard_bounds_and_symmetry(spark, texts):
     """0 <= jaccard <= 1; j(a,a)=1 for non-empty shingle sets; symmetric."""
     from sql_query_engine_rs_spark.functions.dedup import jaccard, token_ngrams
@@ -88,6 +89,7 @@ def test_fingerprint_whitespace_case_invariance(spark):
     st.lists(st.text(alphabet="abc", min_size=1, max_size=4), min_size=0, max_size=12),
     st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow  # heavyweight sweep; round-end full validation runs it (SPARK_GRAFT_FULL_TESTS=1)
 def test_shingles_from_tokens_matches_reference(spark, toks, n):
     """The zip_with shingle construction must equal the naive definition:
     distinct space-joined n-grams of the token sequence, [] when len < n."""
@@ -217,6 +219,7 @@ def test_quantile_normalize_equalizes_means(spark, sf_dir):
     st.booleans(),
     st.integers(min_value=2, max_value=7),
 )
+@pytest.mark.slow  # heavyweight sweep; round-end full validation runs it (SPARK_GRAFT_FULL_TESTS=1)
 def test_bucketed_ntile_matches_global_ntile(spark, keys, k, desc, nb):
     """The two-level exact ntile (queries._bucketed_ntile) must equal
     F.ntile(k) over the same total order for ANY key multiset (heavy
@@ -260,6 +263,7 @@ def test_bucketed_ntile_matches_global_ntile(spark, keys, k, desc, nb):
     ),
     st.integers(min_value=2, max_value=6),
 )
+@pytest.mark.slow  # heavyweight sweep; round-end full validation runs it (SPARK_GRAFT_FULL_TESTS=1)
 def test_bucketed_running_sums_match_global_window(spark, rows, nb):
     """The two-level running sums + seam lead (queries.
     _bucketed_running_sums) must equal the single global-order window
@@ -327,6 +331,7 @@ def test_ivf_seed_rank_matches_python_md5_order(spark, ids, k):
     st.lists(st.integers(min_value=2, max_value=7), min_size=1, max_size=2),
     st.integers(min_value=2, max_value=5),
 )
+@pytest.mark.slow  # heavyweight sweep; round-end full validation runs it (SPARK_GRAFT_FULL_TESTS=1)
 def test_knn_clone_collapse_matches_direct_property(spark, seed, clone_sizes, k):
     """Randomized twin of the fixed clone-collapse pin: for any random
     corpus + planted clone groups (sizes straddling k+1) + k, the collapse
