@@ -1878,3 +1878,90 @@ def test_incremental_dedup_empty_shard_and_empty_index(spark):
     empty_index = spark.createDataFrame([], "fingerprint string")
     got = {r.doc_id: r.status for r in incremental_dedup_status(shard, empty_index).collect()}
     assert got == {1: "unique", 2: "dup_within_shard", 3: "unique"}
+
+
+def test_ngram_jaccard_sparse_equals_blocked_join(spark):
+    """The r13 sparse intersection-count path (shared-gram equi-join +
+    pair count) must reproduce the blocked pair join it replaced: same
+    pairs, bit-identical rounded similarities, on a corpus with exact
+    dups, near-dups, disjoint docs, and sub-n short docs."""
+    from pyspark.sql import functions as F
+
+    from sql_query_engine_rs_spark.functions.dedup import (
+        jaccard,
+        ngram_jaccard_pairs,
+        shingles_from_tokens,
+    )
+    from sql_query_engine_rs_spark.functions.expressions import portable_round
+    from sql_query_engine_rs_spark.functions.text import tokens
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # near dup
+        (3, "completely different words entirely here now"),
+        (4, "xy zz"),  # < n tokens -> empty shingle set, must not pair
+        (5, "the quick brown fox jumps over the lazy cat today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        map(tuple, ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.8, size_blocking=True).collect())
+    )
+    # reference: the pre-r13 blocked-join formulation, verbatim
+    g = df.select(
+        F.col("doc_id").alias("_id"),
+        shingles_from_tokens(tokens(F.col("text")), 3).alias("_grams"),
+    ).filter(F.size("_grams") > 0).withColumn("_blk", F.length(F.bin(F.size("_grams"))))
+    a, b = g.alias("a"), g.alias("b")
+    ref = sorted(
+        map(
+            tuple,
+            a.crossJoin(b)
+            .filter(
+                (F.col("a._id") < F.col("b._id"))
+                & (F.abs(F.col("a._blk") - F.col("b._blk")) <= 1)
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                portable_round(jaccard(F.col("a._grams"), F.col("b._grams")), 4).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= 0.8)
+            .collect(),
+        )
+    )
+    assert got == ref and any(r[:2] == (0, 1) for r in got), (got, ref)
+
+
+def test_winnow_dups_barriers_and_planted_pair(spark, tmp_path):
+    """pipe_winnow_dups' two materialization barriers (r13) must hold —
+    the returned plan reads ExistingRDD scans, never re-deriving the gram
+    pipeline (whose Generate-guard inlining was the O(L^2) hazard) — and a
+    planted shared-substring pair must be detected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_query_engine_rs_spark.queries import QUERIES
+
+    shared = "the identical shared run of text long enough to winnow " * 3
+    texts = [
+        shared + " alpha tail one",
+        shared + " beta tail two",
+        "completely unrelated filler body with its own words repeated often",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "source": ["src0"] * len(texts),
+        }),
+        sf / "documents.parquet",
+    )
+    df = QUERIES["pipe_winnow_dups"].build(spark, str(sf))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan and "Scan parquet" not in plan
+    rows = {(r.id_a, r.id_b): r.n_shared for r in df.collect()}
+    assert (0, 1) in rows and rows[(0, 1)] >= 3, rows
+    assert not any(2 in k for k in rows)
